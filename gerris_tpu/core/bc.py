@@ -1,0 +1,196 @@
+"""Boundary conditions applied as ghost-cell padding.
+
+TPU-native replacement for the reference's per-box boundary objects and
+ghost-tree exchange (reference: src/boundary.h:35-173, src/domain.c:723-878
+``gfs_domain_bc``).  A BC here is a small static descriptor; "applying" BCs
+returns the field padded with ``width`` ghost layers so downstream stencil
+kernels are branch-free.  Ghost-cell formulas follow the reference:
+
+* Dirichlet: ghost = 2*b - interior, a linear profile through the face value
+  (reference: src/boundary.c bc_dirichlet / GFS_STATE ghost symmetry).
+* Neumann:   ghost = interior - g * (distance), mirror for g=0
+  (reference: src/boundary.c bc_neumann).
+* Periodic:  wrap-around copy (reference: src/boundary.h:252-287
+  GfsBoundaryPeriodic buffer copy).
+
+``homogeneous=True`` gives the zero-valued variants used by the multigrid
+correction sweeps (reference: src/poisson.c:1141-1167 relax_loop applies
+homogeneous BCs each sweep).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from .grid import Grid
+
+Value = Union[float, Callable]
+
+DIRICHLET = "dirichlet"
+NEUMANN = "neumann"
+PERIODIC = "periodic"
+
+
+@dataclasses.dataclass(frozen=True)
+class BC:
+    kind: str
+    value: Value = 0.0
+
+    def __hash__(self):
+        return hash((self.kind, self.value if not callable(self.value) else id(self.value)))
+
+
+def Dirichlet(value: Value = 0.0) -> BC:
+    return BC(DIRICHLET, value)
+
+
+def Neumann(grad: Value = 0.0) -> BC:
+    return BC(NEUMANN, grad)
+
+
+def Periodic() -> BC:
+    return BC(PERIODIC)
+
+
+@dataclasses.dataclass(frozen=True)
+class FieldBC:
+    """One BC per (axis, side). ``sides[axis][side]``, side 0=low, 1=high."""
+
+    sides: tuple  # tuple over axes of (low BC, high BC)
+
+    @staticmethod
+    def uniform(bc: BC, dim: int = 2) -> "FieldBC":
+        return FieldBC(tuple(((bc, bc) for _ in range(dim))))
+
+    @staticmethod
+    def make(dim: int = 2, default: BC = None, **named) -> "FieldBC":
+        """Build from side names: left/right (x), bottom/top (y), back/front (z).
+
+        Mirrors the reference's .gfs box side naming (src/boundary.h
+        FTT_RIGHT/LEFT/TOP/BOTTOM/FRONT/BACK).
+        """
+        default = default if default is not None else Neumann()
+        names = {"left": (0, 0), "right": (0, 1), "bottom": (1, 0), "top": (1, 1),
+                 "back": (2, 0), "front": (2, 1)}
+        sides = [[default, default] for _ in range(dim)]
+        for k, bc in named.items():
+            ax, sd = names[k]
+            if ax < dim:
+                sides[ax][sd] = bc
+        return FieldBC(tuple(tuple(s) for s in sides))
+
+    def is_periodic(self, axis: int) -> bool:
+        return self.sides[axis][0].kind == PERIODIC
+
+
+def default_scalar_bc(dim: int = 2) -> FieldBC:
+    """Reference default: symmetry (zero-Neumann) on solid box walls."""
+    return FieldBC.uniform(Neumann(), dim)
+
+
+def velocity_bc(component: int, dim: int = 2) -> FieldBC:
+    """Reference default wall BC: no-penetration => normal component Dirichlet 0,
+    tangential components symmetric (free-slip) (src/boundary.c symmetry BCs)."""
+    sides = []
+    for ax in range(dim):
+        bc = Dirichlet(0.0) if ax == component else Neumann()
+        sides.append((bc, bc))
+    return FieldBC(tuple(sides))
+
+
+def periodic_bc(dim: int = 2) -> FieldBC:
+    return FieldBC.uniform(Periodic(), dim)
+
+
+def _boundary_coords(grid: Grid, axis: int, side: int, width: int, ghost_layer: int,
+                     pad_lo: tuple, pad_hi: tuple):
+    """Coordinates of face centres for one boundary slab.
+
+    The slab spans the *extended* (already padded) transverse axes so corner
+    ghosts get consistent values. Returns a tuple of dim coordinate arrays
+    broadcastable to the slab shape.
+    """
+    coords = []
+    bnd = grid.origin[axis] + (grid.size if side == 1 else 0.0)
+    for a in range(grid.dim):
+        if a == axis:
+            coords.append(bnd)
+        else:
+            i = np.arange(-pad_lo[a], grid.n + pad_hi[a])
+            c = grid.origin[a] + (i + 0.5) * grid.h
+            shape = [1] * grid.dim
+            shape[a] = c.size
+            coords.append(jnp.asarray(c).reshape(shape))
+    return tuple(coords)
+
+
+def _eval(value: Value, coords, t=0.0):
+    if callable(value):
+        try:
+            return value(*coords, t)
+        except TypeError:
+            return value(*coords)
+    return value
+
+
+def apply_bc(field: jnp.ndarray, grid: Grid, fbc: FieldBC, width: int = 1,
+             homogeneous: bool = False, t: float = 0.0) -> jnp.ndarray:
+    """Return ``field`` padded with ``width`` ghost layers per the BCs."""
+    dim = grid.dim
+    out = field
+    pad_done_lo = [0] * dim
+    pad_done_hi = [0] * dim
+    for axis in range(dim):
+        lo_bc, hi_bc = fbc.sides[axis]
+        slabs_lo, slabs_hi = [], []
+        if lo_bc.kind == PERIODIC or hi_bc.kind == PERIODIC:
+            # both sides must be periodic
+            lo = _take(out, axis, slice(out.shape[axis] - width, out.shape[axis]))
+            hi = _take(out, axis, slice(0, width))
+            out = jnp.concatenate([lo, out, hi], axis=axis)
+        else:
+            for k in range(1, width + 1):
+                # interior cell mirrored through the boundary face
+                int_lo = _take(out, axis, slice(k - 1, k))
+                int_hi = _take(out, axis, slice(out.shape[axis] - k, out.shape[axis] - k + 1))
+                if lo_bc.kind == DIRICHLET:
+                    b = 0.0 if homogeneous else _eval(
+                        lo_bc.value,
+                        _boundary_coords(grid, axis, 0, width, k, tuple(pad_done_lo), tuple(pad_done_hi)), t)
+                    g_lo = 2.0 * b - int_lo
+                else:  # NEUMANN
+                    g = 0.0 if homogeneous else _eval(
+                        lo_bc.value,
+                        _boundary_coords(grid, axis, 0, width, k, tuple(pad_done_lo), tuple(pad_done_hi)), t)
+                    g_lo = int_lo - g * (2 * k - 1) * grid.h
+                if hi_bc.kind == DIRICHLET:
+                    b = 0.0 if homogeneous else _eval(
+                        hi_bc.value,
+                        _boundary_coords(grid, axis, 1, width, k, tuple(pad_done_lo), tuple(pad_done_hi)), t)
+                    g_hi = 2.0 * b - int_hi
+                else:
+                    g = 0.0 if homogeneous else _eval(
+                        hi_bc.value,
+                        _boundary_coords(grid, axis, 1, width, k, tuple(pad_done_lo), tuple(pad_done_hi)), t)
+                    g_hi = int_hi + g * (2 * k - 1) * grid.h
+                slabs_lo.append(jnp.broadcast_to(g_lo, int_lo.shape).astype(field.dtype))
+                slabs_hi.append(jnp.broadcast_to(g_hi, int_hi.shape).astype(field.dtype))
+            out = jnp.concatenate(list(reversed(slabs_lo)) + [out] + slabs_hi, axis=axis)
+        pad_done_lo[axis] = width
+        pad_done_hi[axis] = width
+    return out
+
+
+def _take(a: jnp.ndarray, axis: int, sl: slice) -> jnp.ndarray:
+    idx = [slice(None)] * a.ndim
+    idx[axis] = sl
+    return a[tuple(idx)]
+
+
+def interior(a: jnp.ndarray, width: int) -> jnp.ndarray:
+    """Strip ``width`` ghost layers from every axis."""
+    sl = tuple(slice(width, s - width) for s in a.shape)
+    return a[sl]

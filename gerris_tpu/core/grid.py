@@ -1,0 +1,100 @@
+"""Uniform structured grid descriptor.
+
+TPU-native replacement for the reference's fully-threaded tree geometry
+(reference: src/ftt.h:88-160).  Instead of a pointer-linked quad/octree we
+describe dense, level-indexed Cartesian arrays: a ``Grid`` is the uniform
+grid at refinement ``level`` (N = 2**level cells per axis), covering the same
+default unit box centred at the origin as a single GfsBox
+(reference: src/ftt.c ftt_cell_new root cell, box size 1, centre (0,0)).
+
+Static (hashable) so it can be a jit static argument; all array-producing
+methods return jnp arrays.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import cached_property
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class Grid:
+    """A uniform grid of ``n`` cells per axis over ``box`` (default unit box).
+
+    dim: 2 or 3 (the reference compiles the same source as gerris2D/gerris3D,
+    src/ftt.h:34-38; here the dimension is a runtime descriptor field).
+    """
+
+    level: int
+    dim: int = 2
+    origin: tuple = (-0.5, -0.5)   # lower corner of the box
+    size: float = 1.0              # box edge length
+
+    def __post_init__(self):
+        if self.dim not in (2, 3):
+            raise ValueError("dim must be 2 or 3")
+        if len(self.origin) != self.dim:
+            object.__setattr__(self, "origin", tuple(self.origin[: self.dim])
+                               if len(self.origin) > self.dim
+                               else tuple(self.origin) + (-0.5,) * (self.dim - len(self.origin)))
+
+    @property
+    def n(self) -> int:
+        return 1 << self.level
+
+    @property
+    def h(self) -> float:
+        return self.size / self.n
+
+    @property
+    def shape(self) -> tuple:
+        return (self.n,) * self.dim
+
+    @property
+    def cell_volume(self) -> float:
+        return self.h ** self.dim
+
+    def coarser(self) -> "Grid":
+        return dataclasses.replace(self, level=self.level - 1)
+
+    def finer(self) -> "Grid":
+        return dataclasses.replace(self, level=self.level + 1)
+
+    # -- coordinates ---------------------------------------------------------
+    def axis_centers(self, axis: int) -> jnp.ndarray:
+        """Cell-centre coordinates along one axis."""
+        i = jnp.arange(self.n)
+        return self.origin[axis] + (i + 0.5) * self.h
+
+    def axis_faces(self, axis: int) -> jnp.ndarray:
+        """Face coordinates along one axis (n+1 values)."""
+        i = jnp.arange(self.n + 1)
+        return self.origin[axis] + i * self.h
+
+    @cached_property
+    def centers(self) -> tuple:
+        """Meshgrid of cell-centre coordinates, indexing='ij'.
+
+        Axis 0 is x, axis 1 is y (axis 2 is z in 3D) — matching the
+        reference's FttVector component order (src/ftt.h:44-52).
+        """
+        axes = [np.asarray(self.axis_centers(a)) for a in range(self.dim)]
+        return tuple(jnp.asarray(c) for c in np.meshgrid(*axes, indexing="ij"))
+
+    def face_centers(self, axis: int) -> tuple:
+        """Meshgrid of face-centre coordinates for faces normal to ``axis``.
+
+        Shape along ``axis`` is n+1, the others n.
+        """
+        axes = [
+            np.asarray(self.axis_faces(a) if a == axis else self.axis_centers(a))
+            for a in range(self.dim)
+        ]
+        return tuple(jnp.asarray(c) for c in np.meshgrid(*axes, indexing="ij"))
+
+    def face_shape(self, axis: int) -> tuple:
+        s = list(self.shape)
+        s[axis] += 1
+        return tuple(s)

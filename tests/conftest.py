@@ -1,0 +1,23 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh with float64 enabled: accuracy
+gates from the reference suite (test/poisson res-7.ref residual reduction to
+1e-12 relative, error norms to 5e-5) need double precision; the reference is
+all-double C (src/ftt.h gdouble).  TPU production paths run f32/bf16 — the
+bench (bench.py) exercises those on the real chip.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+# Persistent compilation cache: the test suite compiles many small stencil
+# programs; caching makes re-runs near-instant.
+_cache = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
