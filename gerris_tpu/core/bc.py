@@ -194,3 +194,40 @@ def interior(a: jnp.ndarray, width: int) -> jnp.ndarray:
     """Strip ``width`` ghost layers from every axis."""
     sl = tuple(slice(width, s - width) for s in a.shape)
     return a[sl]
+
+
+def apply_face_bc(f: jnp.ndarray, grid: Grid, fbc: FieldBC, axis: int,
+                  homogeneous: bool = False, t: float = 0.0) -> jnp.ndarray:
+    """Overwrite the two boundary slabs of a face-shaped array with the BC
+    value of the variable (Dirichlet only; Neumann/periodic keep the
+    computed one-sided/wrapped values).
+
+    Reference: src/boundary.c bc-on-face variants applied by
+    gfs_domain_face_bc (src/domain.c); used on advected face values and on
+    the normal MAC velocity at boundary faces.
+    """
+    n = f.shape[axis]
+    for side in (0, 1):
+        bc = fbc.sides[axis][side]
+        if bc.kind != DIRICHLET:
+            continue
+        if homogeneous:
+            val = 0.0
+        else:
+            coords = []
+            bnd = grid.origin[axis] + (grid.size if side == 1 else 0.0)
+            for a in range(grid.dim):
+                if a == axis:
+                    coords.append(bnd)
+                else:
+                    c = grid.axis_centers(a)
+                    shape = [1] * grid.dim
+                    shape[a] = c.size
+                    coords.append(c.reshape(shape))
+            val = _eval(bc.value, tuple(coords), t)
+        idx = [slice(None)] * f.ndim
+        idx[axis] = slice(0, 1) if side == 0 else slice(n - 1, n)
+        slab_shape = list(f.shape)
+        slab_shape[axis] = 1
+        f = f.at[tuple(idx)].set(jnp.broadcast_to(val, slab_shape).astype(f.dtype))
+    return f

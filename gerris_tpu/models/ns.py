@@ -1,0 +1,221 @@
+"""Incompressible Navier-Stokes time step (the GfsSimulation core).
+
+TPU-native rebuild of the reference's central loop
+(reference: src/simulation.c simulation_run:432-557):
+
+  1. predicted face velocities (BCG from centred field)
+        gfs_predicted_face_velocities, src/timestep.c:681-717
+  2. MAC projection with dt/2 on Pmac  -> divergence-free face field + gmac
+        gfs_mac_projection, src/timestep.c:460
+  3. centred velocity advection (BCG fluxes w/ MAC field, gmac face
+     pressure correction) + implicit diffusion
+        gfs_centered_velocity_advection_diffusion, src/timestep.c:976-1017
+  4. approximate projection with dt on P -> divergence-free centred field
+        gfs_approximate_projection, src/timestep.c:560
+  5. tracer advection with the projected face field
+        gfs_advance_tracers, src/simulation.c:2031
+
+The whole step is a pure jittable function of (state, dt); the host-side
+Simulation driver (models/simulation.py) handles events/timestep control,
+matching the reference's host/numerics split.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.grid import Grid
+from ..core import bc as bcs
+from ..solvers import advection as adv
+from ..solvers import projection as proj
+from ..solvers import diffusion as diff
+from ..solvers import poisson
+
+
+def grad_bc(u_bc: bcs.FieldBC) -> bcs.FieldBC:
+    """BC for pressure-gradient fields: periodic where the domain is
+    periodic, symmetric (Neumann-0) otherwise."""
+    sides = tuple(
+        tuple(bcs.Periodic() if b.kind == bcs.PERIODIC else bcs.Neumann()
+              for b in ax)
+        for ax in u_bc.sides)
+    return bcs.FieldBC(sides)
+
+
+@dataclasses.dataclass(frozen=True)
+class NSConfig:
+    """Static configuration (hashable; jit static arg).
+
+    Mirrors GfsSimulation's parameter blocks: advection_params
+    (src/advection.h), projection_params / approx_projection_params
+    (src/poisson.h GfsMultilevelParams), physical_params alpha, and the
+    per-variable diffusion sources (SourceDiffusion, src/source.c).
+    """
+    grid: Grid
+    u_bcs: tuple                      # FieldBC per velocity component
+    p_bc: bcs.FieldBC = None
+    advection: adv.AdvectionParams = adv.AdvectionParams()
+    projection: poisson.MultilevelParams = poisson.MultilevelParams(
+        tolerance=1e-3, nitermax=100)
+    approx_projection: poisson.MultilevelParams = poisson.MultilevelParams(
+        tolerance=1e-3, nitermax=100)
+    nu: float = 0.0                   # kinematic viscosity (SourceDiffusion)
+    beta: float = 1.0                 # diffusion implicitness (ref default 1)
+    tracers: tuple = ()               # (name, FieldBC, diffusivity) triples
+
+    def __post_init__(self):
+        if self.p_bc is None:
+            object.__setattr__(self, "p_bc", grad_bc(self.u_bcs[0]))
+
+    @property
+    def dim(self):
+        return self.grid.dim
+
+
+def velocity_names(dim):
+    return ("U", "V", "W")[:dim]
+
+
+def predicted_face_velocities(U: list, grid: Grid, cfg: NSConfig, dt, t):
+    """Reference: src/timestep.c:681-717 (use_centered_velocity=TRUE,
+    CENTERED upwinding)."""
+    uc_pad = [bcs.apply_bc(U[c], grid, cfg.u_bcs[c], 1, t=t)
+              for c in range(grid.dim)]
+    uf = []
+    for c in range(grid.dim):
+        vp, vm = adv.advected_face_values(
+            U[c], grid, cfg.u_bcs[c], dt, cfg.advection, uc_pad, t=t)[c]
+        # centred upwinding: un = face-interpolated centred velocity
+        from ..ops.stencils import face_average
+        un = face_average(uc_pad[c], grid, c)
+        uf_c = adv.upwind_face_value(vp, vm, un, c)
+        uf_c = bcs.apply_face_bc(uf_c, grid, cfg.u_bcs[c], c, t=t)
+        uf.append(uf_c)
+    return uf
+
+
+def velocity_advection_diffusion(U: list, uf: list, gmac: list, grid: Grid,
+                                 cfg: NSConfig, dt, t, sources=None):
+    """Reference: src/timestep.c:976-1017 + variable_sources:872-921."""
+    dim = grid.dim
+    uc_pad = adv.mac_cell_mean(uf, grid)
+    gbc = grad_bc(cfg.u_bcs[0])
+    out = []
+    for c in range(dim):
+        fvals = adv.advected_face_values(U[c], grid, cfg.u_bcs[c], dt,
+                                         cfg.advection, uc_pad, t=t)
+        # face-interpolated gmac correction (reference: src/advection.c:419)
+        g_pad = bcs.apply_bc(gmac[c], grid, gbc, 1, t=t)
+        from ..ops.stencils import face_average
+        v_faces = []
+        for a in range(dim):
+            vface = adv.upwind_face_value(fvals[a][0], fvals[a][1], uf[a], a)
+            vface = vface - face_average(g_pad, grid, a) * dt / 2.0
+            if a == c:
+                vface = bcs.apply_face_bc(vface, grid, cfg.u_bcs[c], a, t=t)
+            v_faces.append(vface)
+        fv = adv.flux_divergence(v_faces, uf, grid, dt)
+        if sources is not None and sources[c] is not None:
+            fv = fv + dt * sources[c]
+        if cfg.nu > 0.0:
+            v_new, _ = diff.diffuse(U[c], grid, cfg.u_bcs[c], dt, cfg.nu,
+                                    rho=1.0, beta=cfg.beta,
+                                    extra_rhs=fv, t=t)
+        else:
+            v_new = U[c] + fv
+        out.append(v_new)
+    return out
+
+
+def advect_tracer(T: jnp.ndarray, name_bc_D, uf: list, grid: Grid,
+                  cfg: NSConfig, dt, t):
+    """Reference: gfs_tracer_advection_diffusion src/timestep.c:1028."""
+    name, fbc, D = name_bc_D
+    uc_pad = adv.mac_cell_mean(uf, grid)
+    fvals = adv.advected_face_values(T, grid, fbc, dt, cfg.advection,
+                                     uc_pad, t=t)
+    v_faces = [adv.upwind_face_value(fvals[a][0], fvals[a][1], uf[a], a)
+               for a in range(grid.dim)]
+    fv = adv.flux_divergence(v_faces, uf, grid, dt)
+    if D and D > 0.0:
+        T_new, _ = diff.diffuse(T, grid, fbc, dt, D, beta=cfg.beta,
+                                extra_rhs=fv, t=t)
+    else:
+        T_new = T + fv
+    return T_new
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def ns_step(state: dict, dt, t, cfg: NSConfig) -> dict:
+    """One full time step.  ``state`` keys: U,V(,W), P, Pmac, tracers."""
+    grid = cfg.grid
+    dim = grid.dim
+    names = velocity_names(dim)
+    U = [state[n] for n in names]
+
+    # 1. prediction
+    uf = predicted_face_velocities(U, grid, cfg, dt, t)
+
+    # 2. MAC projection at dt/2 on Pmac (reference swaps P<->Pmac around it,
+    #    src/simulation.c:498-504)
+    uf, pmac, gmac, _ = proj.mac_projection(
+        uf, state["Pmac"], grid, cfg.p_bc, dt / 2.0, cfg.projection, t=t)
+
+    # 3. centred advection + diffusion
+    U = velocity_advection_diffusion(U, uf, gmac, grid, cfg, dt, t)
+
+    # 4. approximate projection at dt
+    uf2 = proj.face_interpolated_velocity(U, grid, list(cfg.u_bcs), t=t)
+    uf2, p, g_cell, _ = proj.mac_projection(
+        uf2, state["P"], grid, cfg.p_bc, dt, cfg.approx_projection, t=t)
+    U = [U[c] - dt * g_cell[c] for c in range(dim)]
+
+    new = dict(state)
+    for c, n in enumerate(names):
+        new[n] = U[c]
+    new["P"] = p
+    new["Pmac"] = pmac
+
+    # 5. tracers with the projected face field (gfs_advance_tracers)
+    for tr in cfg.tracers:
+        new[tr[0]] = advect_tracer(state[tr[0]], tr, uf2, grid, cfg, dt, t)
+    return new
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def initial_projection(state: dict, dt, t, cfg: NSConfig) -> dict:
+    """i==0 approximate projection making the initial field divergence-free
+    (reference: src/simulation.c:466-474)."""
+    names = velocity_names(cfg.dim)
+    U = [state[n] for n in names]
+    U, _, p, _, _ = _approx(U, state["P"], cfg, dt, t)
+    new = dict(state)
+    for c, n in enumerate(names):
+        new[n] = U[c]
+    new["P"] = p
+    return new
+
+
+def _approx(U, p, cfg, dt, t):
+    uf = proj.face_interpolated_velocity(U, cfg.grid, list(cfg.u_bcs), t=t)
+    uf, p, g_cell, stats = proj.mac_projection(
+        uf, p, cfg.grid, cfg.p_bc, dt, cfg.approx_projection, t=t)
+    U = [U[c] - dt * g_cell[c] for c in range(cfg.dim)]
+    return U, uf, p, g_cell, stats
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def timescale(state: dict, cfg: NSConfig):
+    """min over cells/components of h/|u| (reference: gfs_domain_cfl
+    src/domain.c:2857-2906; acceleration-source terms omitted until
+    sources are wired in)."""
+    grid = cfg.grid
+    ts = jnp.asarray(jnp.inf, state["P"].dtype)
+    for n in velocity_names(grid.dim):
+        umax = jnp.max(jnp.abs(state[n]))
+        ts = jnp.minimum(ts, grid.h / jnp.maximum(umax, 1e-300))
+    return ts

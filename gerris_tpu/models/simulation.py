@@ -1,0 +1,159 @@
+"""Host-side simulation driver (the GfsSimulation run loop).
+
+TPU-native rebuild of the reference's driver
+(reference: src/simulation.c — simulation_run:432-557, set_timestep
+:1569-1640 with event-time snapping, run-loop event dispatch).  The
+numerics are jitted pure functions (models/ns.py); this class owns time,
+events, and diagnostics on the host.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.grid import Grid
+from ..core import bc as bcs
+from . import ns
+from ..events.events import Event
+
+
+@dataclasses.dataclass
+class Time:
+    """Reference: src/simulation.h GfsTime {t, i, end, iend, dtmax}."""
+    t: float = 0.0
+    i: int = 0
+    end: float = math.inf
+    iend: int = 2 ** 31
+    dtmax: float = math.inf
+
+
+class Simulation:
+    """Incompressible NS simulation on a uniform grid.
+
+    Usage:
+        sim = Simulation(cfg, time=Time(end=300), events=[...])
+        sim.init(U=..., V=...)
+        sim.run()
+    """
+
+    def __init__(self, cfg: ns.NSConfig, time: Time = None, events=None):
+        self.cfg = cfg
+        self.time = time or Time()
+        self.events = list(events or [])
+        self.state = {}
+        self.diagnostics = {}
+        self.stop = False
+        self.dt = None
+        self._tnext = None
+
+    # -- setup ---------------------------------------------------------------
+    def init(self, **fields):
+        grid = self.cfg.grid
+        zeros = jnp.zeros(grid.shape)
+        names = list(ns.velocity_names(grid.dim)) + ["P", "Pmac"] + \
+            [tr[0] for tr in self.cfg.tracers]
+        for n in names:
+            v = fields.get(n, zeros)
+            if callable(v):
+                v = v(*grid.centers)
+            self.state[n] = jnp.asarray(v) + zeros
+        return self
+
+    # -- timestep control ----------------------------------------------------
+    def set_timestep(self):
+        """Reference: gfs_simulation_set_timestep src/simulation.c:1569."""
+        ts = float(ns.timescale(self.state, self.cfg))
+        dt = self.cfg.advection.cfl * ts
+        dt = min(dt, self.time.dtmax)
+        # snap to the next event time (event.c gfs_event_next + ceil split)
+        t = self.time.t
+        tnext = min((e.next_time(t) for e in self.events), default=math.inf)
+        tnext = min(tnext + 1e-9 if tnext < math.inf else tnext, math.inf)
+        if self.time.end < tnext:
+            tnext = self.time.end
+        if tnext < math.inf:
+            n = max(1.0, math.ceil((tnext - t) / dt))
+            if n < 2 ** 31:
+                dt = (tnext - t) / n
+                self._tnext = tnext if n == 1 else t + dt
+            else:
+                self._tnext = t + dt
+        else:
+            self._tnext = t + dt
+        self.dt = max(dt, 1e-9)
+
+    # -- event dispatch --------------------------------------------------
+    def do_events(self):
+        for e in self.events:
+            if e.should_fire(self.time.t, self.time.i):
+                e.fire(self, self.time.t, self.time.i)
+
+    def do_end_events(self):
+        for e in self.events:
+            if e.at_end and e.action is not None:
+                e.action(self)
+
+    # -- main loop -------------------------------------------------------
+    def run(self, max_steps: Optional[int] = None):
+        """Reference: simulation_run src/simulation.c:432-557."""
+        cfg = self.cfg
+        self.set_timestep()
+        if self.time.i == 0:
+            self.state = ns.initial_projection(self.state, self.dt,
+                                               self.time.t, cfg)
+            self.set_timestep()
+        steps = 0
+        while (self.time.t < self.time.end and self.time.i < self.time.iend
+               and not self.stop):
+            self.do_events()
+            if self.stop:
+                break
+            self.state = ns.ns_step(self.state, self.dt, self.time.t, cfg)
+            self.time.t = self._tnext
+            self.time.i += 1
+            self.set_timestep()
+            steps += 1
+            if max_steps is not None and steps >= max_steps:
+                break
+        self.do_events()
+        self.do_end_events()
+        return self
+
+    # -- probing ----------------------------------------------------------
+    def interpolate(self, name: str, points):
+        """Bilinear interpolation of a cell field at physical points.
+
+        Reference: gfs_interpolate src/fluid.c:2697 (corner-weighted);
+        OutputLocation src/output.c.
+        """
+        grid = self.cfg.grid
+        f = np.asarray(self.state[name])
+        pts = np.atleast_2d(np.asarray(points, dtype=float))
+        out = np.empty(pts.shape[0])
+        for k, pt in enumerate(pts):
+            idx = []
+            w = []
+            ok = True
+            for a in range(grid.dim):
+                x = (pt[a] - grid.origin[a]) / grid.h - 0.5
+                i0 = int(np.floor(x))
+                fr = x - i0
+                i0c = min(max(i0, 0), grid.n - 1)
+                i1c = min(max(i0 + 1, 0), grid.n - 1)
+                idx.append((i0c, i1c))
+                w.append(fr)
+            val = 0.0
+            for corner in range(2 ** grid.dim):
+                wt = 1.0
+                ii = []
+                for a in range(grid.dim):
+                    b = (corner >> a) & 1
+                    wt *= w[a] if b else (1.0 - w[a])
+                    ii.append(idx[a][b])
+                val += wt * f[tuple(ii)]
+            out[k] = val
+        return out if out.size > 1 else float(out[0])

@@ -1,0 +1,61 @@
+"""Implicit (Crank-Nicolson / backward-Euler) diffusion via multigrid.
+
+TPU-native rebuild of the reference's diffusion solver
+(reference: src/poisson.c — gfs_diffusion_coefficients:1280-1399 (face
+coefficient = beta*dt*D_face), gfs_diffusion_rhs:1401-1467
+(rhs = u_old + ((1-beta)/beta) * div-part), gfs_diffusion_cycle; driver
+gfs_diffusion src/timestep.c:720-790 and variable_diffusion
+src/timestep.c:928-957).
+
+Solves  rho u - beta dt div(D grad u) = rho u_old + (1-beta) dt div(D grad u_old)
+as the multigrid operator  div((beta dt D) grad u) - rho u = -rho rhs.
+beta = 0.5 is Crank-Nicolson, 1.0 backward Euler (reference default beta=1
+read from SourceDiffusion params; GfsSourceDiffusion par.beta).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.grid import Grid
+from ..core import bc as bcs
+from ..ops.stencils import laplacian
+from . import poisson
+
+
+def diffuse(v: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC, dt,
+            D, rho=1.0, beta: float = 0.5,
+            params: poisson.MultilevelParams = None,
+            extra_rhs=None, t: float = 0.0):
+    """One implicit diffusion solve for ``v``.
+
+    ``D``: scalar diffusivity or per-axis face arrays.
+    ``rho``: scalar or cell array (the reference's rhoc mass coefficient,
+    density for velocity diffusion).
+    ``extra_rhs``: optional additive right-hand side (advection fluxes are
+    already folded into ``v`` by the caller, matching variable_sources ->
+    variable_diffusion ordering in src/timestep.c:1003-1012).
+
+    Returns (v_new, stats).
+    """
+    if params is None:
+        params = poisson.MultilevelParams(tolerance=1e-6, nitermax=20)
+    dim = grid.dim
+    if jnp.ndim(D) == 0:
+        alpha = tuple(jnp.full(grid.face_shape(c), D, dtype=v.dtype)
+                      for c in range(dim))
+    else:
+        alpha = tuple(D)
+    alpha_imp = tuple(beta * dt * a for a in alpha)
+
+    rho_c = jnp.broadcast_to(jnp.asarray(rho, v.dtype), grid.shape)
+
+    rhs = rho_c * v
+    if beta < 1.0:
+        v_pad = bcs.apply_bc(v, grid, fbc, 1, t=t)
+        rhs = rhs + (1.0 - beta) * dt * laplacian(v_pad, grid, alpha)
+    if extra_rhs is not None:
+        rhs = rhs + extra_rhs
+
+    v_new, stats = poisson.solve(v, -rhs, grid, fbc, params,
+                                 alpha=alpha_imp, dia=rho_c, t=t)
+    return v_new, stats

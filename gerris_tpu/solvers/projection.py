@@ -1,0 +1,114 @@
+"""MAC and approximate projections.
+
+TPU-native rebuild of the reference's projection drivers
+(reference: src/timestep.c — mac_projection:356-432, gfs_mac_projection:460,
+gfs_approximate_projection:560-596, correct_normal_velocity:115-145,
+gfs_correct_centered_velocities:509-530, scale_divergence:181-187).
+
+The MAC projection makes the face-normal velocity field exactly
+divergence-free:  solve div(alpha grad p) = div(u_f)/dt, then
+u_f -= dt * alpha_face * grad_face p.  The cell-centred pressure gradient
+g[c] = mean of the two face values of alpha*grad p (used both to correct
+centred velocities and as the BCG flux pressure correction).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.grid import Grid
+from ..core import bc as bcs
+from ..ops.stencils import divergence, face_average
+from . import poisson
+
+
+def face_gradients(p: jnp.ndarray, grid: Grid, p_bc: bcs.FieldBC,
+                   alpha=None, t: float = 0.0) -> list:
+    """alpha_face * grad_face p for every face, per axis (face shapes)."""
+    p_pad = bcs.apply_bc(p, grid, p_bc, 1, t=t)
+    out = []
+    for axis in range(grid.dim):
+        idx = [slice(1, s - 1) for s in p_pad.shape]
+        idx[axis] = slice(None)
+        a = p_pad[tuple(idx)]
+        n = a.shape[axis]
+        lo = [slice(None)] * a.ndim
+        lo[axis] = slice(0, n - 1)
+        hi = [slice(None)] * a.ndim
+        hi[axis] = slice(1, n)
+        g = (a[tuple(hi)] - a[tuple(lo)]) / grid.h
+        if alpha is not None:
+            g = g * alpha[axis]
+        out.append(g)
+    return out
+
+
+def cell_gradient_from_faces(gf: list, grid: Grid) -> list:
+    """Average face gradients to cell centres (reference:
+    correct_normal_velocity accumulates both faces then
+    gfs_scale_gradients divides by 2, src/timestep.c:60-113)."""
+    out = []
+    for axis in range(grid.dim):
+        f = gf[axis]
+        n = f.shape[axis]
+        lo = [slice(None)] * f.ndim
+        lo[axis] = slice(0, n - 1)
+        hi = [slice(None)] * f.ndim
+        hi[axis] = slice(1, n)
+        out.append(0.5 * (f[tuple(lo)] + f[tuple(hi)]))
+    return out
+
+
+def mac_projection(u_face: list, p: jnp.ndarray, grid: Grid,
+                   p_bc: bcs.FieldBC, dt,
+                   params: poisson.MultilevelParams,
+                   alpha=None, div_source=None, t: float = 0.0):
+    """Project the MAC field. Returns (u_face', p, g_cell, stats).
+
+    ``div_source``: optional extra divergence (the reference's
+    divergence_hook / volume sources, src/timestep.c:396-402).
+    Reference: src/timestep.c:356-432.
+    """
+    div = divergence(u_face, grid) / dt
+    if div_source is not None:
+        div = div + div_source
+    # pure-Neumann/periodic compatibility: remove the mean (the reference
+    # achieves this by construction; discretely we enforce it, cf.
+    # GfsPoisson correct_div, src/simulation.c:2156-2186)
+    if not any(side.kind == bcs.DIRICHLET for ax in p_bc.sides for side in ax):
+        div = div - jnp.mean(div)
+    p, stats = poisson.solve(p, div, grid, p_bc, params, alpha=alpha, t=t)
+    gf = face_gradients(p, grid, p_bc, alpha, t=t)
+    u_face = [u_face[c] - dt * gf[c] for c in range(grid.dim)]
+    g_cell = cell_gradient_from_faces(gf, grid)
+    return u_face, p, g_cell, stats
+
+
+def face_interpolated_velocity(u_cell: list, grid: Grid, u_bcs: list,
+                               t: float = 0.0) -> list:
+    """MAC velocities by simple averaging of centred values, with the BC
+    value imposed on boundary faces (reference:
+    gfs_face_interpolated_normal_velocity src/advection.c:546-566 +
+    gfs_domain_face_bc)."""
+    out = []
+    for c in range(grid.dim):
+        pad = bcs.apply_bc(u_cell[c], grid, u_bcs[c], 1, t=t)
+        uf = face_average(pad, grid, c)
+        uf = bcs.apply_face_bc(uf, grid, u_bcs[c], c, t=t)
+        out.append(uf)
+    return out
+
+
+def approximate_projection(u_cell: list, p: jnp.ndarray, grid: Grid,
+                           u_bcs: list, p_bc: bcs.FieldBC, dt,
+                           params: poisson.MultilevelParams,
+                           alpha=None, div_source=None, t: float = 0.0):
+    """Approximate projection of the centred velocity field.
+
+    Returns (u_cell', p, g_cell, stats).
+    Reference: src/timestep.c:560-596 gfs_approximate_projection.
+    """
+    u_face = face_interpolated_velocity(u_cell, grid, u_bcs, t=t)
+    u_face, p, g_cell, stats = mac_projection(u_face, p, grid, p_bc, dt,
+                                              params, alpha, div_source, t=t)
+    u_cell = [u_cell[c] - dt * g_cell[c] for c in range(grid.dim)]
+    return u_cell, p, g_cell, stats

@@ -8,13 +8,17 @@ bench (bench.py) exercises those on the real chip.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # override the session's axon TPU tunnel
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+# The session's axon sitecustomize force-registers a TPU backend and sets
+# jax_platforms programmatically; the config update (not the env var) is
+# what actually pins tests to the host CPU.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: the test suite compiles many small stencil
 # programs; caching makes re-runs near-instant.
