@@ -1,0 +1,72 @@
+"""Headline benchmark: cell-updates/sec/chip on a 2048^2 lid-driven cavity.
+
+Full Navier-Stokes steps (BCG advection + MAC & approximate projections with
+multigrid + implicit viscous diffusion), f32, on whatever chip jax selects
+(the axon-tunneled TPU in this environment; CPU otherwise).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
+vs_baseline relative to the 1e9 cell-updates/s/chip north-star
+(BASELINE.json; the reference publishes no throughput numbers, BASELINE.md).
+"""
+import functools
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+LEVEL = int(os.environ.get("BENCH_LEVEL", "11"))   # 2048^2
+STEPS = int(os.environ.get("BENCH_STEPS", "10"))
+
+
+def main():
+    from gerris_tpu.core.grid import Grid
+    from gerris_tpu.core import bc as bcs
+    from gerris_tpu.models import ns
+
+    grid = Grid(level=LEVEL, dim=2)
+    u_bc = bcs.FieldBC.make(2, default=bcs.Dirichlet(0.0), top=bcs.Dirichlet(1.0))
+    v_bc = bcs.FieldBC.uniform(bcs.Dirichlet(0.0), 2)
+    cfg = ns.NSConfig(grid=grid, u_bcs=(u_bc, v_bc), nu=1e-3, beta=1.0)
+
+    z = jnp.zeros(grid.shape, jnp.float32)
+    state = {n: z for n in list(ns.velocity_names(2)) + ["P", "Pmac"]}
+    dt = jnp.float32(0.8 * grid.h)
+
+    @jax.jit
+    def run(state, nsteps):
+        def body(i, s):
+            return ns.ns_step(s, dt, jnp.float32(0.0), cfg)
+        return jax.lax.fori_loop(0, nsteps, body, state)
+
+    # warmup / compile
+    t0 = time.time()
+    state = run(state, 2)
+    state["U"].block_until_ready()
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    state = run(state, STEPS)
+    state["U"].block_until_ready()
+    dt_wall = time.time() - t0
+
+    cells = grid.n ** grid.dim
+    cups = cells * STEPS / dt_wall
+    dev = jax.devices()[0]
+    print(json.dumps({
+        "metric": f"cell-updates/sec/chip on {grid.n}^2 cavity",
+        "value": cups,
+        "unit": "cell-updates/s/chip",
+        "vs_baseline": cups / 1e9,
+        "steps_per_sec": STEPS / dt_wall,
+        "compile_s": round(compile_s, 1),
+        "device": str(dev),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -98,9 +98,17 @@ def predicted_face_velocities(U: list, grid: Grid, cfg: NSConfig, dt, t):
     return uf
 
 
-def velocity_advection_diffusion(U: list, uf: list, gmac: list, grid: Grid,
-                                 cfg: NSConfig, dt, t, sources=None):
-    """Reference: src/timestep.c:976-1017 + variable_sources:872-921."""
+def velocity_advection_diffusion(U: list, uf: list, gmac: list, g_prev,
+                                 grid: Grid, cfg: NSConfig, dt, t,
+                                 sources=None):
+    """Reference: src/timestep.c:976-1017 + variable_sources:872-921.
+
+    With gc=TRUE (the reference default), the previous approximate
+    projection's cell pressure gradient ``g_prev`` enters the momentum rhs
+    (add_pressure_gradient, src/timestep.c:810-813) so the implicit
+    diffusion solve sees the full momentum balance; the caller removes it
+    again after this returns (gfs_correct_centered_velocities with -dt,
+    src/simulation.c:520-522)."""
     dim = grid.dim
     uc_pad = adv.mac_cell_mean(uf, grid)
     gbc = grad_bc(cfg.u_bcs[0])
@@ -119,6 +127,8 @@ def velocity_advection_diffusion(U: list, uf: list, gmac: list, grid: Grid,
                 vface = bcs.apply_face_bc(vface, grid, cfg.u_bcs[c], a, t=t)
             v_faces.append(vface)
         fv = adv.flux_divergence(v_faces, uf, grid, dt)
+        if g_prev is not None:
+            fv = fv - dt * g_prev[c]
         if sources is not None and sources[c] is not None:
             fv = fv + dt * sources[c]
         if cfg.nu > 0.0:
@@ -149,13 +159,20 @@ def advect_tracer(T: jnp.ndarray, name_bc_D, uf: list, grid: Grid,
     return T_new
 
 
+def gradient_names(dim):
+    return ("Gx", "Gy", "Gz")[:dim]
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def ns_step(state: dict, dt, t, cfg: NSConfig) -> dict:
-    """One full time step.  ``state`` keys: U,V(,W), P, Pmac, tracers."""
+    """One full time step.  ``state`` keys: U,V(,W), P, Pmac, Gx,Gy(,Gz),
+    tracers."""
     grid = cfg.grid
     dim = grid.dim
     names = velocity_names(dim)
     U = [state[n] for n in names]
+    gc = cfg.advection.gc
+    g_prev = [state[n] for n in gradient_names(dim)] if gc else None
 
     # 1. prediction
     uf = predicted_face_velocities(U, grid, cfg, dt, t)
@@ -165,8 +182,12 @@ def ns_step(state: dict, dt, t, cfg: NSConfig) -> dict:
     uf, pmac, gmac, _ = proj.mac_projection(
         uf, state["Pmac"], grid, cfg.p_bc, dt / 2.0, cfg.projection, t=t)
 
-    # 3. centred advection + diffusion
-    U = velocity_advection_diffusion(U, uf, gmac, grid, cfg, dt, t)
+    # 3. centred advection + diffusion (momentum rhs includes -dt*g_prev)
+    U = velocity_advection_diffusion(U, uf, gmac, g_prev, grid, cfg, dt, t)
+    if gc:
+        # remove the explicit gradient again before re-projecting
+        # (gfs_correct_centered_velocities with -dt, src/simulation.c:520)
+        U = [U[c] + dt * g_prev[c] for c in range(dim)]
 
     # 4. approximate projection at dt
     uf2 = proj.face_interpolated_velocity(U, grid, list(cfg.u_bcs), t=t)
@@ -179,6 +200,9 @@ def ns_step(state: dict, dt, t, cfg: NSConfig) -> dict:
         new[n] = U[c]
     new["P"] = p
     new["Pmac"] = pmac
+    if gc:
+        for c, n in enumerate(gradient_names(dim)):
+            new[n] = g_cell[c]
 
     # 5. tracers with the projected face field (gfs_advance_tracers)
     for tr in cfg.tracers:
@@ -189,14 +213,17 @@ def ns_step(state: dict, dt, t, cfg: NSConfig) -> dict:
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def initial_projection(state: dict, dt, t, cfg: NSConfig) -> dict:
     """i==0 approximate projection making the initial field divergence-free
-    (reference: src/simulation.c:466-474)."""
+    and seeding the gc gradient (reference: src/simulation.c:466-474)."""
     names = velocity_names(cfg.dim)
     U = [state[n] for n in names]
-    U, _, p, _, _ = _approx(U, state["P"], cfg, dt, t)
+    U, _, p, g_cell, _ = _approx(U, state["P"], cfg, dt, t)
     new = dict(state)
     for c, n in enumerate(names):
         new[n] = U[c]
     new["P"] = p
+    if cfg.advection.gc:
+        for c, n in enumerate(gradient_names(cfg.dim)):
+            new[n] = g_cell[c]
     return new
 
 

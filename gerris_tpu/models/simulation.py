@@ -56,6 +56,8 @@ class Simulation:
         zeros = jnp.zeros(grid.shape)
         names = list(ns.velocity_names(grid.dim)) + ["P", "Pmac"] + \
             [tr[0] for tr in self.cfg.tracers]
+        if self.cfg.advection.gc:
+            names += list(ns.gradient_names(grid.dim))
         for n in names:
             v = fields.get(n, zeros)
             if callable(v):
@@ -124,26 +126,39 @@ class Simulation:
         return self
 
     # -- probing ----------------------------------------------------------
-    def interpolate(self, name: str, points):
-        """Bilinear interpolation of a cell field at physical points.
+    def field_bc(self, name: str) -> bcs.FieldBC:
+        names = ns.velocity_names(self.cfg.grid.dim)
+        if name in names:
+            return self.cfg.u_bcs[names.index(name)]
+        if name in ("P", "Pmac"):
+            return self.cfg.p_bc
+        for tr in self.cfg.tracers:
+            if tr[0] == name:
+                return tr[1]
+        return bcs.default_scalar_bc(self.cfg.grid.dim)
 
-        Reference: gfs_interpolate src/fluid.c:2697 (corner-weighted);
-        OutputLocation src/output.c.
+    def interpolate(self, name: str, points):
+        """Bilinear interpolation of a cell field at physical points,
+        boundary-aware: the field is first padded with BC ghost cells so
+        points on (or near) the domain boundary honour the BC value —
+        matching the reference, whose interpolation sees ghost-cell values
+        (gfs_interpolate src/fluid.c:2697; OutputLocation src/output.c).
         """
         grid = self.cfg.grid
-        f = np.asarray(self.state[name])
+        f = np.asarray(bcs.apply_bc(self.state[name], grid,
+                                    self.field_bc(name), 1, t=self.time.t))
         pts = np.atleast_2d(np.asarray(points, dtype=float))
         out = np.empty(pts.shape[0])
         for k, pt in enumerate(pts):
             idx = []
             w = []
-            ok = True
             for a in range(grid.dim):
-                x = (pt[a] - grid.origin[a]) / grid.h - 0.5
+                # padded grid: cell i at origin + (i - 0.5) h, i in [0, n+1]
+                x = (pt[a] - grid.origin[a]) / grid.h + 0.5
                 i0 = int(np.floor(x))
                 fr = x - i0
-                i0c = min(max(i0, 0), grid.n - 1)
-                i1c = min(max(i0 + 1, 0), grid.n - 1)
+                i0c = min(max(i0, 0), grid.n + 1)
+                i1c = min(max(i0 + 1, 0), grid.n + 1)
                 idx.append((i0c, i1c))
                 w.append(fr)
             val = 0.0

@@ -26,11 +26,14 @@ from ..core import bc as bcs
 
 @dataclasses.dataclass(frozen=True)
 class AdvectionParams:
-    """Reference: src/advection.h GfsAdvectionParams (defaults cfl=0.8,
-    gradient = van Leer, scheme = Godunov)."""
+    """Reference: src/advection.h GfsAdvectionParams; defaults cfl=0.8,
+    gradient = gfs_center_gradient (UNLIMITED centred slope), scheme =
+    Godunov, gc = TRUE (src/advection.c:924-948
+    gfs_advection_params_init)."""
     cfl: float = 0.8
-    gradient: str = "van_leer"
-    scheme: str = "godunov"  # or "none" (non-advected face values)
+    gradient: str = "centered"  # centered | van_leer | minmod
+    scheme: str = "godunov"     # or "none" (non-advected face values)
+    gc: bool = True             # explicit pressure gradient in momentum rhs
 
 
 def _slope(a: jnp.ndarray, axis: int, limiter: str) -> jnp.ndarray:
@@ -46,7 +49,7 @@ def _slope(a: jnp.ndarray, axis: int, limiter: str) -> jnp.ndarray:
     c, lo, hi = tk(1, -1), tk(0, -2), tk(2, 0)
     s0 = c - lo
     s1 = hi - c
-    if limiter == "none":
+    if limiter in ("centered", "none"):
         return 0.5 * (s0 + s1)
     if limiter == "van_leer":
         prod = s0 * s1

@@ -61,9 +61,6 @@ def lid_cfg(level):
 
 
 @pytest.mark.slow
-@pytest.mark.skipif(not os.environ.get("GERRIS_TPU_LID"),
-                    reason="WIP gate under debug: profile parity not yet met; "
-                           "set GERRIS_TPU_LID=1 to run")
 def test_lid_cavity_ghia():
     level = int(os.environ.get("GERRIS_TPU_LID_LEVEL", "6"))
     cfg = lid_cfg(level)
