@@ -114,12 +114,12 @@ def _boundary_coords(grid: Grid, axis: int, side: int, width: int, ghost_layer: 
     broadcastable to the slab shape.
     """
     coords = []
-    bnd = grid.origin[axis] + (grid.size if side == 1 else 0.0)
+    bnd = grid.boundary_coord(axis, side)
     for a in range(grid.dim):
         if a == axis:
             coords.append(bnd)
         else:
-            i = np.arange(-pad_lo[a], grid.n + pad_hi[a])
+            i = np.arange(-pad_lo[a], grid.shape[a] + pad_hi[a])
             c = grid.origin[a] + (i + 0.5) * grid.h
             shape = [1] * grid.dim
             shape[a] = c.size
@@ -215,7 +215,7 @@ def apply_face_bc(f: jnp.ndarray, grid: Grid, fbc: FieldBC, axis: int,
             val = 0.0
         else:
             coords = []
-            bnd = grid.origin[axis] + (grid.size if side == 1 else 0.0)
+            bnd = grid.boundary_coord(axis, side)
             for a in range(grid.dim):
                 if a == axis:
                     coords.append(bnd)

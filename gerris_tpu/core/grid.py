@@ -21,7 +21,13 @@ import numpy as np
 
 @dataclasses.dataclass(frozen=True)
 class Grid:
-    """A uniform grid of ``n`` cells per axis over ``box`` (default unit box).
+    """A uniform grid over a box of ``extents`` unit boxes per axis.
+
+    The default is the single unit box centred at the origin (one GfsBox);
+    ``extents=(1, 3)`` is e.g. a 1x3 stack of boxes (the reference builds
+    such domains as box graphs, test/capwave/capwave.gfs:59 '3 5 ...').
+    Cell size h = size / 2**level is isotropic; axis ``a`` has
+    2**level * extents[a] cells.
 
     dim: 2 or 3 (the reference compiles the same source as gerris2D/gerris3D,
     src/ftt.h:34-38; here the dimension is a runtime descriptor field).
@@ -30,7 +36,8 @@ class Grid:
     level: int
     dim: int = 2
     origin: tuple = (-0.5, -0.5)   # lower corner of the box
-    size: float = 1.0              # box edge length
+    size: float = 1.0              # edge length of one unit box
+    extents: tuple = None          # unit boxes per axis (default all 1)
 
     def __post_init__(self):
         if self.dim not in (2, 3):
@@ -39,9 +46,12 @@ class Grid:
             object.__setattr__(self, "origin", tuple(self.origin[: self.dim])
                                if len(self.origin) > self.dim
                                else tuple(self.origin) + (-0.5,) * (self.dim - len(self.origin)))
+        if self.extents is None:
+            object.__setattr__(self, "extents", (1,) * self.dim)
 
     @property
     def n(self) -> int:
+        """Cells per unit box edge."""
         return 1 << self.level
 
     @property
@@ -50,7 +60,10 @@ class Grid:
 
     @property
     def shape(self) -> tuple:
-        return (self.n,) * self.dim
+        return tuple(self.n * self.extents[a] for a in range(self.dim))
+
+    def length(self, axis: int) -> float:
+        return self.size * self.extents[axis]
 
     @property
     def cell_volume(self) -> float:
@@ -65,12 +78,12 @@ class Grid:
     # -- coordinates ---------------------------------------------------------
     def axis_centers(self, axis: int) -> jnp.ndarray:
         """Cell-centre coordinates along one axis."""
-        i = jnp.arange(self.n)
+        i = jnp.arange(self.shape[axis])
         return self.origin[axis] + (i + 0.5) * self.h
 
     def axis_faces(self, axis: int) -> jnp.ndarray:
         """Face coordinates along one axis (n+1 values)."""
-        i = jnp.arange(self.n + 1)
+        i = jnp.arange(self.shape[axis] + 1)
         return self.origin[axis] + i * self.h
 
     @cached_property
@@ -98,3 +111,7 @@ class Grid:
         s = list(self.shape)
         s[axis] += 1
         return tuple(s)
+
+    def boundary_coord(self, axis: int, side: int) -> float:
+        """Physical coordinate of the domain boundary plane."""
+        return self.origin[axis] + (self.length(axis) if side == 1 else 0.0)

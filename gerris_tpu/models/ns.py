@@ -66,6 +66,10 @@ class NSConfig:
     nu: float = 0.0                   # kinematic viscosity (SourceDiffusion)
     beta: float = 1.0                 # diffusion implicitness (ref default 1)
     tracers: tuple = ()               # (name, FieldBC, diffusivity) triples
+    # VOF interface tracking (GfsVariableTracerVOF(Height), src/vof.c)
+    vof_tracers: tuple = ()           # (name, FieldBC) pairs
+    # surface tension (GfsSourceTension, src/tension.c): (vof_name, sigma)
+    tension: tuple = ()
 
     def __post_init__(self):
         if self.p_bc is None:
@@ -163,16 +167,38 @@ def gradient_names(dim):
     return ("Gx", "Gy", "Gz")[:dim]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def ns_step(state: dict, dt, t, cfg: NSConfig) -> dict:
+def tension_sources(state: dict, cfg: NSConfig, t):
+    """Curvature + well-balanced tension face sources from the current VOF
+    fields (reference: GfsVariableCurvature event + tension_coeff)."""
+    if not cfg.tension:
+        return None
+    from ..physics import vof as vofm
+    from ..physics import tension as tens
+
+    grid = cfg.grid
+    srcs = None
+    for name, sigma in cfg.tension:
+        fbc = dict((v[0], v[1]) for v in cfg.vof_tracers)[name]
+        T = state[name]
+        kap = vofm.curvature(T, grid, fbc, t=t)
+        kap = vofm.fill_curvature(kap, None, niter=2)
+        dp = tens.tension_face_sources(T, kap, sigma, grid, fbc, t=t)
+        srcs = dp if srcs is None else [a + b for a, b in zip(srcs, dp)]
+    return srcs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "cstart"))
+def ns_step(state: dict, dt, t, cfg: NSConfig, cstart: int = 0) -> dict:
     """One full time step.  ``state`` keys: U,V(,W), P, Pmac, Gx,Gy(,Gz),
-    tracers."""
+    tracers, VOF tracers.  ``cstart``: rotating first sweep direction for
+    VOF advection (reference: src/vof.c:1648,1721)."""
     grid = cfg.grid
     dim = grid.dim
     names = velocity_names(dim)
     U = [state[n] for n in names]
     gc = cfg.advection.gc
     g_prev = [state[n] for n in gradient_names(dim)] if gc else None
+    fs = tension_sources(state, cfg, t)
 
     # 1. prediction
     uf = predicted_face_velocities(U, grid, cfg, dt, t)
@@ -180,7 +206,8 @@ def ns_step(state: dict, dt, t, cfg: NSConfig) -> dict:
     # 2. MAC projection at dt/2 on Pmac (reference swaps P<->Pmac around it,
     #    src/simulation.c:498-504)
     uf, pmac, gmac, _ = proj.mac_projection(
-        uf, state["Pmac"], grid, cfg.p_bc, dt / 2.0, cfg.projection, t=t)
+        uf, state["Pmac"], grid, cfg.p_bc, dt / 2.0, cfg.projection,
+        face_sources=fs, t=t)
 
     # 3. centred advection + diffusion (momentum rhs includes -dt*g_prev)
     U = velocity_advection_diffusion(U, uf, gmac, g_prev, grid, cfg, dt, t)
@@ -192,7 +219,8 @@ def ns_step(state: dict, dt, t, cfg: NSConfig) -> dict:
     # 4. approximate projection at dt
     uf2 = proj.face_interpolated_velocity(U, grid, list(cfg.u_bcs), t=t)
     uf2, p, g_cell, _ = proj.mac_projection(
-        uf2, state["P"], grid, cfg.p_bc, dt, cfg.approx_projection, t=t)
+        uf2, state["P"], grid, cfg.p_bc, dt, cfg.approx_projection,
+        face_sources=fs, t=t)
     U = [U[c] - dt * g_cell[c] for c in range(dim)]
 
     new = dict(state)
@@ -207,6 +235,11 @@ def ns_step(state: dict, dt, t, cfg: NSConfig) -> dict:
     # 5. tracers with the projected face field (gfs_advance_tracers)
     for tr in cfg.tracers:
         new[tr[0]] = advect_tracer(state[tr[0]], tr, uf2, grid, cfg, dt, t)
+    if cfg.vof_tracers:
+        from ..physics import vof as vofm
+        for name, fbc in cfg.vof_tracers:
+            new[name] = vofm.advect(state[name], uf2, grid, fbc, dt,
+                                    cstart=cstart, t=t)
     return new
 
 

@@ -55,7 +55,8 @@ class Simulation:
         grid = self.cfg.grid
         zeros = jnp.zeros(grid.shape)
         names = list(ns.velocity_names(grid.dim)) + ["P", "Pmac"] + \
-            [tr[0] for tr in self.cfg.tracers]
+            [tr[0] for tr in self.cfg.tracers] + \
+            [tr[0] for tr in self.cfg.vof_tracers]
         if self.cfg.advection.gc:
             names += list(ns.gradient_names(grid.dim))
         for n in names:
@@ -69,8 +70,16 @@ class Simulation:
     def set_timestep(self):
         """Reference: gfs_simulation_set_timestep src/simulation.c:1569."""
         ts = float(ns.timescale(self.state, self.cfg))
-        dt = self.cfg.advection.cfl * ts
+        cfl = self.cfg.advection.cfl
+        if self.cfg.vof_tracers:
+            # VOF sweeps require CFL <= 0.5 (reference: src/vof.c:1654)
+            cfl = min(cfl, 0.45)
+        dt = cfl * ts
         dt = min(dt, self.time.dtmax)
+        # capillary stability (reference: src/tension.c:106-137)
+        for name, sigma in self.cfg.tension:
+            from ..physics.tension import stability_dt
+            dt = min(dt, stability_dt(self.cfg.grid, sigma))
         # snap to the next event time (event.c gfs_event_next + ceil split)
         t = self.time.t
         tnext = min((e.next_time(t) for e in self.events), default=math.inf)
@@ -114,7 +123,8 @@ class Simulation:
             self.do_events()
             if self.stop:
                 break
-            self.state = ns.ns_step(self.state, self.dt, self.time.t, cfg)
+            self.state = ns.ns_step(self.state, self.dt, self.time.t, cfg,
+                                    cstart=self.time.i % cfg.grid.dim)
             self.time.t = self._tnext
             self.time.i += 1
             self.set_timestep()
@@ -157,8 +167,8 @@ class Simulation:
                 x = (pt[a] - grid.origin[a]) / grid.h + 0.5
                 i0 = int(np.floor(x))
                 fr = x - i0
-                i0c = min(max(i0, 0), grid.n + 1)
-                i1c = min(max(i0 + 1, 0), grid.n + 1)
+                i0c = min(max(i0, 0), grid.shape[a] + 1)
+                i1c = min(max(i0 + 1, 0), grid.shape[a] + 1)
                 idx.append((i0c, i1c))
                 w.append(fr)
             val = 0.0

@@ -1,0 +1,493 @@
+"""Volume-of-fluid interface tracking with PLIC reconstruction (2D).
+
+TPU-native rebuild of the reference's VOF machinery
+(reference: src/vof.c — line geometry gfs_line_area:40 / gfs_line_alpha:93,
+rectangle fractions (gfs_rectangle_fraction), MYC normals src/myc2d.h:6-66
+(Aulisa et al. 2007 mixed-Youngs-centered scheme), direction-split
+geometric advection with dilation compensation gfs_tracer_vof_advection
+src/vof.c:1644-1737 + vof_flux:1476-1577, height-function curvature
+curvature_along_direction src/vof.c:2068-2200 / gfs_height_curvature:2548).
+
+Everything is whole-array jnp with `where` ladders instead of branches —
+the branch-heavy per-cell C becomes data-parallel masks (SURVEY.md §7
+stage 5).
+
+Conventions (matching the reference):
+* f = 1 in the fluid phase, 0 outside;
+* the PLIC normal m points OUT of the fluid; the fluid region of the unit
+  cell is {x : m.x <= alpha} with the normalization |mx| + |my| = 1;
+* curvature kappa > 0 for a convex fluid body (droplet), the divergence of
+  the outward normal.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.grid import Grid
+from ..core import bc as bcs
+
+EPS = 1e-30
+FULL_TOL = 1e-10   # reference: f_over_dV clamping, src/vof.c:1616
+
+
+# ---------------------------------------------------------------------------
+# PLIC line geometry (closed forms; reference src/vof.c:40-230)
+# ---------------------------------------------------------------------------
+
+def line_area_positive(m1, m2, alpha):
+    """Fraction of the unit square below m1 x + m2 y = alpha, for
+    m1, m2 >= 0, m1 + m2 = 1.  Reference: gfs_line_area src/vof.c:40."""
+    a = jnp.clip(alpha, 0.0, 1.0)
+    m1s = jnp.maximum(m1, EPS)
+    m2s = jnp.maximum(m2, EPS)
+    v = (a * a
+         - jnp.maximum(a - m1, 0.0) ** 2
+         - jnp.maximum(a - m2, 0.0) ** 2) / (2.0 * m1s * m2s)
+    # degenerate (one-component) normals
+    v = jnp.where(m1 < EPS, jnp.clip(a / jnp.maximum(m2, EPS), 0.0, 1.0), v)
+    v = jnp.where(m2 < EPS, jnp.clip(a / m1s, 0.0, 1.0), v)
+    return jnp.clip(v, 0.0, 1.0)
+
+
+def line_alpha_positive(m1, m2, c):
+    """Inverse of line_area_positive: alpha such that the fraction is c.
+    Reference: gfs_line_alpha src/vof.c:93."""
+    c = jnp.clip(c, 0.0, 1.0)
+    # sort so mlo <= mhi
+    mlo = jnp.minimum(m1, m2)
+    mhi = jnp.maximum(m1, m2)
+    mlo = jnp.clip(mlo, 0.0, None)
+    mhi = jnp.maximum(mhi, EPS)
+    # mirror c > 1/2
+    cm = jnp.minimum(c, 1.0 - c)
+    c1 = mlo / (2.0 * mhi)             # triangle regime threshold
+    alpha_tri = jnp.sqrt(jnp.maximum(2.0 * cm * mlo * mhi, 0.0))
+    alpha_band = cm * mhi + mlo / 2.0
+    a = jnp.where(cm <= c1, alpha_tri, alpha_band)
+    a = jnp.where(c > 0.5, 1.0 - a, a)
+    # exact full/empty
+    a = jnp.where(c <= 0.0, 0.0, jnp.where(c >= 1.0, 1.0, a))
+    return a
+
+
+def rectangle_fraction(m1, m2, alpha, x0, x1, y0, y1):
+    """Fluid fraction of the sub-rectangle [x0,x1]x[y0,y1] of the unit cell
+    cut by {m.x <= alpha}, m positive-normalized.
+    Reference: gfs_rectangle_fraction (src/vof.c)."""
+    dx = jnp.maximum(x1 - x0, EPS)
+    dy = jnp.maximum(y1 - y0, EPS)
+    a = alpha - m1 * x0 - m2 * y0
+    n1 = m1 * dx
+    n2 = m2 * dy
+    norm = jnp.maximum(n1 + n2, EPS)
+    return line_area_positive(n1 / norm, n2 / norm, a / norm)
+
+
+def positive_normal(mx, my, alpha):
+    """Map arbitrary-sign (m, alpha) for fluid {m.x <= alpha} (cell coords
+    in [0,1]^2) onto positive m via reflections.  Returns (m1, m2, alpha')."""
+    a = alpha + jnp.where(mx < 0.0, -mx, 0.0) + jnp.where(my < 0.0, -my, 0.0)
+    return jnp.abs(mx), jnp.abs(my), a
+
+
+# ---------------------------------------------------------------------------
+# Interface normals: MYC (mixed Youngs-centered)
+# ---------------------------------------------------------------------------
+
+def mycs_normals(f_pad: jnp.ndarray):
+    """Per-cell interface normal, |mx|+|my| = 1, pointing OUT of the fluid.
+
+    ``f_pad`` must be padded by 1 on both axes; output has the interior
+    shape.  Vectorized form of the Aulisa et al. MYC scheme
+    (reference: src/myc2d.h:6-66 mycs)."""
+    def sh(i, j):
+        n0, n1 = f_pad.shape
+        return f_pad[i:n0 - 2 + i, j:n1 - 2 + j]
+
+    c = {(i - 1, j - 1): sh(i, j) for i in range(3) for j in range(3)}
+    c_t = c[-1, 1] + c[0, 1] + c[1, 1]
+    c_b = c[-1, -1] + c[0, -1] + c[1, -1]
+    c_r = c[1, -1] + c[1, 0] + c[1, 1]
+    c_l = c[-1, -1] + c[-1, 0] + c[-1, 1]
+
+    mx0 = 0.5 * (c_l - c_r)
+    my0 = 0.5 * (c_b - c_t)
+    use_y = jnp.abs(mx0) <= jnp.abs(my0)   # interface mostly horizontal
+    mx0c = jnp.where(use_y, mx0, jnp.sign(mx0) + (mx0 == 0.0))
+    my0c = jnp.where(use_y, jnp.sign(my0) + (my0 == 0.0), my0)
+
+    # Youngs normal
+    mx1 = (c[-1, -1] + 2.0 * c[-1, 0] + c[-1, 1]) - \
+          (c[1, -1] + 2.0 * c[1, 0] + c[1, 1])
+    my1 = (c[-1, -1] + 2.0 * c[0, -1] + c[1, -1]) - \
+          (c[-1, 1] + 2.0 * c[0, 1] + c[1, 1])
+
+    # pick Youngs when its slope estimate beats the central one
+    slope_c = jnp.where(use_y, jnp.abs(mx0), jnp.abs(my0))
+    slope_y = jnp.where(use_y,
+                        jnp.abs(mx1) / (jnp.abs(my1) + EPS),
+                        jnp.abs(my1) / (jnp.abs(mx1) + EPS))
+    take_youngs = slope_y > slope_c
+    mx = jnp.where(take_youngs, mx1, mx0c)
+    my = jnp.where(take_youngs, my1, my0c)
+    norm = jnp.abs(mx) + jnp.abs(my) + EPS
+    return mx / norm, my / norm
+
+
+def reconstruct_alpha(f: jnp.ndarray, mx: jnp.ndarray, my: jnp.ndarray):
+    """Per-cell alpha of the PLIC line {m.x <= alpha} reproducing fraction f
+    (in positive-normal frame, mapped back to the signed frame).
+    Reference: gfs_vof_plane / vof update, src/vof.c:962."""
+    m1, m2 = jnp.abs(mx), jnp.abs(my)
+    a_pos = line_alpha_positive(m1, m2, f)
+    # map back: alpha_signed = a_pos - (negative parts)
+    a = a_pos - jnp.where(mx < 0.0, -mx, 0.0) - jnp.where(my < 0.0, -my, 0.0)
+    return a
+
+
+# ---------------------------------------------------------------------------
+# Direction-split geometric advection
+# ---------------------------------------------------------------------------
+
+def is_full(f):
+    return (f <= FULL_TOL) | (f >= 1.0 - FULL_TOL)
+
+
+def _face_flux_1d(f_pad, mx_pad, my_pad, un, axis):
+    """Geometric fluid flux (fraction * CFL) through each face of ``axis``.
+
+    Inputs on the 1-ghost padded cell layout; ``un`` = u_face dt / h with
+    face shape.  Reference: vof_flux src/vof.c:1476-1577 (single-band
+    variant; the 4-band sub-face velocity refinement is an accuracy
+    refinement applied at interfacial faces in the reference)."""
+    n = f_pad.shape[axis]
+    lo = [slice(None)] * f_pad.ndim
+    lo[axis] = slice(0, n - 1)
+    hi = [slice(None)] * f_pad.ndim
+    hi[axis] = slice(1, n)
+    crop = [slice(1, s - 1) for s in f_pad.shape]
+    crop[axis] = slice(None)
+
+    def cr(a):
+        return a[tuple(crop)]
+
+    fL, fR = cr(f_pad)[tuple(lo)], cr(f_pad)[tuple(hi)]
+    mxL, mxR = cr(mx_pad)[tuple(lo)], cr(mx_pad)[tuple(hi)]
+    myL, myR = cr(my_pad)[tuple(lo)], cr(my_pad)[tuple(hi)]
+
+    # donor cell and upwind slab in donor-local coordinates
+    donor_f = jnp.where(un > 0.0, fL, fR)
+    donor_mx = jnp.where(un > 0.0, mxL, mxR)
+    donor_my = jnp.where(un > 0.0, myL, myR)
+    a = reconstruct_alpha(donor_f, donor_mx, donor_my)
+    m1, m2, ap = positive_normal(donor_mx, donor_my, a)
+    cfl = jnp.abs(un)
+    # slab along `axis`: [1-cfl, 1] if un>0 (right edge of the left donor),
+    # [0, cfl] if un<0 (left edge of the right donor) — but in the
+    # positive-normal frame reflections already folded signs into alpha,
+    # EXCEPT the slab position must be reflected when m was negative.
+    # Work instead in the original frame by reflecting the slab:
+    # fraction of slab S of donor = rectangle_fraction with the
+    # positive-frame slab coordinates obtained by reflecting S when the
+    # corresponding m component was negative.
+    if axis == 0:
+        s0 = jnp.where(un > 0.0, 1.0 - cfl, 0.0)
+        s1 = jnp.where(un > 0.0, 1.0, cfl)
+        neg = donor_mx < 0.0
+        r0 = jnp.where(neg, 1.0 - s1, s0)
+        r1 = jnp.where(neg, 1.0 - s0, s1)
+        frac = rectangle_fraction(m1, m2, ap, r0, r1, 0.0, 1.0)
+    else:
+        s0 = jnp.where(un > 0.0, 1.0 - cfl, 0.0)
+        s1 = jnp.where(un > 0.0, 1.0, cfl)
+        neg = donor_my < 0.0
+        r0 = jnp.where(neg, 1.0 - s1, s0)
+        r1 = jnp.where(neg, 1.0 - s0, s1)
+        frac = rectangle_fraction(m1, m2, ap, 0.0, 1.0, r0, r1)
+    frac = jnp.where(is_full(donor_f), jnp.clip(donor_f, 0.0, 1.0), frac)
+    flux = frac * un                    # signed fraction-flux
+    return flux
+
+
+def normals(f: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC, t=0.0):
+    f_pad = bcs.apply_bc(f, grid, fbc, 1, t=t)
+    return mycs_normals(f_pad)
+
+
+def advect(f: jnp.ndarray, u_face: list, grid: Grid, fbc: bcs.FieldBC,
+           dt, cstart: int = 0, t=0.0):
+    """One full VOF advection step: direction-split sweeps starting at
+    component ``cstart`` (rotated by the caller each step, reference:
+    src/vof.c:1648,1721), with the dilation field dV carried across sweeps
+    (initialize_dV/f_times_dV/f_over_dV, src/vof.c:1577-1640).
+
+    Requires per-sweep CFL = u dt/h <= 0.5 (reference: src/vof.c:1654).
+    """
+    dim = grid.dim
+    dV = jnp.ones_like(f)
+    for k in range(dim):
+        c = (cstart + k) % dim
+        f_pad = bcs.apply_bc(f, grid, fbc, 1, t=t)
+        pad2 = bcs.apply_bc(f, grid, fbc, 2, t=t)
+        mx, my = mycs_normals(pad2)     # on the +1 ring layout
+        # mx,my have ring shape (n+2); f_pad too
+        un = u_face[c] * dt / grid.h
+        flux = _face_flux_1d(f_pad, mx, my, un, c)
+        n = flux.shape[c]
+        hi = [slice(None)] * dim
+        hi[c] = slice(1, n)
+        lo = [slice(None)] * dim
+        lo[c] = slice(0, n - 1)
+        fv = -(flux[tuple(hi)] - flux[tuple(lo)])
+        volflux = -(un[tuple(hi)] - un[tuple(lo)])
+        f = f * dV + fv
+        dV = dV + volflux
+        f = f / jnp.maximum(dV, EPS)
+        f = jnp.where(f < FULL_TOL, 0.0, jnp.where(f > 1.0 - FULL_TOL, 1.0, f))
+    return f
+
+
+# ---------------------------------------------------------------------------
+# Height-function curvature
+# ---------------------------------------------------------------------------
+
+def curvature(f: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC, t=0.0):
+    """Interface curvature on interface cells (NaN elsewhere).
+
+    Height-function method: 7-cell column sums of f along the dominant
+    normal direction, kappa = -H'' / (1 + H'^2)^{3/2} in physical units
+    (reference: curvature_along_direction src/vof.c:2068-2200,
+    gfs_height_curvature:2548; the parabola-fit fallback :2201-2493 is
+    replaced by neighbor averaging, see fill_curvature)."""
+    dim = grid.dim
+    assert dim == 2, "3D curvature lands with the 3D VOF pass"
+    R = 3  # column half-height
+    P = R + 1
+    f_pad = bcs.apply_bc(f, grid, fbc, P, t=t)
+    n0, n1 = grid.shape
+
+    def sub(di, dj):
+        """(n0, n1) block of f_pad offset by (di, dj) cells."""
+        return f_pad[P + di:P + di + n0, P + dj:P + dj + n1]
+
+    mx, my = mycs_normals(bcs.apply_bc(f, grid, fbc, 1, t=t))
+    interface = (f > FULL_TOL) & (f < 1.0 - FULL_TOL)
+
+    kappas = []
+    valids = []
+    for d in range(2):
+        # heights: column sums of f over 2R+1 cells along axis d, for the
+        # centre column and its two transverse neighbours
+        if d == 1:
+            def col(dtrans):
+                return sum(sub(dtrans, k) for k in range(-R, R + 1))
+            top, bot = sub(0, R), sub(0, -R)
+        else:
+            def col(dtrans):
+                return sum(sub(k, dtrans) for k in range(-R, R + 1))
+            top, bot = sub(R, 0), sub(-R, 0)
+        Hm, H0, Hp = col(-1), col(0), col(1)
+        Hx = 0.5 * (Hp - Hm)
+        Hxx = Hp - 2.0 * H0 + Hm
+        # orientation-free: heights counted along +d; with the fluid on the
+        # +d side H -> C - H, and the formula is invariant under that map
+        # combined with the outward-normal flip.
+        kap = -Hxx / grid.h / jnp.power(1.0 + Hx * Hx, 1.5)
+        # validity: all three columns must straddle the interface (pure and
+        # opposite phases at both ends) and the height slope must be mild —
+        # at |slope| ~ 1 the short columns see a locally straight interface
+        # and the curvature signal vanishes (the reference falls back to a
+        # parabola fit there, src/vof.c:2201-2493,2510)
+        ends_ok = is_full(top) & is_full(bot) & (jnp.abs(top - bot) > 0.5)
+        sane = (H0 > 0.0) & (H0 < 2.0 * R + 1.0) & (jnp.abs(Hx) <= 1.0)
+        kappas.append(kap)
+        valids.append(ends_ok & sane)
+
+    # choose the dominant-normal direction's estimate
+    use_y = jnp.abs(my) >= jnp.abs(mx)   # mostly-horizontal interface
+    kap = jnp.where(use_y & valids[1], kappas[1],
+                    jnp.where(valids[0], kappas[0],
+                              jnp.where(valids[1], kappas[1], jnp.nan)))
+    # parabola-fit fallback where no height column was usable
+    kap_fit = parabola_curvature(f, grid, fbc, mx, my, t=t)
+    kap = jnp.where(jnp.isfinite(kap), kap, kap_fit)
+    return jnp.where(interface, kap, jnp.nan)
+
+
+def interface_point(f, mx, my):
+    """A point on each cell's PLIC line, in cell-local coordinates centred
+    at the cell centre: the projection of the centre onto the line.
+    (Reference uses the facet centroid, gfs_vof_facet src/vof.c:1833;
+    the centre projection lies on the same line.)"""
+    a = reconstruct_alpha(f, mx, my)
+    # line: m.(x+0.5) = a with x in [-0.5,0.5]^2 cell-local
+    d = a - 0.5 * (mx + my)
+    m2 = mx * mx + my * my + EPS
+    return mx * d / m2, my * d / m2
+
+
+def parabola_curvature(f: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
+                       mx: jnp.ndarray, my: jnp.ndarray, t=0.0):
+    """Least-squares parabola fit through neighbouring interface points in
+    the local normal frame; kappa = -2 a2 / (1 + a1^2)^{3/2}.
+
+    Reference: ParabolaFit src/vof.c:2201-2493 (fit in the rotated frame
+    of the cell normal using interface fragments of the 5x5 stencil).
+    """
+    W = 2  # 5x5 window
+    f_all = bcs.apply_bc(f, grid, fbc, W, t=t)      # (n+2W) layout
+    mcx, mcy = mycs_normals(bcs.apply_bc(f, grid, fbc, W + 1, t=t))
+    n0, n1 = grid.shape
+
+    def sub(a, di, dj, P=W):
+        return a[P + di:P + di + n0, P + dj:P + dj + n1]
+
+    # interface points of every padded cell (cell-local coords)
+    px_all, py_all = interface_point(f_all, mcx, mcy)
+    ifc_all = (f_all > FULL_TOL) & (f_all < 1.0 - FULL_TOL)
+
+    # local frame of the centre cell
+    mag = jnp.sqrt(mx * mx + my * my) + EPS
+    nx, ny = mx / mag, my / mag
+    tx, ty = -ny, nx
+    pcx, pcy = interface_point(f, mx, my)
+
+    # accumulate weighted normal equations for eta = a0 + a1 xi + a2 xi^2
+    S = {k: 0.0 for k in ("w", "x", "x2", "x3", "x4", "y", "xy", "x2y")}
+    for di in range(-W, W + 1):
+        for dj in range(-W, W + 1):
+            # neighbour interface point in global cell units
+            qx = sub(px_all, di, dj) + di
+            qy = sub(py_all, di, dj) + dj
+            wgt = sub(ifc_all, di, dj).astype(f.dtype)
+            rx = qx - pcx
+            ry = qy - pcy
+            xi = rx * tx + ry * ty
+            eta = rx * nx + ry * ny
+            S["w"] += wgt
+            S["x"] += wgt * xi
+            S["x2"] += wgt * xi * xi
+            S["x3"] += wgt * xi ** 3
+            S["x4"] += wgt * xi ** 4
+            S["y"] += wgt * eta
+            S["xy"] += wgt * xi * eta
+            S["x2y"] += wgt * xi * xi * eta
+    # solve the 3x3 normal equations by Cramer
+    A = [[S["w"], S["x"], S["x2"]],
+         [S["x"], S["x2"], S["x3"]],
+         [S["x2"], S["x3"], S["x4"]]]
+    b = [S["y"], S["xy"], S["x2y"]]
+
+    def det3(M):
+        return (M[0][0] * (M[1][1] * M[2][2] - M[1][2] * M[2][1])
+                - M[0][1] * (M[1][0] * M[2][2] - M[1][2] * M[2][0])
+                + M[0][2] * (M[1][0] * M[2][1] - M[1][1] * M[2][0]))
+
+    D = det3(A)
+    Dsafe = jnp.where(jnp.abs(D) < 1e-12, 1.0, D)
+    a1 = det3([[A[0][0], b[0], A[0][2]],
+               [A[1][0], b[1], A[1][2]],
+               [A[2][0], b[2], A[2][2]]]) / Dsafe
+    a2 = det3([[A[0][0], A[0][1], b[0]],
+               [A[1][0], A[1][1], b[1]],
+               [A[2][0], A[2][1], b[2]]]) / Dsafe
+    kap = -2.0 * a2 / grid.h / jnp.power(1.0 + a1 * a1, 1.5)
+    ok = (S["w"] >= 4.0) & (jnp.abs(D) >= 1e-12)
+    return jnp.where(ok, kap, jnp.nan)
+
+
+def fill_curvature(kap: jnp.ndarray, interface_band: jnp.ndarray,
+                   niter: int = 4):
+    """Propagate defined curvature to neighbouring cells by averaging
+    (replaces the reference's interpolation from interface fragments,
+    src/tension.c:390-760 GfsVariableCurvature diffusion)."""
+    for _ in range(niter):
+        ok = jnp.isfinite(kap)
+        k0 = jnp.where(ok, kap, 0.0)
+        pad_k = jnp.pad(k0, 1)
+        pad_ok = jnp.pad(ok, 1).astype(kap.dtype)
+        s = (pad_k[:-2, 1:-1] + pad_k[2:, 1:-1] +
+             pad_k[1:-1, :-2] + pad_k[1:-1, 2:])
+        w = (pad_ok[:-2, 1:-1] + pad_ok[2:, 1:-1] +
+             pad_ok[1:-1, :-2] + pad_ok[1:-1, 2:])
+        avg = s / jnp.maximum(w, 1.0)
+        kap = jnp.where(ok, kap, jnp.where(w > 0, avg, jnp.nan))
+    return kap
+
+
+# ---------------------------------------------------------------------------
+# Fraction initialization from an implicit function
+# ---------------------------------------------------------------------------
+
+def fraction_from_levelset(grid: Grid, phi):
+    """Volume fraction of {phi > 0} by per-cell linearization of the level
+    set sampled at cell vertices — exact for linear phi, O(h^2 kappa)
+    smooth error for curved interfaces.
+
+    Reference: gfs_vof_init / GfsInitFraction intersect the implicit
+    surface exactly (src/vof.c gfs_vof_init, src/solid.c); the vertex
+    linearization is its dense-array equivalent (same approach as the
+    reference's fraction-from-levelset helpers) and, unlike pointwise
+    subsampling, produces smooth fractions usable for height-function
+    curvature.
+    """
+    assert grid.dim == 2
+    xv, yv = [jnp.asarray(c) for c in grid.face_centers(0)]  # placeholder
+    # vertices: (n+1, n+1)
+    import numpy as np
+
+    ax = np.asarray(grid.axis_faces(0))
+    ay = np.asarray(grid.axis_faces(1))
+    X, Y = np.meshgrid(ax, ay, indexing="ij")
+    pv = phi(jnp.asarray(X), jnp.asarray(Y))
+    p00 = pv[:-1, :-1]
+    p10 = pv[1:, :-1]
+    p01 = pv[:-1, 1:]
+    p11 = pv[1:, 1:]
+    # gradient (per cell edge units) and centre value from the vertices
+    gx = 0.5 * ((p10 + p11) - (p00 + p01))
+    gy = 0.5 * ((p01 + p11) - (p00 + p10))
+    pc = 0.25 * (p00 + p01 + p10 + p11)
+    # linearize phi(u) ~ pc + g.(u - 1/2) on the unit cell; fluid {phi > 0}
+    # becomes {m.u <= alpha} with m = -g, alpha = pc + (mx+my)/2
+    mx = -gx
+    my = -gy
+    alpha = pc + 0.5 * (mx + my)
+    norm = jnp.abs(mx) + jnp.abs(my) + EPS
+    m1, m2, a = positive_normal(mx / norm, my / norm, alpha / norm)
+    f = line_area_positive(m1, m2, a)
+    allpos = (p00 > 0) & (p01 > 0) & (p10 > 0) & (p11 > 0)
+    allneg = (p00 <= 0) & (p01 <= 0) & (p10 <= 0) & (p11 <= 0)
+    return jnp.where(allpos, 1.0, jnp.where(allneg, 0.0, f))
+
+
+def init_fraction(grid: Grid, phi, subsample: int = 4):
+    """Volume fraction of {phi > 0} per cell by sub-cell sampling.
+
+    Reference: GfsInitFraction / gfs_domain_init_fraction (src/event.c,
+    src/vof.c gfs_vof_init) — the reference intersects exactly with the
+    implicit surface; sub-sampling at ``subsample``^dim points converges to
+    the same fractions at O((h/subsample)^2).
+    """
+    import numpy as np
+
+    n = subsample
+    offs = (np.arange(n) + 0.5) / n - 0.5
+    f = 0.0
+    if grid.dim == 2:
+        x, y = grid.centers
+        for ox in offs:
+            for oy in offs:
+                f = f + (phi(x + ox * grid.h, y + oy * grid.h) > 0.0)
+        return jnp.asarray(f) / (n * n)
+    x, y, z = grid.centers
+    for ox in offs:
+        for oy in offs:
+            for oz in offs:
+                f = f + (phi(x + ox * grid.h, y + oy * grid.h,
+                             z + oz * grid.h) > 0.0)
+    return jnp.asarray(f) / (n ** 3)

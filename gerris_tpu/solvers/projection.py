@@ -61,13 +61,22 @@ def cell_gradient_from_faces(gf: list, grid: Grid) -> list:
 def mac_projection(u_face: list, p: jnp.ndarray, grid: Grid,
                    p_bc: bcs.FieldBC, dt,
                    params: poisson.MultilevelParams,
-                   alpha=None, div_source=None, t: float = 0.0):
+                   alpha=None, div_source=None, face_sources=None,
+                   t: float = 0.0):
     """Project the MAC field. Returns (u_face', p, g_cell, stats).
 
     ``div_source``: optional extra divergence (the reference's
     divergence_hook / volume sources, src/timestep.c:396-402).
+    ``face_sources``: optional per-axis face force/density arrays dp
+    (e.g. the well-balanced surface-tension term alpha*sigma*kappa*grad(c),
+    reference: gfs_velocity_face_sources src/timestep.c:245-290 +
+    tension_coeff src/poisson.c:903-996): u_face += dt*dp before the solve,
+    and g_cell returns the NET gradient (alpha grad p - dp) so the momentum
+    update sees the balanced force.
     Reference: src/timestep.c:356-432.
     """
+    if face_sources is not None:
+        u_face = [u_face[c] + dt * face_sources[c] for c in range(grid.dim)]
     div = divergence(u_face, grid) / dt
     if div_source is not None:
         div = div + div_source
@@ -79,6 +88,8 @@ def mac_projection(u_face: list, p: jnp.ndarray, grid: Grid,
     p, stats = poisson.solve(p, div, grid, p_bc, params, alpha=alpha, t=t)
     gf = face_gradients(p, grid, p_bc, alpha, t=t)
     u_face = [u_face[c] - dt * gf[c] for c in range(grid.dim)]
+    if face_sources is not None:
+        gf = [gf[c] - face_sources[c] for c in range(grid.dim)]
     g_cell = cell_gradient_from_faces(gf, grid)
     return u_face, p, g_cell, stats
 
