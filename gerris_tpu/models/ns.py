@@ -70,6 +70,9 @@ class NSConfig:
     vof_tracers: tuple = ()           # (name, FieldBC) pairs
     # surface tension (GfsSourceTension, src/tension.c): (vof_name, sigma)
     tension: tuple = ()
+    # two-way particle coupling: read reaction-force fields PFx/PFy(/PFz)
+    # from the state (GfsSourceParticulate, modules/particulatecommon.c:2089)
+    particle_coupling: bool = False
 
     def __post_init__(self):
         if self.p_bc is None:
@@ -210,7 +213,11 @@ def ns_step(state: dict, dt, t, cfg: NSConfig, cstart: int = 0) -> dict:
         face_sources=fs, t=t)
 
     # 3. centred advection + diffusion (momentum rhs includes -dt*g_prev)
-    U = velocity_advection_diffusion(U, uf, gmac, g_prev, grid, cfg, dt, t)
+    sources = None
+    if cfg.particle_coupling:
+        sources = [state["PF" + ax] for ax in ("x", "y", "z")[:dim]]
+    U = velocity_advection_diffusion(U, uf, gmac, g_prev, grid, cfg, dt, t,
+                                     sources=sources)
     if gc:
         # remove the explicit gradient again before re-projecting
         # (gfs_correct_centered_velocities with -dt, src/simulation.c:520)

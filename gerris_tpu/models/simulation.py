@@ -40,11 +40,14 @@ class Simulation:
         sim.run()
     """
 
-    def __init__(self, cfg: ns.NSConfig, time: Time = None, events=None):
+    def __init__(self, cfg: ns.NSConfig, time: Time = None, events=None,
+                 particle_systems=None):
         self.cfg = cfg
         self.time = time or Time()
         self.events = list(events or [])
+        self.particle_systems = list(particle_systems or [])
         self.state = {}
+        self.prev_state = None
         self.diagnostics = {}
         self.stop = False
         self.dt = None
@@ -59,6 +62,8 @@ class Simulation:
             [tr[0] for tr in self.cfg.vof_tracers]
         if self.cfg.advection.gc:
             names += list(ns.gradient_names(grid.dim))
+        if self.cfg.particle_coupling:
+            names += ["PF" + ax for ax in ("x", "y", "z")[:grid.dim]]
         for n in names:
             v = fields.get(n, zeros)
             if callable(v):
@@ -123,6 +128,13 @@ class Simulation:
             self.do_events()
             if self.stop:
                 break
+            # particle/bubble systems advance in the event phase with the
+            # current fields (reference: GfsParticleList event,
+            # modules/particulatecommon.c:955-1010)
+            for psys in self.particle_systems:
+                psys.step(self)
+            self.prev_state = {n: self.state[n]
+                               for n in ns.velocity_names(cfg.grid.dim)}
             self.state = ns.ns_step(self.state, self.dt, self.time.t, cfg,
                                     cstart=self.time.i % cfg.grid.dim)
             self.time.t = self._tnext

@@ -28,8 +28,13 @@ def center_gradient(u_pad: jnp.ndarray, grid: Grid, axis: int) -> jnp.ndarray:
     Reference: src/fluid.c:434 gfs_center_gradient (centred difference /2h).
     Returns an array of the interior shape.
     """
-    lo = _crop_other(u_pad, axis)
-    return (shift(lo, axis, 2)[_int(lo, axis, 2)] - lo[_int(lo, axis, 0)]) / (2.0 * grid.h)
+    a = _crop_other(u_pad, axis)
+    n = a.shape[axis]
+    hi = [slice(None)] * a.ndim
+    hi[axis] = slice(2, n)
+    lo = [slice(None)] * a.ndim
+    lo[axis] = slice(0, n - 2)
+    return (a[tuple(hi)] - a[tuple(lo)]) / (2.0 * grid.h)
 
 
 def _crop_other(a, axis):

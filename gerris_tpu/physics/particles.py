@@ -1,0 +1,322 @@
+"""Lagrangian point-particle model (the fork's focus).
+
+TPU-native rebuild of the reference's particulate module
+(reference: modules/particulatecommon.c — GfsParticulate state
+particulatecommon.h:35-41, force models compute_inertial_force:255,
+compute_addedmass_force:331, compute_lift_force:423,
+compute_drag_force:519, compute_buoyancy_force:617, leapfrog update
+gfs_particulate_event:769-830, two-way coupling GfsParticulateField:1929
+and GfsSourceParticulate kernel smoothing:2089-2177, MPI migration
+:3058-3397).
+
+Design (SURVEY.md §7 stage 7): particles are a fixed-capacity
+struct-of-arrays pytree with an alive mask; fluid state at particles is a
+vectorized bilinear gather; two-way coupling is a kernel-weighted
+scatter-add.  No migration machinery is needed — arrays are global and the
+mesh partitioning handles locality (SURVEY.md §2.2 particle row).
+
+Deviation from the reference, by design: compute_addedmass_force
+(particulatecommon.c:331-396) permanently increments particulate->mass by
+cm*rho_f*vol on EVERY evaluation, growing the mass without bound across
+steps; here the added-mass contribution is the standard effective inertia
+m_eff = m + cm*rho_f*vol applied per step.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.grid import Grid
+from ..core import bc as bcs
+
+
+@dataclasses.dataclass(frozen=True)
+class ParticleConfig:
+    """Force selection mirrors the .gfs force-object list
+    (e.g. 'GfsParticleList { ... } { ForceDrag ForceLift ForceBuoy }')."""
+    capacity: int
+    forces: tuple = ("drag", "lift", "buoy", "inertial", "added_mass")
+    cd: Optional[float] = None       # None = Re-dependent law (ref default)
+    cl: float = 0.5                  # lift coefficient default (ref :468)
+    cm: float = 0.5                  # added-mass coefficient default (ref :357)
+    gravity: tuple = (0.0, 0.0, 0.0)
+    fluid_rho: float = 1.0
+    two_way: bool = False
+    rkernel: float = 0.0             # Gaussian smoothing radius (0 = bilinear)
+    kernel_cells: int = 3            # static half-width of the deposit stencil
+
+
+def make_particles(capacity: int, dim: int, pos=None, vel=None, vol=None,
+                   mass=None, n: int = 0, dtype=jnp.float64):
+    """Fixed-capacity particle state pytree with alive mask."""
+    def full(src, shape, fill=0.0):
+        out = jnp.full(shape, fill, dtype=dtype)
+        if src is not None:
+            src = jnp.asarray(src, dtype=dtype)
+            out = out.at[: src.shape[0]].set(src)
+        return out
+
+    npart = n if pos is None else jnp.asarray(pos).shape[0]
+    alive = jnp.arange(capacity) < npart
+    return {
+        "pos": full(pos, (capacity, dim)),
+        "vel": full(vel, (capacity, dim)),
+        "vol": full(vol, (capacity,), 1e-12),
+        "mass": full(mass, (capacity,), 1e-12),
+        "alive": alive,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Fluid state at particle positions
+# ---------------------------------------------------------------------------
+
+def interpolate_at(field: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
+                   pos: jnp.ndarray, t=0.0) -> jnp.ndarray:
+    """Bilinear interpolation of a cell field at particle positions
+    (reference: gfs_interpolate src/fluid.c:2697 used by every force
+    model), BC-ghost padded so near-boundary particles are well-defined."""
+    f = bcs.apply_bc(field, grid, fbc, 1, t=t)
+    dim = grid.dim
+    idx0 = []
+    fr = []
+    for a in range(dim):
+        x = (pos[:, a] - grid.origin[a]) / grid.h + 0.5
+        i0 = jnp.floor(x).astype(jnp.int32)
+        i0 = jnp.clip(i0, 0, grid.shape[a])
+        idx0.append(i0)
+        fr.append(x - i0)
+    out = 0.0
+    for corner in range(2 ** dim):
+        w = 1.0
+        ii = []
+        for a in range(dim):
+            b = (corner >> a) & 1
+            w = w * (fr[a] if b else (1.0 - fr[a]))
+            ii.append(jnp.clip(idx0[a] + b, 0, grid.shape[a] + 1))
+        out = out + w * f[tuple(ii)]
+    return out
+
+
+def vorticity_field(U: list, grid: Grid, u_bcs: list, t=0.0):
+    """Cell-centred vorticity (2D: scalar w_z; 3D: 3 components).
+    Reference: gfs_vorticity / vorticity_vector
+    (src/fluid.c, modules/particulatecommon.c:115-167)."""
+    from ..ops.stencils import center_gradient
+
+    pads = [bcs.apply_bc(U[c], grid, u_bcs[c], 1, t=t) for c in range(grid.dim)]
+    if grid.dim == 2:
+        return center_gradient(pads[1], grid, 0) - center_gradient(pads[0], grid, 1)
+    wx = center_gradient(pads[2], grid, 1) - center_gradient(pads[1], grid, 2)
+    wy = center_gradient(pads[0], grid, 2) - center_gradient(pads[2], grid, 0)
+    wz = center_gradient(pads[1], grid, 0) - center_gradient(pads[0], grid, 1)
+    return wx, wy, wz
+
+
+# ---------------------------------------------------------------------------
+# Forces (force density per unit particle volume; total = density * vol,
+# reference: compute_forces particulatecommon.c:737-751)
+# ---------------------------------------------------------------------------
+
+def particle_diameter(vol):
+    return 2.0 * jnp.power(3.0 * vol / (4.0 * math.pi), 1.0 / 3.0)
+
+
+def compute_forces(p: dict, u_at_p, uold_at_p, conv_at_p, vort_at_p,
+                   cfg: ParticleConfig, nu: float, dt):
+    """Vectorized sum of the selected force models.  Returns
+    (force (N,d), m_eff (N,)).  Formula citations per model in the module
+    docstring."""
+    dim = u_at_p.shape[1]
+    rho_f = cfg.fluid_rho
+    urel = u_at_p - p["vel"]
+    norm_urel = jnp.sqrt(jnp.sum(urel * urel, axis=1))
+    dia = particle_diameter(p["vol"])
+    visc = nu if nu > 0.0 else 1e-3  # ref fallback, particulatecommon.c:373
+    Re = norm_urel * dia * rho_f / visc
+
+    force = jnp.zeros_like(u_at_p)
+    inertial = None
+    if "inertial" in cfg.forces or "added_mass" in cfg.forces:
+        # rho_f * Du/Dt = rho_f ((u - u_old)/dt + (u.grad)u)   (ref :255-303)
+        inertial = rho_f * ((u_at_p - uold_at_p) /
+                            jnp.maximum(dt, 1e-300) + conv_at_p)
+    if "inertial" in cfg.forces:
+        force = force + inertial
+    m_eff = p["mass"]
+    if "added_mass" in cfg.forces:
+        force = force + cfg.cm * inertial          # (ref :331-396)
+        m_eff = m_eff + cfg.cm * rho_f * p["vol"]
+    if "lift" in cfg.forces:
+        # rho_f cl (u_rel x omega)                  (ref :423-500)
+        if dim == 2:
+            wz = vort_at_p
+            fx = rho_f * cfg.cl * urel[:, 1] * wz
+            fy = -rho_f * cfg.cl * urel[:, 0] * wz
+            force = force + jnp.stack([fx, fy], axis=1)
+        else:
+            w = vort_at_p
+            force = force + rho_f * cfg.cl * jnp.cross(urel, w)
+    if "drag" in cfg.forces:
+        if cfg.cd is not None:
+            cd = cfg.cd
+        else:
+            # reference Cd(Re) law, particulatecommon.c:584-590
+            cd_lo = 16.0 * (1.0 + 0.15 * jnp.sqrt(Re)) / jnp.maximum(Re, 1e-8)
+            cd_hi = 48.0 * (1.0 - 2.21 / jnp.sqrt(jnp.maximum(Re, 1e-8))) / \
+                jnp.maximum(Re, 1e-8)
+            cd = jnp.where(Re < 1e-8, 0.0, jnp.where(Re < 50.0, cd_lo, cd_hi))
+        fd = (3.0 / (4.0 * dia) * cd * norm_urel * rho_f)[:, None] * urel
+        force = force + fd
+    if "buoy" in cfg.forces:
+        g = jnp.asarray(cfg.gravity[:dim])
+        rho_p = p["mass"] / jnp.maximum(p["vol"], 1e-300)
+        force = force + (rho_p - rho_f)[:, None] * g[None, :]
+    return force, m_eff
+
+
+def step_particles(p: dict, U: list, U_old: list, grid: Grid, u_bcs: list,
+                   cfg: ParticleConfig, nu: float, dt, t=0.0):
+    """One particle step: forces + the reference's split update
+    pos += v dt/2; v += F vol dt / m_eff; pos += v dt/2
+    (gfs_particulate_event, particulatecommon.c:805-830), then periodic
+    wrap / out-of-domain deactivation (gfs_particle_bc :3375)."""
+    dim = grid.dim
+    pos = p["pos"]
+    u_at = jnp.stack([interpolate_at(U[c], grid, u_bcs[c], pos, t)
+                      for c in range(dim)], axis=1)
+    uo_at = jnp.stack([interpolate_at(U_old[c], grid, u_bcs[c], pos, t)
+                       for c in range(dim)], axis=1)
+    # convective term (u.grad)u interpolated at particles
+    from ..ops.stencils import center_gradient
+    conv = []
+    pads = [bcs.apply_bc(U[c], grid, u_bcs[c], 1, t=t) for c in range(dim)]
+    gb = bcs.default_scalar_bc(dim)
+    for c in range(dim):
+        s = 0.0
+        for c2 in range(dim):
+            s = s + U[c2] * center_gradient(pads[c], grid, c2)
+        conv.append(interpolate_at(s, grid, gb, pos, t))
+    conv_at = jnp.stack(conv, axis=1)
+    if dim == 2:
+        vort = vorticity_field(U, grid, u_bcs, t)
+        vort_at = interpolate_at(vort, grid, gb, pos, t)
+    else:
+        w = vorticity_field(U, grid, u_bcs, t)
+        vort_at = jnp.stack([interpolate_at(wc, grid, gb, pos, t)
+                             for wc in w], axis=1)
+
+    force, m_eff = compute_forces(p, u_at, uo_at, conv_at, vort_at, cfg, nu, dt)
+    total = force * p["vol"][:, None]
+
+    pos = p["pos"] + p["vel"] * dt / 2.0
+    vel = p["vel"] + total * dt / m_eff[:, None]
+    pos = pos + vel * dt / 2.0
+
+    # domain BCs: wrap periodic axes, deactivate outside otherwise
+    alive = p["alive"]
+    for a in range(dim):
+        L = grid.length(a)
+        if u_bcs[0].is_periodic(a):
+            pos = pos.at[:, a].set(
+                grid.origin[a] + jnp.mod(pos[:, a] - grid.origin[a], L))
+        else:
+            inside = (pos[:, a] >= grid.origin[a]) & \
+                     (pos[:, a] <= grid.origin[a] + L)
+            alive = alive & inside
+    zero = jnp.zeros_like(vel)
+    return {
+        "pos": jnp.where(alive[:, None], pos, p["pos"]),
+        "vel": jnp.where(alive[:, None], vel, zero),
+        "vol": p["vol"],
+        "mass": p["mass"],
+        "alive": alive,
+    }, total
+
+
+# ---------------------------------------------------------------------------
+# Two-way coupling: kernel deposition onto the grid
+# ---------------------------------------------------------------------------
+
+def deposit(values: jnp.ndarray, p: dict, grid: Grid,
+            cfg: ParticleConfig) -> jnp.ndarray:
+    """Scatter per-particle scalar ``values`` onto cells.
+
+    rkernel > 0: Gaussian kernel of radius rkernel over a static
+    (2*kernel_cells+1)^dim stencil, normalized per particle (reference:
+    GfsSourceParticulate kernel_volume + diffuse_force,
+    particulatecommon.c:2089-2177).  rkernel == 0: bilinear (CIC) deposit
+    (reference: GfsParticulateField voidfraction_from_particles :1929).
+    Returns a per-cell DENSITY (value / cell volume).
+    """
+    dim = grid.dim
+    out = jnp.zeros(grid.shape, dtype=values.dtype)
+    vals = jnp.where(p["alive"], values, 0.0)
+    idx0 = []
+    fr = []
+    for a in range(dim):
+        x = (p["pos"][:, a] - grid.origin[a]) / grid.h - 0.5
+        i0 = jnp.floor(x).astype(jnp.int32)
+        idx0.append(i0)
+        fr.append(x - i0)
+
+    if cfg.rkernel <= 0.0:
+        for corner in range(2 ** dim):
+            w = vals
+            ii = []
+            for a in range(dim):
+                b = (corner >> a) & 1
+                w = w * (fr[a] if b else (1.0 - fr[a]))
+                ii.append(jnp.clip(idx0[a] + b, 0, grid.shape[a] - 1))
+            out = out.at[tuple(ii)].add(w)
+        return out / grid.cell_volume
+
+    K = cfg.kernel_cells
+    sig2 = cfg.rkernel ** 2
+    # per-particle normalization: sum of kernel weights over the stencil
+    wsum = 0.0
+    ws = []
+    for off in _offsets(dim, K):
+        ii = []
+        r2 = 0.0
+        for a in range(dim):
+            ic = jnp.clip(idx0[a] + off[a] + 1, 0, grid.shape[a] - 1)
+            ii.append(ic)
+            cc = grid.origin[a] + (ic + 0.5) * grid.h
+            r2 = r2 + (cc - p["pos"][:, a]) ** 2
+        w = jnp.exp(-r2 / (2.0 * sig2))
+        ws.append((w, tuple(ii)))
+        wsum = wsum + w
+    wsum = jnp.maximum(wsum, 1e-300)
+    for w, ii in ws:
+        out = out.at[ii].add(vals * w / wsum)
+    return out / grid.cell_volume
+
+
+def _offsets(dim, K):
+    if dim == 2:
+        return [(i, j) for i in range(-K, K + 1) for j in range(-K, K + 1)]
+    return [(i, j, k) for i in range(-K, K + 1)
+            for j in range(-K, K + 1) for k in range(-K, K + 1)]
+
+
+def volume_fraction_field(p: dict, grid: Grid, cfg: ParticleConfig):
+    """Particle volume fraction per cell (GfsParticulateField /
+    GfsBubbleFraction analogue, particulatecommon.c:1929-2005,
+    modules/bubbles.c:538-744)."""
+    return deposit(p["vol"], p, grid, cfg)
+
+
+def reaction_force_fields(total_force: jnp.ndarray, p: dict, grid: Grid,
+                          cfg: ParticleConfig):
+    """Momentum source on the fluid = minus the hydrodynamic force on the
+    particles, kernel-spread (GfsSourceParticulate,
+    particulatecommon.c:2089-2177; buoyancy excluded there via
+    compute_forces_onfluid :754-766 — the caller passes the non-buoyant
+    force)."""
+    return [deposit(-total_force[:, c], p, grid, cfg)
+            for c in range(grid.dim)]
