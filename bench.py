@@ -34,7 +34,9 @@ def main():
     cfg = ns.NSConfig(grid=grid, u_bcs=(u_bc, v_bc), nu=1e-3, beta=1.0)
 
     z = jnp.zeros(grid.shape, jnp.float32)
-    state = {n: z for n in list(ns.velocity_names(2)) + ["P", "Pmac"]}
+    names = list(ns.velocity_names(2)) + ["P", "Pmac"] + \
+        list(ns.gradient_names(2))
+    state = {n: z for n in names}
     dt = jnp.float32(0.8 * grid.h)
 
     @jax.jit

@@ -38,7 +38,10 @@ def diffuse(v: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC, dt,
     Returns (v_new, stats).
     """
     if params is None:
-        params = poisson.MultilevelParams(tolerance=1e-6, nitermax=20)
+        # reference default GfsMultilevelParams tolerance = 1e-3
+        # (src/poisson.c:40-126); the Crank-Nicolson system is
+        # identity-dominated, 1-2 cycles reach it
+        params = poisson.MultilevelParams(tolerance=1e-3, nitermax=10)
     dim = grid.dim
     if jnp.ndim(D) == 0:
         alpha = tuple(jnp.full(grid.face_shape(c), D, dtype=v.dtype)

@@ -101,13 +101,53 @@ def _neighbor_sums(u_pad: jnp.ndarray, alpha: Optional[Sequence[jnp.ndarray]], d
 def residual(u: jnp.ndarray, rhs: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
              alpha=None, dia=None, homogeneous: bool = False,
              t: float = 0.0) -> jnp.ndarray:
-    """r = rhs - L(u).  Reference: src/poisson.c:634-747 residual_set."""
+    """r = rhs - L(u).  Reference: src/poisson.c:634-747 residual_set.
+
+    The Neumann-BC hot path (the pressure projections) dispatches to the
+    single-pass Pallas kernel on TPU; zero-gradient Neumann residuals are
+    identical whether or not the BC is 'homogeneous'."""
+    neumann0 = all(
+        b.kind == bcs.NEUMANN and (homogeneous or b.value == 0.0)
+        for ax in fbc.sides for b in ax)
+    if ((homogeneous or neumann0) and
+            _pallas_relax_applicable(u, grid, fbc, alpha, dia, True)):
+        from ..ops.pallas.rbgs import residual_pallas
+
+        signs = tuple(
+            -1.0 if fbc.sides[ax][sd].kind == bcs.DIRICHLET else 1.0
+            for ax in range(2) for sd in range(2))
+        d = float(dia) if dia is not None and jnp.ndim(dia) == 0 else 0.0
+        return residual_pallas(u, rhs, h2=grid.h * grid.h, dia=d, signs=signs)
     u_pad = bcs.apply_bc(u, grid, fbc, 1, homogeneous=homogeneous, t=t)
     num, den = _neighbor_sums(u_pad, alpha, grid.dim)
     h2 = grid.h * grid.h
     lap = (num - den * u) / h2
     d = 0.0 if dia is None else dia
     return rhs - (lap - d * u)
+
+
+def _pallas_relax_applicable(u, grid, fbc, alpha, dia, homogeneous):
+    """The fused Pallas smoother covers the multigrid hot path: 2D f32 TPU,
+    homogeneous non-periodic BCs, unit face coefficients, scalar dia."""
+    import numpy as np
+
+    if not homogeneous or grid.dim != 2 or alpha is not None:
+        return False
+    if u.dtype not in (jnp.float32,):
+        return False
+    # lane/sublane floor: small coarse levels use the jnp path
+    if u.shape[0] < 128 or u.shape[1] < 128:
+        return False
+    if dia is not None and jnp.ndim(dia) != 0:
+        return False
+    for ax in fbc.sides:
+        for b in ax:
+            if b.kind == bcs.PERIODIC:
+                return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 def relax(u: jnp.ndarray, rhs: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
@@ -118,16 +158,29 @@ def relax(u: jnp.ndarray, rhs: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
     Reference: src/poisson.c:507-586 relax/relax2D (their traversal-ordered
     Gauss-Seidel, parallel-safe here as red/black half-sweeps with BC
     re-application between halves, matching relax_loop's per-sweep BC
-    updates, src/poisson.c:1070-1087).
+    updates, src/poisson.c:1070-1087).  On TPU, the homogeneous-BC
+    multigrid hot path dispatches to the fused Pallas kernel
+    (ops/pallas/rbgs.py) — one HBM round-trip for all sweeps.
     """
     h2 = grid.h * grid.h
+    if _pallas_relax_applicable(u, grid, fbc, alpha, dia, homogeneous):
+        from ..ops.pallas.rbgs import rbgs_relax
+
+        signs = tuple(
+            -1.0 if fbc.sides[ax][sd].kind == bcs.DIRICHLET else 1.0
+            for ax in range(2) for sd in range(2))
+        d = float(dia) if dia is not None and jnp.ndim(dia) == 0 else 0.0
+        return rbgs_relax(u, rhs, nsweeps=nsweeps, h2=h2, dia=d,
+                          signs=signs, omega=omega)
     red = _checkerboard(u.shape)
     d = 0.0 if dia is None else dia
 
     def half(u, mask):
         u_pad = bcs.apply_bc(u, grid, fbc, 1, homogeneous=homogeneous, t=t)
         num, den = _neighbor_sums(u_pad, alpha, grid.dim)
-        new = (num - h2 * rhs) / (den + d * h2)
+        # fully-solid cells (all face fractions 0) stay untouched
+        # (reference: relax skips cells with zero diagonal, poisson.c:507)
+        new = (num - h2 * rhs) / jnp.maximum(den + d * h2, 1e-30)
         if omega != 1.0:
             new = (1.0 - omega) * u + omega * new
         return jnp.where(mask, new, u)
@@ -142,12 +195,24 @@ def restrict(r: jnp.ndarray, dim: int) -> jnp.ndarray:
     """Average of children -> parent cell.
 
     Reference: src/poisson.c:1044-1068 get_from_below (child residual sum;
-    with per-cell units the volume-consistent restriction is the mean)."""
-    if dim == 2:
-        n0, n1 = r.shape
-        return r.reshape(n0 // 2, 2, n1 // 2, 2).mean(axis=(1, 3))
-    n0, n1, n2 = r.shape
-    return r.reshape(n0 // 2, 2, n1 // 2, 2, n2 // 2, 2).mean(axis=(1, 3, 5))
+    with per-cell units the volume-consistent restriction is the mean).
+    Implemented as a native mean-pool (reduce_window) — efficient on TPU."""
+    win = (2,) * dim
+    s = jax.lax.reduce_window(r, jnp.asarray(0.0, r.dtype), jax.lax.add,
+                              win, win, "VALID")
+    return s * (0.5 ** dim)
+
+
+def _interleave(lo: jnp.ndarray, hi: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """[lo0, hi0, lo1, hi1, ...] along ``axis`` via interior padding (native
+    lax.pad, no reshape/transpose materialization)."""
+    cfg = [(0, 0, 0)] * lo.ndim
+    cfg_lo = list(cfg)
+    cfg_lo[axis] = (0, 1, 1)
+    cfg_hi = list(cfg)
+    cfg_hi[axis] = (1, 0, 1)
+    zero = jnp.asarray(0.0, lo.dtype)
+    return (jax.lax.pad(lo, zero, cfg_lo) + jax.lax.pad(hi, zero, cfg_hi))
 
 
 def prolong(c: jnp.ndarray, grid_c: Grid, fbc: bcs.FieldBC,
@@ -172,10 +237,7 @@ def prolong(c: jnp.ndarray, grid_c: Grid, fbc: bcs.FieldBC,
         right = tk(2, 0)
         lo = 0.75 * center + 0.25 * left
         hi = 0.75 * center + 0.25 * right
-        stacked = jnp.stack([lo, hi], axis=axis + 1)
-        new_shape = list(center.shape)
-        new_shape[axis] = 2 * (n - 2)
-        a = stacked.reshape(new_shape)
+        a = _interleave(lo, hi, axis)
         # axis is now fine-resolution and ghost-free; later axes still padded
     return a
 
@@ -221,23 +283,20 @@ def _coeff_hierarchy(grid: Grid, minlevel: int, alpha, dia):
     return alphas, dias
 
 
-def cycle(u: jnp.ndarray, rhs: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
-          params: MultilevelParams, alpha=None, dia=None, t: float = 0.0) -> jnp.ndarray:
-    """One sawtooth multigrid cycle (restrict residual to all levels, then
-    prolong+relax upward).  Reference: src/poisson.c:1109-1178
-    gfs_poisson_cycle."""
+def correction(r: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
+               params: MultilevelParams, alpha=None, dia=None) -> jnp.ndarray:
+    """The correction phase of one sawtooth cycle: restrict the fine
+    residual to all levels, then prolong+relax upward with homogeneous BCs.
+    Reference: src/poisson.c:1109-1166 (get_from_below + relax_loop +
+    get_from_above)."""
     minlevel = min(params.minlevel, grid.level)
     grids = _level_grids(grid, minlevel)
     alphas, dias = _coeff_hierarchy(grid, minlevel, alpha, dia)
 
-    # 1. residual on the fine level (inhomogeneous BCs on the full solution)
-    r = residual(u, rhs, grid, fbc, alpha, dia, homogeneous=False, t=t)
     rs = [r]
     for g in grids[1:]:
         rs.append(restrict(rs[-1], grid.dim))
 
-    # 2. solve the correction equation upward with homogeneous BCs
-    L = grid.level
     nl = len(grids)
     du = jnp.zeros_like(rs[-1])
     nswp = params.nrelax * (params.erelax ** (nl - 1)) + params.coarsest_relax
@@ -248,11 +307,18 @@ def cycle(u: jnp.ndarray, rhs: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
         nswp = params.nrelax * (params.erelax ** k)
         du = relax(du, rs[k], grids[k], fbc, nswp, alphas[k], dias[k],
                    homogeneous=True, omega=params.omega)
-
-    # 3. correct
-    return u + du
+    return du
 
 
+def cycle(u: jnp.ndarray, rhs: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
+          params: MultilevelParams, alpha=None, dia=None, t: float = 0.0) -> jnp.ndarray:
+    """One sawtooth multigrid cycle (residual + correction).
+    Reference: src/poisson.c:1109-1178 gfs_poisson_cycle."""
+    r = residual(u, rhs, grid, fbc, alpha, dia, homogeneous=False, t=t)
+    return u + correction(r, grid, fbc, params, alpha, dia)
+
+
+@jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class SolveStats:
     """Reference: src/poisson.h GfsMultilevelParams output fields
@@ -264,6 +330,13 @@ class SolveStats:
     def reduction(self):
         return self.residual_before["infty"] / jnp.maximum(self.residual_after["infty"], 1e-300)
 
+    def tree_flatten(self):
+        return (self.niter, self.residual_before, self.residual_after), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
 
 # jit-cached building blocks (cache key = the hashable static descriptors)
 cycle_jit = jax.jit(cycle, static_argnames=("grid", "fbc", "params"))
@@ -271,18 +344,24 @@ residual_jit = jax.jit(residual, static_argnames=("grid", "fbc", "homogeneous"))
 
 
 @functools.partial(jax.jit, static_argnames=("grid", "fbc", "params"))
-def _solve_adaptive(u, rhs, grid, fbc, params, alpha, dia, t, r0_inf, tol):
+def _solve_adaptive(u, rhs, grid, fbc, params, alpha, dia, t, r0, tol):
+    """Tolerance loop with ONE residual evaluation per cycle: the residual
+    that ends iteration i is reused as the correction input of iteration
+    i+1 (the reference recomputes it at the end of each cycle too,
+    src/poisson.c:1175)."""
     def cond(state):
-        u, i, rinf = state
+        u, r, i = state
+        rinf = jnp.max(jnp.abs(r))
         return (i < params.nitermin) | ((i < params.nitermax) & (rinf > tol))
 
     def body(state):
-        u, i, _ = state
-        u = cycle(u, rhs, grid, fbc, params, alpha, dia, t=t)
+        u, r, i = state
+        u = u + correction(r, grid, fbc, params, alpha, dia)
         r = residual(u, rhs, grid, fbc, alpha, dia, t=t)
-        return u, i + 1, jnp.max(jnp.abs(r))
+        return u, r, i + 1
 
-    return jax.lax.while_loop(cond, body, (u, jnp.asarray(0), r0_inf))
+    u, r, niter = jax.lax.while_loop(cond, body, (u, r0, jnp.asarray(0)))
+    return u, niter, jnp.max(jnp.abs(r))
 
 
 def solve(u: jnp.ndarray, rhs: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
@@ -306,7 +385,7 @@ def solve(u: jnp.ndarray, rhs: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
         niter = jnp.asarray(params.nitermax)
     else:
         u, niter, _ = _solve_adaptive(u, rhs, grid, fbc, params, alpha, dia,
-                                      jnp.asarray(t, u.dtype), res_before["infty"], tol)
+                                      jnp.asarray(t, u.dtype), r0, tol)
 
     r1 = residual_jit(u, rhs, grid, fbc, alpha, dia, t=t)
     return u, SolveStats(niter=niter, residual_before=res_before,
