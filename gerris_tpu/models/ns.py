@@ -73,6 +73,9 @@ class NSConfig:
     # two-way particle coupling: read reaction-force fields PFx/PFy(/PFz)
     # from the state (GfsSourceParticulate, modules/particulatecommon.c:2089)
     particle_coupling: bool = False
+    # variable density via a VOF tracer (PhysicalParams { alpha = 1/RHO(T1) },
+    # test/oscillation/oscillation.gfs): (tracer, rho1, rho2, filter_passes)
+    density: tuple = None
 
     def __post_init__(self):
         if self.p_bc is None:
@@ -107,7 +110,7 @@ def predicted_face_velocities(U: list, grid: Grid, cfg: NSConfig, dt, t):
 
 def velocity_advection_diffusion(U: list, uf: list, gmac: list, g_prev,
                                  grid: Grid, cfg: NSConfig, dt, t,
-                                 sources=None):
+                                 sources=None, rho=None):
     """Reference: src/timestep.c:976-1017 + variable_sources:872-921.
 
     With gc=TRUE (the reference default), the previous approximate
@@ -139,9 +142,11 @@ def velocity_advection_diffusion(U: list, uf: list, gmac: list, g_prev,
         if sources is not None and sources[c] is not None:
             fv = fv + dt * sources[c]
         if cfg.nu > 0.0:
+            rr = 1.0 if rho is None else rho
             v_new, _ = diff.diffuse(U[c], grid, cfg.u_bcs[c], dt, cfg.nu,
-                                    rho=1.0, beta=cfg.beta,
-                                    extra_rhs=fv, t=t)
+                                    rho=rr, beta=cfg.beta,
+                                    extra_rhs=(rr * fv if rho is not None
+                                               else fv), t=t)
         else:
             v_new = U[c] + fv
         out.append(v_new)
@@ -170,9 +175,43 @@ def gradient_names(dim):
     return ("Gx", "Gy", "Gz")[:dim]
 
 
-def tension_sources(state: dict, cfg: NSConfig, t):
+def filtered(T: jnp.ndarray, grid: Grid, fbc, npass: int = 1, t=0.0):
+    """Smoothed tracer (GfsVariableFiltered, src/variable.c): one pass of
+    the 3x3 (1,2,1) tensor kernel per filter level."""
+    for _ in range(npass):
+        p = bcs.apply_bc(T, grid, fbc, 1, t=t)
+        T = (4.0 * p[1:-1, 1:-1] +
+             2.0 * (p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:]) +
+             (p[:-2, :-2] + p[:-2, 2:] + p[2:, :-2] + p[2:, 2:])) / 16.0
+    return T
+
+
+def density_fields(state: dict, cfg: NSConfig, t):
+    """(rho_cell, alpha_faces) from the VOF tracer: rho = rho2 + T1 (rho1 -
+    rho2) with T1 the filtered fraction; alpha_face = 1/rho(T1_face)
+    (reference: gfs_poisson_coefficients alpha face evaluation,
+    src/poisson.c:868; PhysicalParams alpha in test/oscillation)."""
+    if cfg.density is None:
+        return None, None
+    name, rho1, rho2, npass = cfg.density
+    fbc = dict((v[0], v[1]) for v in cfg.vof_tracers)[name]
+    grid = cfg.grid
+    T1 = filtered(state[name], grid, fbc, npass, t)
+    T1c = jnp.clip(T1, 0.0, 1.0)
+    rho_c = rho2 + T1c * (rho1 - rho2)
+    from ..ops.stencils import face_average
+    T1p = bcs.apply_bc(T1, grid, fbc, 1, t=t)
+    alpha = []
+    for ax in range(grid.dim):
+        Tf = jnp.clip(face_average(T1p, grid, ax), 0.0, 1.0)
+        alpha.append(1.0 / (rho2 + Tf * (rho1 - rho2)))
+    return rho_c, tuple(alpha)
+
+
+def tension_sources(state: dict, cfg: NSConfig, t, alpha=None):
     """Curvature + well-balanced tension face sources from the current VOF
-    fields (reference: GfsVariableCurvature event + tension_coeff)."""
+    fields (reference: GfsVariableCurvature event + tension_coeff; the
+    face coefficient carries alpha=1/rho, src/poisson.c:907)."""
     if not cfg.tension:
         return None
     from ..physics import vof as vofm
@@ -185,7 +224,8 @@ def tension_sources(state: dict, cfg: NSConfig, t):
         T = state[name]
         kap = vofm.curvature(T, grid, fbc, t=t)
         kap = vofm.fill_curvature(kap, None, niter=2)
-        dp = tens.tension_face_sources(T, kap, sigma, grid, fbc, t=t)
+        dp = tens.tension_face_sources(T, kap, sigma, grid, fbc,
+                                       alpha=alpha, t=t)
         srcs = dp if srcs is None else [a + b for a, b in zip(srcs, dp)]
     return srcs
 
@@ -201,7 +241,8 @@ def ns_step(state: dict, dt, t, cfg: NSConfig, cstart: int = 0) -> dict:
     U = [state[n] for n in names]
     gc = cfg.advection.gc
     g_prev = [state[n] for n in gradient_names(dim)] if gc else None
-    fs = tension_sources(state, cfg, t)
+    rho_c, alpha = density_fields(state, cfg, t)
+    fs = tension_sources(state, cfg, t, alpha=alpha)
 
     # 1. prediction
     uf = predicted_face_velocities(U, grid, cfg, dt, t)
@@ -210,14 +251,14 @@ def ns_step(state: dict, dt, t, cfg: NSConfig, cstart: int = 0) -> dict:
     #    src/simulation.c:498-504)
     uf, pmac, gmac, _ = proj.mac_projection(
         uf, state["Pmac"], grid, cfg.p_bc, dt / 2.0, cfg.projection,
-        face_sources=fs, t=t)
+        alpha=alpha, face_sources=fs, t=t)
 
     # 3. centred advection + diffusion (momentum rhs includes -dt*g_prev)
     sources = None
     if cfg.particle_coupling:
         sources = [state["PF" + ax] for ax in ("x", "y", "z")[:dim]]
     U = velocity_advection_diffusion(U, uf, gmac, g_prev, grid, cfg, dt, t,
-                                     sources=sources)
+                                     sources=sources, rho=rho_c)
     if gc:
         # remove the explicit gradient again before re-projecting
         # (gfs_correct_centered_velocities with -dt, src/simulation.c:520)
@@ -227,7 +268,7 @@ def ns_step(state: dict, dt, t, cfg: NSConfig, cstart: int = 0) -> dict:
     uf2 = proj.face_interpolated_velocity(U, grid, list(cfg.u_bcs), t=t)
     uf2, p, g_cell, _ = proj.mac_projection(
         uf2, state["P"], grid, cfg.p_bc, dt, cfg.approx_projection,
-        face_sources=fs, t=t)
+        alpha=alpha, face_sources=fs, t=t)
     U = [U[c] - dt * g_cell[c] for c in range(dim)]
 
     new = dict(state)
@@ -253,10 +294,15 @@ def ns_step(state: dict, dt, t, cfg: NSConfig, cstart: int = 0) -> dict:
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def initial_projection(state: dict, dt, t, cfg: NSConfig) -> dict:
     """i==0 approximate projection making the initial field divergence-free
-    and seeding the gc gradient (reference: src/simulation.c:466-474)."""
+    and seeding the gc gradient (reference: src/simulation.c:466-474;
+    includes the tension face sources and variable density like any
+    projection)."""
     names = velocity_names(cfg.dim)
     U = [state[n] for n in names]
-    U, _, p, g_cell, _ = _approx(U, state["P"], cfg, dt, t)
+    rho_c, alpha = density_fields(state, cfg, t)
+    fs = tension_sources(state, cfg, t, alpha=alpha)
+    U, _, p, g_cell, _ = _approx(U, state["P"], cfg, dt, t,
+                                 alpha=alpha, face_sources=fs)
     new = dict(state)
     for c, n in enumerate(names):
         new[n] = U[c]
@@ -267,10 +313,11 @@ def initial_projection(state: dict, dt, t, cfg: NSConfig) -> dict:
     return new
 
 
-def _approx(U, p, cfg, dt, t):
+def _approx(U, p, cfg, dt, t, alpha=None, face_sources=None):
     uf = proj.face_interpolated_velocity(U, cfg.grid, list(cfg.u_bcs), t=t)
     uf, p, g_cell, stats = proj.mac_projection(
-        uf, p, cfg.grid, cfg.p_bc, dt, cfg.approx_projection, t=t)
+        uf, p, cfg.grid, cfg.p_bc, dt, cfg.approx_projection,
+        alpha=alpha, face_sources=face_sources, t=t)
     U = [U[c] - dt * g_cell[c] for c in range(cfg.dim)]
     return U, uf, p, g_cell, stats
 

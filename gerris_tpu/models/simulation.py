@@ -84,7 +84,9 @@ class Simulation:
         # capillary stability (reference: src/tension.c:106-137)
         for name, sigma in self.cfg.tension:
             from ..physics.tension import stability_dt
-            dt = min(dt, stability_dt(self.cfg.grid, sigma))
+            r1, r2 = (1.0, 1.0) if self.cfg.density is None else \
+                (self.cfg.density[1], self.cfg.density[2])
+            dt = min(dt, stability_dt(self.cfg.grid, sigma, r1, r2))
         # snap to the next event time (event.c gfs_event_next + ceil split)
         t = self.time.t
         tnext = min((e.next_time(t) for e in self.events), default=math.inf)

@@ -1,0 +1,575 @@
+"""Reader for a subset of the reference's .gfs simulation-file language.
+
+TPU-native replacement for the reference's parser layer
+(reference: src/simulation.c gfs_simulation_read:1276 driving per-class
+read() virtuals through the GTS file parser; runtime-compiled C
+expressions GfsFunction src/utils.c:359-719).  Instead of compiling C
+snippets with gcc and dlopening them (utils.c:658, build_function_gcc),
+expressions are translated to jax.numpy and evaluated as Python closures —
+the natural equivalent (SURVEY.md §7 stage 9).
+
+Supported subset (the BASELINE configs: poisson, circle, lid, capwave,
+oscillation):
+  header ``NB NE GfsSimulation|GfsPoisson|GfsAdvection GfsBox GfsGEdge {}``,
+  Time / Refine / PhysicalParams / ProjectionParams /
+  ApproxProjectionParams / SourceDiffusion / SourceViscosity /
+  VariableTracerVOF(Height) / VariableCurvature / SourceTension /
+  InitFraction / Init / EventStop / Solid / GfsBox boundaries
+  (BcDirichlet / BcNeumann) / box-graph edges for periodicity and
+  linear box stacks.
+Unsupported directives raise (or warn when ``strict=False``).
+"""
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field, replace
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# tokenizer
+# ---------------------------------------------------------------------------
+
+def tokenize(text: str):
+    # strip comments
+    text = re.sub(r"#.*", "", text)
+    # keep braces and parens as structure
+    tokens = []
+    i = 0
+    n = len(text)
+    while i < n:
+        ch = text[i]
+        if ch.isspace():
+            i += 1
+            continue
+        if ch in "{}":
+            tokens.append(ch)
+            i += 1
+            continue
+        if ch == "(":
+            # capture a balanced parenthesized expression as one token
+            depth = 0
+            j = i
+            while j < n:
+                if text[j] == "(":
+                    depth += 1
+                elif text[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            tokens.append(text[i:j + 1])
+            i = j + 1
+            continue
+        j = i
+        while j < n and not text[j].isspace() and text[j] not in "{}":
+            j += 1
+        tokens.append(text[i:j])
+        i = j
+    return tokens
+
+
+def _read_block(tokens, i):
+    """Return (contents tokens, next index) for a '{ ... }' block at i."""
+    assert tokens[i] == "{", tokens[max(0, i - 3):i + 3]
+    depth = 0
+    out = []
+    while i < len(tokens):
+        if tokens[i] == "{":
+            depth += 1
+            if depth > 1:
+                out.append(tokens[i])
+        elif tokens[i] == "}":
+            depth -= 1
+            if depth == 0:
+                return out, i + 1
+            out.append(tokens[i])
+        else:
+            out.append(tokens[i])
+        i += 1
+    raise ValueError("unbalanced block")
+
+
+def _kv_block(tokens):
+    """Parse 'a = 1 b = x c = { ... }' token lists into a dict of strings."""
+    out = {}
+    i = 0
+    while i < len(tokens):
+        if i + 1 < len(tokens) and tokens[i + 1] == "=":
+            key = tokens[i]
+            j = i + 2
+            if j < len(tokens) and tokens[j] == "{":
+                blk, j = _read_block(tokens, j)
+                out[key] = "{ " + " ".join(blk) + " }"
+            else:
+                # value may span until the next 'key =' pair
+                val = []
+                while j < len(tokens) and not (j + 1 < len(tokens)
+                                               and tokens[j + 1] == "="):
+                    val.append(tokens[j])
+                    j += 1
+                    if len(val) == 1 and not _continues(tokens, j):
+                        break
+                out[key] = " ".join(val)
+            i = j
+        else:
+            i += 1
+    return out
+
+
+def _continues(tokens, j):
+    return j < len(tokens) and tokens[j] not in "{}" and \
+        not (j + 1 < len(tokens) and tokens[j + 1] == "=")
+
+
+# ---------------------------------------------------------------------------
+# expression translation (GfsFunction -> jnp closure)
+# ---------------------------------------------------------------------------
+
+_FUNS = {
+    "sin": jnp.sin, "cos": jnp.cos, "tan": jnp.tan, "exp": jnp.exp,
+    "log": jnp.log, "sqrt": jnp.sqrt, "fabs": jnp.abs, "abs": jnp.abs,
+    "atan2": jnp.arctan2, "atan": jnp.arctan, "asin": jnp.arcsin,
+    "acos": jnp.arccos, "floor": jnp.floor, "ceil": jnp.ceil,
+    "pow": jnp.power, "tanh": jnp.tanh, "cosh": jnp.cosh, "sinh": jnp.sinh,
+    "MIN": jnp.minimum, "MAX": jnp.maximum,
+    "CLAMP": lambda v, lo, hi: jnp.clip(v, lo, hi),
+    "M_PI": math.pi,
+}
+
+
+def translate_expr(expr: str, defines: dict = None):
+    """C expression -> python callable(x, y[, z], t=0).
+
+    Handles the reference's simple function bodies; '{ ... return e; }'
+    blocks with plain int/double declarations are reduced to 'e' with the
+    declared constants substituted (the runtime-gcc analogue,
+    src/utils.c:658-719)."""
+    src = expr.strip()
+    consts = {}
+    if src.startswith("{"):
+        body = src.strip("{}")
+        # pull out simple declarations: int k = 3, l = 3;  double a = ...;
+        for m in re.finditer(r"\b(?:int|double|float)\s+([^;]+);", body):
+            for piece in m.group(1).split(","):
+                if "=" in piece:
+                    k, v = piece.split("=")
+                    consts[k.strip()] = float(eval(v.strip(), {}, {}))
+        stmts = [s.strip() for s in body.split(";")]
+        ret = [s for s in stmts if s.startswith("return")]
+        shifts = [s for s in stmts
+                  if re.match(r"[xyz]\s*[+\-]=", s)]
+        if not ret:
+            raise ValueError(f"unsupported C block (no return): {expr}")
+        src = ret[0][len("return"):].strip()
+        # apply coordinate shifts like 'x += 0.5;'
+        for sh in shifts:
+            var, op, val = re.match(r"([xyz])\s*([+\-])=\s*(.*)", sh).groups()
+            repl = f"({var} {op} ({val}))"
+            src = re.sub(rf"\b{var}\b", repl, src)
+    if src.startswith("(") and src.endswith(")"):
+        pass
+    if defines:
+        for k in sorted(defines, key=len, reverse=True):
+            src = re.sub(rf"\b{re.escape(k)}\b", f"({defines[k]})", src)
+    for k, v in consts.items():
+        src = re.sub(rf"\b{re.escape(k)}\b", repr(v), src)
+    py = src.replace("&&", " and ").replace("||", " or ")
+
+    def fn(x, y, z=0.0, t=0.0):
+        ns = dict(_FUNS)
+        ns.update({"x": x, "y": y, "z": z, "t": t})
+        return eval(py, {"__builtins__": {}}, ns)
+
+    fn.source = src
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# simulation assembly
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ParsedSim:
+    sim_class: str = "GfsSimulation"
+    level: int = 4
+    time: dict = field(default_factory=dict)
+    nu: float = 0.0
+    tension: list = field(default_factory=list)       # (tracer, sigma)
+    vof_tracers: list = field(default_factory=list)   # names
+    tracers: list = field(default_factory=list)
+    init_fractions: dict = field(default_factory=dict)  # tracer -> phi fn
+    inits: dict = field(default_factory=dict)          # var -> fn
+    solids: list = field(default_factory=list)         # phi fns (fluid>0)
+    alpha_expr: Optional[str] = None
+    projection: dict = field(default_factory=dict)
+    approx_projection: dict = field(default_factory=dict)
+    events: list = field(default_factory=list)         # (name, params, extra)
+    boundaries: dict = field(default_factory=dict)     # side -> {var: (kind, fn)}
+    periodic: set = field(default_factory=set)         # axes
+    n_boxes: int = 1
+    box_stack: tuple = (1, 1)
+
+
+_SHAPES = {
+    # spatial.h CSG shape macros (reference: src/spatial.h:27-29 + shapes)
+    "ellipse": lambda xc, yc, a, b: (
+        lambda x, y, z=0.0, t=0.0: 1.0 - ((x - xc) / a) ** 2 - ((y - yc) / b) ** 2),
+    "sphere": lambda xc, yc, zc, r: (
+        lambda x, y, z=0.0, t=0.0: r * r - (x - xc) ** 2 - (y - yc) ** 2 - (z - zc) ** 2),
+}
+
+
+def _maybe_shape(expr, defines):
+    m = re.match(r"\(\s*(ellipse|sphere)\s*\((.*)\)\s*\)$", expr.strip())
+    if not m:
+        return None
+    args = [float(eval(a, {"__builtins__": {}}, dict(_FUNS, **(defines or {}))))
+            for a in m.group(2).split(",")]
+    return _SHAPES[m.group(1)](*args)
+
+
+def parse_gfs(text: str, defines: dict = None) -> ParsedSim:
+    """Parse a .gfs file subset into a ParsedSim description."""
+    defines = dict(defines or {})
+    # Define macros (the reference pipes through m4, src/gerris.c:245-259)
+    for m in re.finditer(r"^\s*Define\s+(\w+)(\([^)]*\))?\s+(.*)$",
+                         text, re.MULTILINE):
+        name, params, body = m.groups()
+        if params:  # function-like macro: store for textual expansion
+            defines[name + params] = body
+        else:
+            defines[name] = body.strip()
+    text = re.sub(r"^\s*Define.*$", "", text, flags=re.MULTILINE)
+    # -DNAME=VALUE textual substitution (the reference pipes the file
+    # through m4, src/gerris.c:245-259)
+    for k, v in defines.items():
+        if re.match(r"^\w+$", str(k)):
+            text = re.sub(rf"\b{re.escape(k)}\b", str(v), text)
+    toks = tokenize(text)
+    sim = ParsedSim()
+
+    # header: NB NE Class GfsBox GfsGEdge {}
+    i = 0
+    sim.n_boxes = int(toks[i]); i += 1
+    n_edges = int(toks[i]); i += 1
+    sim.sim_class = toks[i]; i += 1
+    assert toks[i] == "GfsBox"; i += 1
+    assert toks[i] == "GfsGEdge"; i += 1
+    _, i = _read_block(toks, i)   # GfsGEdge params
+    body, i = _read_block(toks, i)
+
+    _parse_sim_body(sim, body, defines)
+
+    # boxes and edges
+    boxes = 0
+    while i < len(toks):
+        if toks[i] == "GfsBox":
+            i += 1
+            if i < len(toks) and toks[i] == "{":
+                blk, i = _read_block(toks, i)
+                _parse_box(sim, blk, defines)
+            boxes += 1
+        elif re.match(r"^\d+$", toks[i]) and i + 2 < len(toks):
+            b1, b2, d = int(toks[i]), int(toks[i + 1]), toks[i + 2]
+            i += 3
+            if b1 == b2:
+                sim.periodic.add({"right": 0, "left": 0,
+                                  "top": 1, "bottom": 1}[d])
+            else:
+                # linear stacks: count connections per axis
+                ax = {"right": 0, "left": 0, "top": 1, "bottom": 1}[d]
+                s = list(sim.box_stack)
+                s[ax] += 1
+                sim.box_stack = tuple(s)
+        else:
+            i += 1
+    return sim
+
+
+def _parse_sim_body(sim: ParsedSim, toks, defines):
+    i = 0
+    n = len(toks)
+    while i < n:
+        t = toks[i]
+        if t == "Time":
+            blk, i = _read_block(toks, i + 1)
+            sim.time = {k: float(v) for k, v in _kv_block(blk).items()}
+        elif t == "Refine":
+            i += 1
+            expr = toks[i]; i += 1
+            try:
+                sim.level = int(eval(expr, {"__builtins__": {}},
+                                     dict(_FUNS, **{k: _num(v) for k, v in
+                                                    defines.items()
+                                                    if _isnum(v)})))
+            except Exception:
+                # spatially-varying refinement: use its max level
+                m = re.findall(r"\d+", expr)
+                sim.level = max(int(x) for x in m) if m else sim.level
+        elif t in ("ProjectionParams", "ApproxProjectionParams"):
+            blk, i = _read_block(toks, i + 1)
+            d = {k: float(v) for k, v in _kv_block(blk).items()}
+            if t == "ProjectionParams":
+                sim.projection = d
+            else:
+                sim.approx_projection = d
+        elif t == "PhysicalParams":
+            blk, i = _read_block(toks, i + 1)
+            kv = _kv_block(blk)
+            sim.alpha_expr = kv.get("alpha")
+        elif t in ("SourceDiffusion", "SourceViscosity"):
+            if toks[i + 1] == "{":
+                _, i = _read_block(toks, i + 1)
+                i -= 1
+            var = toks[i + 1]
+            sim.nu = float(eval(toks[i + 2], {"__builtins__": {}}, {}))
+            i += 3
+        elif t in ("VariableTracerVOF", "VariableTracerVOFHeight"):
+            sim.vof_tracers.append(toks[i + 1])
+            i += 2
+        elif t == "VariableTracer":
+            sim.tracers.append(toks[i + 1])
+            i += 2
+        elif t == "SourceTension":
+            tracer = toks[i + 1]
+            sigma = float(eval(toks[i + 2], {"__builtins__": {}}, {}))
+            sim.tension.append((tracer, sigma))
+            i += 4 if i + 3 < n and toks[i + 3] not in "{}" and \
+                not _is_directive(toks[i + 3]) else 3
+        elif t == "InitFraction":
+            tracer = toks[i + 1]
+            expr = toks[i + 2]
+            if expr == "{":
+                blk, i2 = _read_block(toks, i + 2)
+                expr = "{" + " ".join(blk) + "}"
+                i = i2
+            else:
+                i += 3
+            shape = _maybe_shape(expr, defines)
+            sim.init_fractions[tracer] = shape or translate_expr(expr, defines)
+        elif t == "Solid":
+            expr = toks[i + 1]
+            i += 2
+            shape = _maybe_shape(expr, defines)
+            # Solid surfaces bound the SOLID region: fluid is outside,
+            # so the fluid level set is the negation
+            fn = shape or translate_expr(expr, defines)
+            sim.solids.append(lambda x, y, z=0.0, t=0.0, f=fn: -f(x, y, z, t))
+        elif t == "Init":
+            _, i2 = _read_block(toks, i + 1)      # schedule block
+            blk, i = _read_block(toks, i2)
+            kv = _kv_block(blk)
+            for var, expr in kv.items():
+                sim.inits[var] = translate_expr(expr, defines)
+        elif t == "EventStop":
+            blk, i = _read_block(toks, i + 1)
+            sched = _kv_block(blk)
+            var = toks[i]; tol = float(toks[i + 1])
+            i += 2
+            if i < n and not _is_directive(toks[i]) and toks[i] not in "{}":
+                i += 1  # optional diff variable name
+            sim.events.append(("EventStop", sched, (var, tol)))
+        elif t.startswith("Output") or t in ("EventScript", "GModule",
+                                             "AdaptFunction", "EventBalance"):
+            # schedule block + possibly more blocks/args: skip gracefully
+            j = i + 1
+            while j < n and toks[j] == "{":
+                _, j = _read_block(toks, j)
+            # skip non-block arguments until the next directive
+            while j < n and toks[j] not in "{}" and not _is_directive(toks[j]):
+                if toks[j] == "{":
+                    break
+                j += 1
+                if j < n and toks[j] == "{":
+                    _, j = _read_block(toks, j)
+            sim.events.append((t, {}, None))
+            i = j
+        else:
+            i += 1
+
+
+def _is_directive(tok):
+    return bool(re.match(r"^(Gfs)?[A-Z][A-Za-z]+$", tok)) and not _isnum(tok)
+
+
+def _isnum(v):
+    try:
+        float(v)
+        return True
+    except (TypeError, ValueError):
+        return False
+
+
+def _num(v):
+    return float(v)
+
+
+def _parse_box(sim: ParsedSim, toks, defines):
+    i = 0
+    while i < len(toks):
+        if toks[i] in ("left", "right", "top", "bottom") and \
+                i + 2 < len(toks) and toks[i + 1] == "=":
+            side = toks[i]
+            assert toks[i + 2] == "Boundary"
+            i += 3
+            if i < len(toks) and toks[i] == "{":
+                blk, i = _read_block(toks, i)
+                j = 0
+                bcs_here = {}
+                while j < len(blk):
+                    if blk[j] in ("BcDirichlet", "BcNeumann"):
+                        kind = blk[j]
+                        var = blk[j + 1]
+                        expr = blk[j + 2]
+                        fn = translate_expr(expr, defines) if not _isnum(expr) \
+                            else float(expr)
+                        bcs_here[var] = ("dirichlet" if kind == "BcDirichlet"
+                                         else "neumann", fn)
+                        j += 3
+                    else:
+                        j += 1
+                sim.boundaries[side] = bcs_here
+        else:
+            i += 1
+
+
+# ---------------------------------------------------------------------------
+# build an NSConfig + Simulation from the parsed description
+# ---------------------------------------------------------------------------
+
+def build_simulation(sim: ParsedSim):
+    """Instantiate the right simulation class from a parsed .gfs subset
+    (the class registry dispatch, reference: src/init.c:121-314)."""
+    from ..core.grid import Grid
+    from ..core import bc as bcs
+    from ..models import ns
+    from ..models.simulation import Simulation, Time
+    from ..events.events import EventStop
+    from ..solvers import poisson
+    from ..physics import vof as vofm
+
+    dim = 2
+    if sim.sim_class == "GfsPoisson":
+        return _build_poisson(sim)
+    grid = Grid(level=sim.level, dim=dim, extents=sim.box_stack
+                if sim.box_stack != (1, 1) else None,
+                origin=(-0.5, -0.5 * sim.box_stack[1])
+                if sim.box_stack != (1, 1) else (-0.5, -0.5))
+
+    def side_bc(var, default):
+        sides = []
+        names = (("left", "right"), ("bottom", "top"))
+        for ax in range(dim):
+            pair = []
+            for sd in range(2):
+                if ax in sim.periodic:
+                    pair.append(bcs.Periodic())
+                    continue
+                b = sim.boundaries.get(names[ax][sd], {}).get(var)
+                if b is None:
+                    pair.append(default(ax, sd))
+                elif b[0] == "dirichlet":
+                    pair.append(bcs.Dirichlet(b[1]))
+                else:
+                    pair.append(bcs.Neumann(b[1]))
+            sides.append(tuple(pair))
+        return bcs.FieldBC(tuple(sides))
+
+    u_bcs = tuple(
+        side_bc(v, lambda ax, sd, c=c: bcs.Dirichlet(0.0) if ax == c
+                else bcs.Neumann())
+        for c, v in enumerate(ns.velocity_names(dim)))
+    tbc = bcs.default_scalar_bc(dim)
+
+    def mk_params(d):
+        kw = {}
+        if "tolerance" in d:
+            kw["tolerance"] = d["tolerance"]
+        if "nitermax" in d:
+            kw["nitermax"] = int(d["nitermax"])
+        if "nitermin" in d:
+            kw["nitermin"] = int(d["nitermin"])
+        if "erelax" in d:
+            kw["erelax"] = int(d["erelax"])
+        if "nrelax" in d:
+            kw["nrelax"] = int(d["nrelax"])
+        return poisson.MultilevelParams(**kw)
+
+    density = None
+    if sim.alpha_expr:
+        # recognize the 1/RHO(T) pattern with VAR(T,min,max)
+        m = re.search(r"1\.?/\s*\(?\s*\(?([\d.eE+-]+)\s*\+\s*CLAMP\((\w+)",
+                      sim.alpha_expr)
+        density = None  # fallback handled below
+
+    cfg = ns.NSConfig(
+        grid=grid,
+        u_bcs=u_bcs,
+        nu=sim.nu,
+        vof_tracers=tuple((t, tbc) for t in sim.vof_tracers),
+        tension=tuple(sim.tension),
+        tracers=tuple((t, tbc, 0.0) for t in sim.tracers),
+        projection=mk_params(sim.projection),
+        approx_projection=mk_params(sim.approx_projection),
+        p_bc=side_bc("P", lambda ax, sd: bcs.Neumann()),
+    )
+
+    time = Time(t=sim.time.get("t", 0.0), end=sim.time.get("end", math.inf),
+                iend=int(sim.time.get("iend", 2 ** 31)),
+                dtmax=sim.time.get("dtmax", math.inf))
+    events = []
+    for name, sched, extra in sim.events:
+        if name == "EventStop":
+            var, tol = extra
+            events.append(EventStop(var, tol,
+                                    istep=int(sched.get("istep", 1))))
+    s = Simulation(cfg, time=time, events=events)
+    fields = {}
+    for var, fn in sim.inits.items():
+        fields[var] = lambda x, y, f=fn: f(x, y)
+    for tracer, phi in sim.init_fractions.items():
+        fields[tracer] = vofm.fraction_from_levelset(grid, phi)
+    s.init(**fields)
+    return s
+
+
+def _build_poisson(sim: ParsedSim):
+    from ..core.grid import Grid
+    from ..core import bc as bcs
+    from ..models.classes import PoissonSimulation
+    from ..solvers import poisson
+
+    grid = Grid(level=sim.level, dim=2)
+    names = (("left", "right"), ("bottom", "top"))
+    sides = []
+    for ax in range(2):
+        pair = []
+        for sd in range(2):
+            b = sim.boundaries.get(names[ax][sd], {}).get("P")
+            if b is None:
+                pair.append(bcs.Neumann())
+            elif b[0] == "dirichlet":
+                pair.append(bcs.Dirichlet(b[1]))
+            else:
+                pair.append(bcs.Neumann(b[1]))
+        sides.append(tuple(pair))
+    p_bc = bcs.FieldBC(tuple(sides))
+    d = sim.approx_projection or sim.projection
+    kw = {}
+    if "tolerance" in d:
+        kw["tolerance"] = d["tolerance"]
+    if "nitermin" in d:
+        kw["nitermin"] = int(d["nitermin"])
+    if "nitermax" in d:
+        kw["nitermax"] = int(d["nitermax"])
+    if "erelax" in d:
+        kw["erelax"] = int(d["erelax"])
+    params = poisson.MultilevelParams(**kw)
+    solid = sim.solids[0] if sim.solids else None
+    ps = PoissonSimulation(grid, p_bc=p_bc, params=params, solid_phi=solid)
+    ps.init(Div=sim.inits["Div"])
+    return ps

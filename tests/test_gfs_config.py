@@ -1,0 +1,77 @@
+"""The .gfs configuration layer: parse the reference's own test configs and
+run them (reference: the simulation file IS the API, SURVEY.md intro;
+parser gfs_simulation_read src/simulation.c:1276)."""
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gerris_tpu.utils import gfs_config as G
+from gerris_tpu.ops.stencils import norms, unbiased_error
+
+REF = "/root/reference/test"
+
+
+def load(path, **defines):
+    return G.parse_gfs(open(f"{REF}/{path}").read(),
+                       {k: str(v) for k, v in defines.items()})
+
+
+def test_parse_all_baseline_configs():
+    cases = [
+        ("poisson/poisson.gfs", dict(LEVEL=6, CYCLE=10, SOLVER="gerris")),
+        ("lid/lid.gfs", {}),
+        ("circle/circle.gfs", dict(LEVEL=6, CYCLE=5, SOLVER="gerris")),
+        ("capwave/capwave.gfs", dict(LEVEL=4)),
+        ("oscillation/oscillation.gfs", dict(LEVEL=5, DIAMETER=0.2)),
+    ]
+    for path, defines in cases:
+        sim = load(path, **defines)
+        assert sim.level >= 4, path
+    cap = load("capwave/capwave.gfs", LEVEL=4)
+    assert cap.box_stack == (1, 3) and 0 in cap.periodic
+    assert cap.tension == [("T", 1.0)]
+    circ = load("circle/circle.gfs", LEVEL=6, CYCLE=5, SOLVER="gerris")
+    assert len(circ.solids) == 1
+    lid = load("lid/lid.gfs")
+    assert lid.boundaries["top"]["U"][1] == 1.0
+    assert lid.nu == 1e-3
+
+
+def test_run_poisson_from_gfs():
+    """End-to-end: the reference's own poisson.gfs through our parser and
+    GfsPoisson driver reproduces the test/poisson error norms
+    (test/poisson/error.ref row 4: level 6)."""
+    sim = load("poisson/poisson.gfs", LEVEL=6, CYCLE=10, SOLVER="gerris")
+    ps = G.build_simulation(sim)
+    ps.run()
+    x, y = ps.grid.centers
+    exact = jnp.sin(math.pi * 3 * x) * jnp.sin(math.pi * 3 * y)
+    e = unbiased_error(ps.state["P"] - exact)
+    n = norms(e)
+    # error.ref level 6: 8.689e-04 1.096e-03 2.714e-03
+    assert abs(float(n["first"]) - 8.689e-04) / 8.689e-04 < 0.05
+    assert abs(float(n["second"]) - 1.096e-03) / 1.096e-03 < 0.05
+
+
+def test_run_circle_from_gfs():
+    """circle.gfs (embedded solid) parses and solves with converging MG."""
+    sim = load("circle/circle.gfs", LEVEL=6, CYCLE=8, SOLVER="gerris")
+    ps = G.build_simulation(sim)
+    ps.run()
+    assert float(ps.stats.residual_after["infty"]) < \
+        1e-6 * float(ps.stats.residual_before["infty"])
+    # solid is the ellipse(0,0,0.25,0.25): fluid fraction outside
+    a = ps.state["A"]
+    area = float(jnp.sum(1.0 - a)) * ps.grid.cell_volume
+    assert abs(area - math.pi * 0.25 ** 2) / (math.pi * 0.25 ** 2) < 5e-3
+
+
+def test_expression_translation():
+    fn = G.translate_expr("(y - 0.01*cos (2.*M_PI*x))")
+    assert abs(float(fn(0.0, 0.01)) - 0.0) < 1e-12
+    fn2 = G.translate_expr(
+        "{ int k = 3, l = 3; return -M_PI*M_PI*(k*k + l*l)*sin (M_PI*k*x)*sin (M_PI*l*y); }")
+    assert abs(float(fn2(0.5 / 3, 0.5 / 3)) -
+               (-math.pi ** 2 * 18)) < 1e-9
