@@ -1,0 +1,248 @@
+"""Output/observability events.
+
+TPU-native rebuild of the reference's GfsOutput family
+(reference: src/output.c — dynamic filenames gfs_format_new:70-267,
+OutputScalarNorm/Stats/Sum, OutputErrorNorm:2791 (unbiased option),
+OutputSimulation full checkpoint:1354-1564, OutputTime, OutputTiming
+:772-830, OutputLocation probes, OutputPPM raster via src/graphic.c:600
+gfs_write_ppm).
+
+Checkpoints are a single .npz of the state pytree + time metadata (the
+reference's checkpoint is the .gfs dump itself re-read by the parser;
+ours is the state dict re-loadable into a Simulation — resume = load()).
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time as _time
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .events import Event
+from ..ops.stencils import norms, unbiased_error
+
+
+class OutputScalarNorm(Event):
+    """L1/L2/Linf of a field or expression each firing.
+    Reference: src/output.c OutputScalarNorm."""
+
+    def __init__(self, v, file=None, sink: Optional[Callable] = None, **kw):
+        super().__init__(name=f"OutputScalarNorm({v})", **kw)
+        self.v = v
+        self.file = file
+        self.sink = sink
+        self.rows = []
+
+    def _value(self, sim):
+        if callable(self.v):
+            return self.v(sim)
+        return sim.state[self.v]
+
+    def fire(self, sim, t, i):
+        super().fire(sim, t, i)
+        n = norms(self._value(sim))
+        row = (sim.time.t, float(n["first"]), float(n["second"]),
+               float(n["infty"]))
+        self.rows.append(row)
+        if self.sink:
+            self.sink(sim, row)
+        if self.file:
+            with open(self.file, "a") as f:
+                f.write("%s time: %g first: %g second: %g infty: %g\n"
+                        % (self.name, *row))
+
+
+class OutputScalarSum(OutputScalarNorm):
+    """Volume integral of a field/expression (src/output.c OutputScalarSum)."""
+
+    def fire(self, sim, t, i):
+        Event.fire(self, sim, t, i)
+        v = self._value(sim)
+        s = float(jnp.sum(v)) * sim.cfg.grid.cell_volume
+        self.rows.append((sim.time.t, s))
+        if self.sink:
+            self.sink(sim, (sim.time.t, s))
+        if self.file:
+            with open(self.file, "a") as f:
+                f.write("%s time: %g sum: %.12g\n" % (self.name, sim.time.t, s))
+
+
+class OutputErrorNorm(Event):
+    """Norms of (field - reference solution), optionally unbiased.
+    Reference: src/output.c:2791 OutputErrorNorm."""
+
+    def __init__(self, v: str, solution: Callable, unbiased: bool = False,
+                 file=None, **kw):
+        super().__init__(name=f"OutputErrorNorm({v})", **kw)
+        self.v = v
+        self.solution = solution
+        self.unbiased = unbiased
+        self.file = file
+        self.rows = []
+
+    def fire(self, sim, t, i):
+        super().fire(sim, t, i)
+        grid = sim.cfg.grid
+        exact = self.solution(*grid.centers, sim.time.t) \
+            if self.solution.__code__.co_argcount >= grid.dim + 1 \
+            else self.solution(*grid.centers)
+        e = sim.state[self.v] - exact
+        if self.unbiased:
+            e = unbiased_error(e)
+        n = norms(e)
+        row = (sim.time.t, float(n["first"]), float(n["second"]),
+               float(n["infty"]))
+        self.rows.append(row)
+        if self.file:
+            with open(self.file, "a") as f:
+                f.write("%s time: %g first: %g second: %g infty: %g\n"
+                        % (self.name, *row))
+
+
+class OutputTime(Event):
+    """Reference: src/output.c OutputTime (t, i, wall-clock)."""
+
+    def __init__(self, file=None, **kw):
+        super().__init__(name="OutputTime", **kw)
+        self.file = file
+        self.t0 = _time.time()
+
+    def fire(self, sim, t, i):
+        super().fire(sim, t, i)
+        line = ("step: %d t: %.6f dt: %g cpu: %.2f\n"
+                % (sim.time.i, sim.time.t, sim.dt or 0.0,
+                   _time.time() - self.t0))
+        if self.file:
+            with open(self.file, "a") as f:
+                f.write(line)
+        else:
+            sys.stderr.write(line)
+
+
+class OutputLocation(Event):
+    """Interpolated field values at probe points
+    (src/output.c OutputLocation)."""
+
+    def __init__(self, variables, points, file=None, **kw):
+        super().__init__(name="OutputLocation", **kw)
+        self.variables = variables
+        self.points = np.atleast_2d(np.asarray(points, float))
+        self.file = file
+        self.rows = []
+
+    def fire(self, sim, t, i):
+        super().fire(sim, t, i)
+        vals = {v: np.atleast_1d(sim.interpolate(v, self.points))
+                for v in self.variables}
+        for k, pt in enumerate(self.points):
+            row = [sim.time.t, *pt] + [float(vals[v][k])
+                                       for v in self.variables]
+            self.rows.append(row)
+            if self.file:
+                with open(self.file, "a") as f:
+                    f.write(" ".join("%g" % x for x in row) + "\n")
+
+
+class OutputSimulation(Event):
+    """Full checkpoint: state + time metadata as .npz
+    (reference: src/output.c:1354-1564 OutputSimulation — the dump IS the
+    restart file there; here ``load`` restores into a Simulation)."""
+
+    def __init__(self, file: str, **kw):
+        super().__init__(name="OutputSimulation", **kw)
+        self.file = file
+
+    def fire(self, sim, t, i):
+        super().fire(sim, t, i)
+        save_checkpoint(self.file.format(t=sim.time.t, i=sim.time.i), sim)
+
+
+def save_checkpoint(path: str, sim):
+    arrays = {k: np.asarray(v) for k, v in sim.state.items()}
+    meta = {"t": sim.time.t, "i": sim.time.i, "end": sim.time.end,
+            "iend": min(sim.time.iend, 2 ** 31), "dtmax": sim.time.dtmax
+            if math.isfinite(sim.time.dtmax) else -1.0}
+    np.savez(path, __meta__=json.dumps(meta), **arrays)
+
+
+def load_checkpoint(path: str, sim):
+    """Restore state+time into an existing Simulation (resume = run())."""
+    data = np.load(path, allow_pickle=False)
+    meta = json.loads(str(data["__meta__"]))
+    sim.state = {k: jnp.asarray(data[k]) for k in data.files
+                 if k != "__meta__"}
+    sim.time.t = meta["t"]
+    sim.time.i = meta["i"]
+    if meta["dtmax"] > 0:
+        sim.time.dtmax = meta["dtmax"]
+    return sim
+
+
+class OutputPPM(Event):
+    """Colormapped PPM raster of a scalar field (reference:
+    src/graphic.c:600 gfs_write_ppm via src/output.c OutputPPM)."""
+
+    def __init__(self, v, file: str, vmin=None, vmax=None, **kw):
+        super().__init__(name=f"OutputPPM({v})", **kw)
+        self.v = v
+        self.file = file
+        self.vmin = vmin
+        self.vmax = vmax
+
+    def fire(self, sim, t, i):
+        super().fire(sim, t, i)
+        f = np.asarray(self._value(sim)) if callable(self.v) else \
+            np.asarray(sim.state[self.v])
+        write_ppm(self.file.format(t=sim.time.t, i=sim.time.i), f,
+                  self.vmin, self.vmax)
+
+    def _value(self, sim):
+        return self.v(sim)
+
+
+def write_ppm(path: str, f: np.ndarray, vmin=None, vmax=None):
+    """Jet-like colormap PPM (the reference's default colormap,
+    src/graphic.c)."""
+    vmin = float(np.min(f)) if vmin is None else vmin
+    vmax = float(np.max(f)) if vmax is None else vmax
+    x = (f - vmin) / max(vmax - vmin, 1e-300)
+    x = np.clip(x, 0.0, 1.0)
+    r = np.clip(1.5 - np.abs(4 * x - 3), 0, 1)
+    g = np.clip(1.5 - np.abs(4 * x - 2), 0, 1)
+    b = np.clip(1.5 - np.abs(4 * x - 1), 0, 1)
+    img = (np.stack([r, g, b], axis=-1) * 255).astype(np.uint8)
+    # image convention: y up -> row 0 at top
+    img = np.transpose(img, (1, 0, 2))[::-1]
+    with open(path, "wb") as fp:
+        fp.write(b"P6\n%d %d\n255\n" % (img.shape[1], img.shape[0]))
+        fp.write(img.tobytes())
+
+
+class OutputTiming(Event):
+    """Performance report from the simulation's timer registry
+    (reference: src/output.c:772-830 OutputTiming + the per-phase timer
+    hash src/domain.h:50-61)."""
+
+    def __init__(self, file=None, **kw):
+        super().__init__(name="OutputTiming", **kw)
+        self.file = file
+
+    def fire(self, sim, t, i):
+        super().fire(sim, t, i)
+        lines = ["# Timing summary (seconds)"]
+        for name, (total, count) in sorted(
+                getattr(sim, "timers", {}).items(),
+                key=lambda kv: -kv[1][0]):
+            lines.append("  %-28s %10.3f  (%d calls, %.2f ms/call)"
+                         % (name, total, count, 1e3 * total / max(count, 1)))
+        text = "\n".join(lines) + "\n"
+        if self.file:
+            with open(self.file, "a") as f:
+                f.write(text)
+        else:
+            sys.stderr.write(text)

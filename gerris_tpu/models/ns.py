@@ -65,6 +65,7 @@ class NSConfig:
         tolerance=1e-3, nitermax=100)
     nu: float = 0.0                   # kinematic viscosity (SourceDiffusion)
     beta: float = 1.0                 # diffusion implicitness (ref default 1)
+    diffusion_params: poisson.MultilevelParams = None  # None = cheap default
     tracers: tuple = ()               # (name, FieldBC, diffusivity) triples
     # VOF interface tracking (GfsVariableTracerVOF(Height), src/vof.c)
     vof_tracers: tuple = ()           # (name, FieldBC) pairs
@@ -145,6 +146,7 @@ def velocity_advection_diffusion(U: list, uf: list, gmac: list, g_prev,
             rr = 1.0 if rho is None else rho
             v_new, _ = diff.diffuse(U[c], grid, cfg.u_bcs[c], dt, cfg.nu,
                                     rho=rr, beta=cfg.beta,
+                                    params=cfg.diffusion_params,
                                     extra_rhs=(rr * fv if rho is not None
                                                else fv), t=t)
         else:
@@ -165,6 +167,7 @@ def advect_tracer(T: jnp.ndarray, name_bc_D, uf: list, grid: Grid,
     fv = adv.flux_divergence(v_faces, uf, grid, dt)
     if D and D > 0.0:
         T_new, _ = diff.diffuse(T, grid, fbc, dt, D, beta=cfg.beta,
+                                params=cfg.diffusion_params,
                                 extra_rhs=fv, t=t)
     else:
         T_new = T + fv
@@ -230,8 +233,9 @@ def tension_sources(state: dict, cfg: NSConfig, t, alpha=None):
     return srcs
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "cstart"))
-def ns_step(state: dict, dt, t, cfg: NSConfig, cstart: int = 0) -> dict:
+@functools.partial(jax.jit, static_argnames=("cfg", "cstart", "first_step"))
+def ns_step(state: dict, dt, t, cfg: NSConfig, cstart: int = 0,
+            first_step: bool = False) -> dict:
     """One full time step.  ``state`` keys: U,V(,W), P, Pmac, Gx,Gy(,Gz),
     tracers, VOF tracers.  ``cstart``: rotating first sweep direction for
     VOF advection (reference: src/vof.c:1648,1721)."""
@@ -253,7 +257,11 @@ def ns_step(state: dict, dt, t, cfg: NSConfig, cstart: int = 0) -> dict:
         uf, state["Pmac"], grid, cfg.p_bc, dt / 2.0, cfg.projection,
         alpha=alpha, face_sources=fs, t=t)
 
-    # 3. centred advection + diffusion (momentum rhs includes -dt*g_prev)
+    # 3. centred advection + diffusion (momentum rhs includes -dt*g_prev);
+    # at i==0 the gc gradient role is played by this step's gmac
+    # (reference: src/simulation.c:514-521 'time.i > 0 ? gc : gmac')
+    if gc and first_step:
+        g_prev = gmac
     sources = None
     if cfg.particle_coupling:
         sources = [state["PF" + ax] for ax in ("x", "y", "z")[:dim]]
@@ -294,15 +302,17 @@ def ns_step(state: dict, dt, t, cfg: NSConfig, cstart: int = 0) -> dict:
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def initial_projection(state: dict, dt, t, cfg: NSConfig) -> dict:
     """i==0 approximate projection making the initial field divergence-free
-    and seeding the gc gradient (reference: src/simulation.c:466-474;
-    includes the tension face sources and variable density like any
-    projection)."""
+    and seeding the gc gradient (reference: src/simulation.c:466-474).
+    Tension face sources are deliberately NOT applied here: in the
+    reference the curvature variable has not been evaluated yet at init
+    time, so tension_coeff sees undefined kappa and contributes nothing
+    (src/poisson.c:929-936); matching that reproduces the capwave
+    convergence table, seeding tension here does not."""
     names = velocity_names(cfg.dim)
     U = [state[n] for n in names]
     rho_c, alpha = density_fields(state, cfg, t)
-    fs = tension_sources(state, cfg, t, alpha=alpha)
     U, _, p, g_cell, _ = _approx(U, state["P"], cfg, dt, t,
-                                 alpha=alpha, face_sources=fs)
+                                 alpha=alpha, face_sources=None)
     new = dict(state)
     for c, n in enumerate(names):
         new[n] = U[c]

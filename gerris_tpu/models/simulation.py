@@ -52,6 +52,22 @@ class Simulation:
         self.stop = False
         self.dt = None
         self._tnext = None
+        # named wall-clock timers (reference: gfs_domain_timer_start/stop
+        # hash, src/domain.h:50-61; reported by OutputTiming)
+        self.timers = {}
+
+    def _timed(self, name, fn, *args, **kw):
+        import time as _t
+        t0 = _t.perf_counter()
+        out = fn(*args, **kw)
+        try:
+            import jax
+            jax.block_until_ready(out)
+        except Exception:
+            pass
+        total, count = self.timers.get(name, (0.0, 0))
+        self.timers[name] = (total + _t.perf_counter() - t0, count + 1)
+        return out
 
     # -- setup ---------------------------------------------------------------
     def init(self, **fields):
@@ -112,8 +128,8 @@ class Simulation:
 
     def do_end_events(self):
         for e in self.events:
-            if e.at_end and e.action is not None:
-                e.action(self)
+            if e.at_end:
+                e.fire(self, self.time.t, self.time.i)
 
     # -- main loop -------------------------------------------------------
     def run(self, max_steps: Optional[int] = None):
@@ -137,8 +153,10 @@ class Simulation:
                 psys.step(self)
             self.prev_state = {n: self.state[n]
                                for n in ns.velocity_names(cfg.grid.dim)}
-            self.state = ns.ns_step(self.state, self.dt, self.time.t, cfg,
-                                    cstart=self.time.i % cfg.grid.dim)
+            self.state = self._timed(
+                "step", ns.ns_step, self.state, self.dt, self.time.t, cfg,
+                cstart=self.time.i % cfg.grid.dim,
+                first_step=(self.time.i == 0))
             self.time.t = self._tnext
             self.time.i += 1
             self.set_timestep()

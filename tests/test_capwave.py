@@ -61,7 +61,9 @@ def run_level(level):
         vof_tracers=(("T", tbc),), tension=(("T", SIGMA),),
         projection=poisson.MultilevelParams(tolerance=1e-6, nitermax=100),
         approx_projection=poisson.MultilevelParams(tolerance=1e-6,
-                                                   nitermax=100))
+                                                   nitermax=100),
+        diffusion_params=poisson.MultilevelParams(tolerance=1e-6,
+                                                  nitermax=20))
     samples = []
 
     def record(sim):
