@@ -223,6 +223,67 @@ def write_ppm(path: str, f: np.ndarray, vmin=None, vmax=None):
         fp.write(img.tobytes())
 
 
+class OutputProjectionStats(Event):
+    """Projection residual report: recompute the MAC divergence residual of
+    the current centred field (reference: src/output.c
+    OutputProjectionStats printing niter + residual norms via
+    gfs_multilevel_params_stats_write src/poisson.c:142)."""
+
+    def __init__(self, file=None, **kw):
+        super().__init__(name="OutputProjectionStats", **kw)
+        self.file = file
+        self.rows = []
+
+    def fire(self, sim, t, i):
+        super().fire(sim, t, i)
+        from ..solvers.projection import face_interpolated_velocity
+        from ..ops.stencils import divergence
+        from ..models import ns as _ns
+
+        grid = sim.cfg.grid
+        U = [sim.state[n] for n in _ns.velocity_names(grid.dim)]
+        uf = face_interpolated_velocity(U, grid, list(sim.cfg.u_bcs),
+                                        t=sim.time.t)
+        div = divergence(uf, grid)
+        n = norms(div)
+        row = (sim.time.t, float(n["first"]), float(n["second"]),
+               float(n["infty"]))
+        self.rows.append(row)
+        line = ("residual.infty: %g first: %g second: %g t: %g\n"
+                % (row[3], row[1], row[2], row[0]))
+        if self.file:
+            with open(self.file, "a") as f:
+                f.write(line)
+        else:
+            sys.stderr.write(line)
+
+
+class OutputDropletSums(Event):
+    """Per-droplet volume sums of a VOF tracer (reference: src/output.c
+    OutputDropletSums via gfs_domain_tag_droplets)."""
+
+    def __init__(self, v: str, file=None, **kw):
+        super().__init__(name=f"OutputDropletSums({v})", **kw)
+        self.v = v
+        self.file = file
+        self.rows = []
+
+    def fire(self, sim, t, i):
+        super().fire(sim, t, i)
+        from ..physics import droplets
+
+        grid = sim.cfg.grid
+        labels, n = droplets.tag_droplets(sim.state[self.v])
+        counts, vol, cent, _ = droplets.droplet_stats(
+            sim.state[self.v], labels, n, grid)
+        for k in range(n):
+            row = (sim.time.t, k + 1, float(vol[k]))
+            self.rows.append(row)
+            if self.file:
+                with open(self.file, "a") as f:
+                    f.write("%g %d %.12g\n" % row)
+
+
 class OutputTiming(Event):
     """Performance report from the simulation's timer registry
     (reference: src/output.c:772-830 OutputTiming + the per-phase timer

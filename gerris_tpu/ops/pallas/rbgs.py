@@ -28,8 +28,8 @@ GP = 8    # row alignment pad (f32 sublane)
 CP = 128  # column alignment pad (lane width; DMA destinations must align)
 
 
-def _kernel(u_hbm, rhs_hbm, out_ref, ub, rb, sem, *, n0, n1, S, H,
-            nsweeps, h2, dia, sgn_x_lo, sgn_x_hi, sgn_y_lo, sgn_y_hi,
+def _kernel(u_hbm, rhs_hbm, dia_ref, out_ref, ub, rb, sem, *, n0, n1, S, H,
+            nsweeps, h2, sgn_x_lo, sgn_x_hi, sgn_y_lo, sgn_y_hi,
             omega):
     s = pl.program_id(0)
     # multiple_of: S, H, n0 are all multiples of the 8-row sublane, and
@@ -53,7 +53,7 @@ def _kernel(u_hbm, rhs_hbm, out_ref, ub, rb, sem, *, n0, n1, S, H,
     red = ((rows + cols) % 2) == 0
     first = start == 0
     last = start + W == n0
-    denom = 4.0 + dia * h2
+    denom = 4.0 + dia_ref[0, 0] * h2
     lo, hi = GP, GP + W  # interior rows of the buffer
 
     cl, ch = CP, CP + n1  # interior columns of the buffer
@@ -78,8 +78,8 @@ def _kernel(u_hbm, rhs_hbm, out_ref, ub, rb, sem, *, n0, n1, S, H,
     out_ref[:, :] = ub[pl.ds(GP + off, S), cl:ch]
 
 
-def _residual_kernel(u_hbm, rhs_hbm, out_ref, ub, rb, sem, *, n0, n1, S,
-                     h2, dia, sgn_x_lo, sgn_x_hi, sgn_y_lo, sgn_y_hi):
+def _residual_kernel(u_hbm, rhs_hbm, dia_ref, out_ref, ub, rb, sem, *, n0,
+                     n1, S, h2, sgn_x_lo, sgn_x_hi, sgn_y_lo, sgn_y_hi):
     """r = rhs - (sum(neighbors) - 4 u)/h2 + dia*u, one strip pass.
     Reference: residual_set2D src/poisson.c:657."""
     s = pl.program_id(0)
@@ -131,26 +131,27 @@ def _residual_kernel(u_hbm, rhs_hbm, out_ref, ub, rb, sem, *, n0, n1, S,
     c = ub[lo:hi, cl:ch]
     nb = (ub[lo - 1:hi - 1, cl:ch] + ub[lo + 1:hi + 1, cl:ch] +
           ub[lo:hi, cl - 1:ch - 1] + ub[lo:hi, cl + 1:ch + 1])
-    out_ref[:, :] = rb[pl.ds(0, W), :] - (nb - 4.0 * c) / h2 + dia * c
+    out_ref[:, :] = rb[pl.ds(0, W), :] - (nb - 4.0 * c) / h2 + dia_ref[0, 0] * c
 
 
-@functools.partial(jax.jit, static_argnames=("S", "signs", "h2", "dia"))
-def residual_pallas(u: jnp.ndarray, rhs: jnp.ndarray, *, h2: float,
-                    dia: float = 0.0, signs=(-1.0, -1.0, -1.0, -1.0),
-                    S: int = 256):
+@functools.partial(jax.jit, static_argnames=("S", "signs", "h2"))
+def residual_pallas(u: jnp.ndarray, rhs: jnp.ndarray, dia=0.0, *, h2: float,
+                    signs=(-1.0, -1.0, -1.0, -1.0), S: int = 256):
     n0, n1 = u.shape
     if n0 % S:
         S = n0
     nstrips = n0 // S
     sx_lo, sx_hi, sy_lo, sy_hi = signs
     kern = functools.partial(
-        _residual_kernel, n0=n0, n1=n1, S=S, h2=h2, dia=dia,
+        _residual_kernel, n0=n0, n1=n1, S=S, h2=h2,
         sgn_x_lo=sx_lo, sgn_x_hi=sx_hi, sgn_y_lo=sy_lo, sgn_y_hi=sy_hi)
+    dia_arr = jnp.asarray(dia, u.dtype).reshape(1, 1)
     return pl.pallas_call(
         kern,
         grid=(nstrips,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+                  pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec((S, n1), lambda s: (s, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n0, n1), u.dtype),
@@ -159,15 +160,18 @@ def residual_pallas(u: jnp.ndarray, rhs: jnp.ndarray, *, h2: float,
             pltpu.VMEM((S, n1), u.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-    )(u, rhs)
+    )(u, rhs, dia_arr)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "nsweeps", "S", "signs", "omega", "h2", "dia"))
-def rbgs_relax(u: jnp.ndarray, rhs: jnp.ndarray, *, nsweeps: int, h2: float,
-               dia: float = 0.0, signs=(-1.0, -1.0, -1.0, -1.0),
+    "nsweeps", "S", "signs", "omega", "h2"))
+def rbgs_relax(u: jnp.ndarray, rhs: jnp.ndarray, dia=0.0, *, nsweeps: int,
+               h2: float, signs=(-1.0, -1.0, -1.0, -1.0),
                omega: float = 1.0, S: int = 64):
-    """nsweeps of RBGS on the 5-point Laplacian with homogeneous BCs.
+    """nsweeps of RBGS on the 5-point Laplacian + scalar dia term, with
+    homogeneous BCs.  ``dia`` is a runtime scalar (it carries the traced
+    1/(beta dt D) coefficient of the diffusion system, so it must NOT be a
+    compile-time constant).
 
     signs = (x_lo, x_hi, y_lo, y_hi) ghost multipliers (-1 Dirichlet,
     +1 Neumann)."""
@@ -181,14 +185,16 @@ def rbgs_relax(u: jnp.ndarray, rhs: jnp.ndarray, *, nsweeps: int, h2: float,
     sx_lo, sx_hi, sy_lo, sy_hi = signs
 
     kern = functools.partial(
-        _kernel, n0=n0, n1=n1, S=S, H=H, nsweeps=nsweeps, h2=h2, dia=dia,
+        _kernel, n0=n0, n1=n1, S=S, H=H, nsweeps=nsweeps, h2=h2,
         sgn_x_lo=sx_lo, sgn_x_hi=sx_hi, sgn_y_lo=sy_lo, sgn_y_hi=sy_hi,
         omega=omega)
+    dia_arr = jnp.asarray(dia, u.dtype).reshape(1, 1)
     return pl.pallas_call(
         kern,
         grid=(nstrips,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+                  pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec((S, n1), lambda s: (s, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n0, n1), u.dtype),
@@ -197,4 +203,4 @@ def rbgs_relax(u: jnp.ndarray, rhs: jnp.ndarray, *, nsweeps: int, h2: float,
             pltpu.VMEM((W, n1), u.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-    )(u, rhs)
+    )(u, rhs, dia_arr)

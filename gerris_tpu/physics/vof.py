@@ -157,13 +157,34 @@ def is_full(f):
     return (f <= FULL_TOL) | (f >= 1.0 - FULL_TOL)
 
 
-def _face_flux_1d(f_pad, mx_pad, my_pad, un, axis):
+def _band_fraction(donor_f, m1, m2, ap, neg_axis_m, neg_trans_m, uni,
+                   axis, b0, b1):
+    """Fluid fraction of the upwind slab of width |uni| restricted to the
+    transverse band [b0, b1] of the donor cell (positive-normal frame;
+    reflections of the slab/band handle the original normal signs)."""
+    cfl = jnp.abs(uni)
+    s0 = jnp.where(uni > 0.0, 1.0 - cfl, 0.0)
+    s1 = jnp.where(uni > 0.0, 1.0, cfl)
+    r0 = jnp.where(neg_axis_m, 1.0 - s1, s0)
+    r1 = jnp.where(neg_axis_m, 1.0 - s0, s1)
+    t0 = jnp.where(neg_trans_m, 1.0 - b1, b0)
+    t1 = jnp.where(neg_trans_m, 1.0 - b0, b1)
+    if axis == 0:
+        frac = rectangle_fraction(m1, m2, ap, r0, r1, t0, t1)
+    else:
+        frac = rectangle_fraction(m1, m2, ap, t0, t1, r0, r1)
+    return jnp.where(is_full(donor_f), jnp.clip(donor_f, 0.0, 1.0), frac)
+
+
+def _face_flux_1d(f_pad, mx_pad, my_pad, un, axis, dun=None, bands=4):
     """Geometric fluid flux (fraction * CFL) through each face of ``axis``.
 
     Inputs on the 1-ghost padded cell layout; ``un`` = u_face dt / h with
-    face shape.  Reference: vof_flux src/vof.c:1476-1577 (single-band
-    variant; the 4-band sub-face velocity refinement is an accuracy
-    refinement applied at interfacial faces in the reference)."""
+    face shape; ``dun`` = transverse velocity-gradient increment dt*du
+    (face shape) enabling the reference's sub-face band refinement at
+    interfacial faces.  Reference: vof_flux src/vof.c:1476-1577 (n=4
+    horizontal bands with linearly interpolated band velocities at
+    interfacial faces, one band elsewhere)."""
     n = f_pad.shape[axis]
     lo = [slice(None)] * f_pad.ndim
     lo[axis] = slice(0, n - 1)
@@ -179,38 +200,35 @@ def _face_flux_1d(f_pad, mx_pad, my_pad, un, axis):
     mxL, mxR = cr(mx_pad)[tuple(lo)], cr(mx_pad)[tuple(hi)]
     myL, myR = cr(my_pad)[tuple(lo)], cr(my_pad)[tuple(hi)]
 
-    # donor cell and upwind slab in donor-local coordinates
-    donor_f = jnp.where(un > 0.0, fL, fR)
-    donor_mx = jnp.where(un > 0.0, mxL, mxR)
-    donor_my = jnp.where(un > 0.0, myL, myR)
-    a = reconstruct_alpha(donor_f, donor_mx, donor_my)
-    m1, m2, ap = positive_normal(donor_mx, donor_my, a)
-    cfl = jnp.abs(un)
-    # slab along `axis`: [1-cfl, 1] if un>0 (right edge of the left donor),
-    # [0, cfl] if un<0 (left edge of the right donor) — but in the
-    # positive-normal frame reflections already folded signs into alpha,
-    # EXCEPT the slab position must be reflected when m was negative.
-    # Work instead in the original frame by reflecting the slab:
-    # fraction of slab S of donor = rectangle_fraction with the
-    # positive-frame slab coordinates obtained by reflecting S when the
-    # corresponding m component was negative.
-    if axis == 0:
-        s0 = jnp.where(un > 0.0, 1.0 - cfl, 0.0)
-        s1 = jnp.where(un > 0.0, 1.0, cfl)
-        neg = donor_mx < 0.0
-        r0 = jnp.where(neg, 1.0 - s1, s0)
-        r1 = jnp.where(neg, 1.0 - s0, s1)
-        frac = rectangle_fraction(m1, m2, ap, r0, r1, 0.0, 1.0)
-    else:
-        s0 = jnp.where(un > 0.0, 1.0 - cfl, 0.0)
-        s1 = jnp.where(un > 0.0, 1.0, cfl)
-        neg = donor_my < 0.0
-        r0 = jnp.where(neg, 1.0 - s1, s0)
-        r1 = jnp.where(neg, 1.0 - s0, s1)
-        frac = rectangle_fraction(m1, m2, ap, 0.0, 1.0, r0, r1)
-    frac = jnp.where(is_full(donor_f), jnp.clip(donor_f, 0.0, 1.0), frac)
-    flux = frac * un                    # signed fraction-flux
-    return flux
+    def donor_quantities(upos):
+        donor_f = jnp.where(upos, fL, fR)
+        donor_mx = jnp.where(upos, mxL, mxR)
+        donor_my = jnp.where(upos, myL, myR)
+        a = reconstruct_alpha(donor_f, donor_mx, donor_my)
+        m1, m2, ap = positive_normal(donor_mx, donor_my, a)
+        neg_ax = (donor_mx if axis == 0 else donor_my) < 0.0
+        neg_tr = (donor_my if axis == 0 else donor_mx) < 0.0
+        return donor_f, m1, m2, ap, neg_ax, neg_tr
+
+    # single-band flux (non-interfacial faces)
+    dq = donor_quantities(un > 0.0)
+    frac1 = _band_fraction(*dq, un, axis, 0.0, 1.0)
+    flux = frac1 * un
+
+    if dun is None or bands <= 1:
+        return flux
+
+    # banded flux at interfacial faces (reference: n=4, band velocity
+    # uni = un + (1-n+2j) dun / (2n), vof.c:1509-1530)
+    flux_b = 0.0
+    for j in range(bands):
+        uni = un + (1 - bands + 2 * j) * dun / (2.0 * bands)
+        dqj = donor_quantities(uni > 0.0)
+        fracj = _band_fraction(*dqj, uni, axis,
+                               j / bands, (j + 1) / bands)
+        flux_b = flux_b + fracj * uni / bands
+    interfacial = ~(is_full(fL) & is_full(fR))
+    return jnp.where(interfacial, flux_b, flux)
 
 
 def normals(f: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC, t=0.0):
@@ -236,7 +254,32 @@ def advect(f: jnp.ndarray, u_face: list, grid: Grid, fbc: bcs.FieldBC,
         mx, my = mycs_normals(pad2)     # on the +1 ring layout
         # mx,my have ring shape (n+2); f_pad too
         un = u_face[c] * dt / grid.h
-        flux = _face_flux_1d(f_pad, mx, my, un, c)
+        # transverse velocity-gradient increment for the band refinement
+        # (reference: grad_u src/vof.c:1595 + dun interpolation :1491)
+        o = 1 - c if dim == 2 else None
+        uf = u_face[c]
+        nfc = uf.shape[c]
+        s_lo = [slice(None)] * dim
+        s_lo[c] = slice(0, nfc - 1)
+        s_hi = [slice(None)] * dim
+        s_hi[c] = slice(1, nfc)
+        ucm = 0.5 * (uf[tuple(s_lo)] + uf[tuple(s_hi)])   # cell means
+        ue = jnp.pad(ucm, [(1, 1)] * dim, mode="edge")
+        sl = [slice(1, s - 1) for s in ue.shape]
+        slo = list(sl)
+        slo[o] = slice(0, ue.shape[o] - 2)
+        shi = list(sl)
+        shi[o] = slice(2, ue.shape[o])
+        du_cell = (ue[tuple(shi)] - ue[tuple(slo)]) / (2.0 * grid.h)
+        dup = jnp.pad(du_cell, [(1, 1) if a == c else (0, 0)
+                                for a in range(dim)], mode="edge")
+        nf2 = dup.shape[c]
+        f_lo = [slice(None)] * dim
+        f_lo[c] = slice(0, nf2 - 1)
+        f_hi = [slice(None)] * dim
+        f_hi[c] = slice(1, nf2)
+        dun = 0.5 * (dup[tuple(f_lo)] + dup[tuple(f_hi)]) * dt
+        flux = _face_flux_1d(f_pad, mx, my, un, c, dun=dun if dim == 2 else None)
         n = flux.shape[c]
         hi = [slice(None)] * dim
         hi[c] = slice(1, n)

@@ -43,6 +43,7 @@ def diffuse(v: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC, dt,
         # identity-dominated, 1-2 cycles reach it
         params = poisson.MultilevelParams(tolerance=1e-3, nitermax=10)
     dim = grid.dim
+    scalar_system = jnp.ndim(D) == 0 and jnp.ndim(rho) == 0
     if jnp.ndim(D) == 0:
         alpha = tuple(jnp.full(grid.face_shape(c), D, dtype=v.dtype)
                       for c in range(dim))
@@ -50,7 +51,8 @@ def diffuse(v: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC, dt,
         alpha = tuple(D)
     alpha_imp = tuple(beta * dt * a for a in alpha)
 
-    rho_c = jnp.broadcast_to(jnp.asarray(rho, v.dtype), grid.shape)
+    rho_c = rho if scalar_system else \
+        jnp.broadcast_to(jnp.asarray(rho, v.dtype), grid.shape)
 
     rhs = rho_c * v
     if beta < 1.0:
@@ -58,6 +60,15 @@ def diffuse(v: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC, dt,
         rhs = rhs + (1.0 - beta) * dt * laplacian(v_pad, grid, alpha)
     if extra_rhs is not None:
         rhs = rhs + extra_rhs
+
+    if scalar_system:
+        # divide through by beta*dt*D: lap u - (rho/(beta dt D)) u = rhs'.
+        # Unit face coefficients + scalar dia keep the fused Pallas
+        # smoother eligible on TPU (ops/pallas/rbgs.py).
+        scale = beta * dt * D
+        v_new, stats = poisson.solve(v, -rhs / scale, grid, fbc, params,
+                                     alpha=None, dia=rho / scale, t=t)
+        return v_new, stats
 
     v_new, stats = poisson.solve(v, -rhs, grid, fbc, params,
                                  alpha=alpha_imp, dia=rho_c, t=t)

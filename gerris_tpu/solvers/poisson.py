@@ -116,8 +116,8 @@ def residual(u: jnp.ndarray, rhs: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
         signs = tuple(
             -1.0 if fbc.sides[ax][sd].kind == bcs.DIRICHLET else 1.0
             for ax in range(2) for sd in range(2))
-        d = float(dia) if dia is not None and jnp.ndim(dia) == 0 else 0.0
-        return residual_pallas(u, rhs, h2=grid.h * grid.h, dia=d, signs=signs)
+        d = dia if dia is not None else 0.0
+        return residual_pallas(u, rhs, d, h2=grid.h * grid.h, signs=signs)
     u_pad = bcs.apply_bc(u, grid, fbc, 1, homogeneous=homogeneous, t=t)
     num, den = _neighbor_sums(u_pad, alpha, grid.dim)
     h2 = grid.h * grid.h
@@ -169,8 +169,8 @@ def relax(u: jnp.ndarray, rhs: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
         signs = tuple(
             -1.0 if fbc.sides[ax][sd].kind == bcs.DIRICHLET else 1.0
             for ax in range(2) for sd in range(2))
-        d = float(dia) if dia is not None and jnp.ndim(dia) == 0 else 0.0
-        return rbgs_relax(u, rhs, nsweeps=nsweeps, h2=h2, dia=d,
+        d = dia if dia is not None else 0.0
+        return rbgs_relax(u, rhs, d, nsweeps=nsweeps, h2=h2,
                           signs=signs, omega=omega)
     red = _checkerboard(u.shape)
     d = 0.0 if dia is None else dia
@@ -278,8 +278,11 @@ def _coeff_hierarchy(grid: Grid, minlevel: int, alpha, dia):
     alphas = [alpha]
     dias = [dia]
     for _ in range(grid.level - minlevel):
-        alphas.append(None if alphas[-1] is None else coarsen_face_coeff(alphas[-1], grid.dim))
-        dias.append(None if dias[-1] is None else restrict(dias[-1], grid.dim))
+        alphas.append(None if alphas[-1] is None
+                      else coarsen_face_coeff(alphas[-1], grid.dim))
+        d = dias[-1]
+        dias.append(d if d is None or jnp.ndim(d) == 0
+                    else restrict(d, grid.dim))
     return alphas, dias
 
 

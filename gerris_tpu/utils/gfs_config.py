@@ -375,18 +375,22 @@ def _parse_sim_body(sim: ParsedSim, toks, defines):
             sim.events.append(("EventStop", sched, (var, tol)))
         elif t.startswith("Output") or t in ("EventScript", "GModule",
                                              "AdaptFunction", "EventBalance"):
-            # schedule block + possibly more blocks/args: skip gracefully
+            # schedule block, then positional args / extra blocks
             j = i + 1
-            while j < n and toks[j] == "{":
-                _, j = _read_block(toks, j)
-            # skip non-block arguments until the next directive
-            while j < n and toks[j] not in "{}" and not _is_directive(toks[j]):
+            sched = {}
+            if j < n and toks[j] == "{":
+                blk, j = _read_block(toks, j)
+                sched = _kv_block(blk)
+            args = []
+            blocks = []
+            while j < n and not _is_directive(toks[j]) and toks[j] != "}":
                 if toks[j] == "{":
-                    break
-                j += 1
-                if j < n and toks[j] == "{":
-                    _, j = _read_block(toks, j)
-            sim.events.append((t, {}, None))
+                    blk, j = _read_block(toks, j)
+                    blocks.append(_kv_block(blk))
+                else:
+                    args.append(toks[j])
+                    j += 1
+            sim.events.append((t, sched, (args, blocks)))
             i = j
         else:
             i += 1
@@ -521,12 +525,63 @@ def build_simulation(sim: ParsedSim):
     time = Time(t=sim.time.get("t", 0.0), end=sim.time.get("end", math.inf),
                 iend=int(sim.time.get("iend", 2 ** 31)),
                 dtmax=sim.time.get("dtmax", math.inf))
+    from ..events import outputs as out
+
+    def schedule_kw(sched):
+        kw = {}
+        if "istep" in sched:
+            kw["istep"] = int(float(sched["istep"]))
+        if "step" in sched:
+            kw["step"] = float(sched["step"])
+        if "start" in sched:
+            kw["start"] = "end" if sched["start"] == "end" \
+                else float(sched["start"])
+        return kw
+
     events = []
     for name, sched, extra in sim.events:
         if name == "EventStop":
             var, tol = extra
             events.append(EventStop(var, tol,
-                                    istep=int(sched.get("istep", 1))))
+                                    istep=int(float(sched.get("istep", 1)))))
+            continue
+        if extra is None:
+            continue
+        args, blocks = extra
+        kw = schedule_kw(sched)
+        fileish = args[0] if args and not args[0].startswith("{") else None
+        try:
+            if name == "OutputTime":
+                events.append(out.OutputTime(file=fileish, **kw))
+            elif name == "OutputScalarNorm" and blocks:
+                v = blocks[0].get("v")
+                if v and re.match(r"^\w+$", v):
+                    events.append(out.OutputScalarNorm(v, file=fileish, **kw))
+            elif name == "OutputScalarSum" and blocks:
+                v = blocks[0].get("v")
+                if v and re.match(r"^\w+$", v):
+                    events.append(out.OutputScalarSum(v, file=fileish, **kw))
+            elif name == "OutputErrorNorm" and len(blocks) >= 2:
+                v = blocks[0].get("v")
+                sol = blocks[1].get("s")
+                if v and sol:
+                    fn = translate_expr(sol, None)
+                    events.append(out.OutputErrorNorm(
+                        v, fn, unbiased=bool(int(float(
+                            blocks[1].get("unbiased", "0")))),
+                        file=fileish, **kw))
+            elif name == "OutputSimulation" and fileish:
+                events.append(out.OutputSimulation(
+                    fileish if fileish.endswith(".npz")
+                    else fileish + ".npz", **kw))
+            elif name == "OutputPPM" and blocks:
+                v = blocks[0].get("v")
+                if v and fileish and re.match(r"^\w+$", v):
+                    events.append(out.OutputPPM(v, fileish, **kw))
+            # OutputLocation / pipes / EventScript / GModule / AdaptFunction
+            # are intentionally skipped (shell sinks & AMR events)
+        except Exception:
+            pass
     s = Simulation(cfg, time=time, events=events)
     fields = {}
     for var, fn in sim.inits.items():

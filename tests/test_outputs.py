@@ -106,3 +106,28 @@ def test_droplet_tagging_and_conversion():
     vol_err = abs(float(jnp.sum(f3) - jnp.sum(f2)) * grid.cell_volume
                   - plist[0]["vol"]) / plist[0]["vol"]
     assert vol_err < 0.05
+
+
+def test_projection_stats_and_droplet_sums():
+    sim = tg_sim(t_end=0.03)
+    ps = out.OutputProjectionStats(istep=2, file="/dev/null")
+    sim.events.append(ps)
+    sim.run()
+    assert len(ps.rows) >= 1
+    # the MAC divergence of the interpolated centred field is O(h^2), small
+    assert ps.rows[-1][3] < 10.0
+
+    from gerris_tpu.physics import vof as vof2
+    grid = sim.cfg.grid
+    f = (vof2.fraction_from_levelset(grid, lambda x, y: 0.1 ** 2 - x * x - y * y)
+         + vof2.fraction_from_levelset(
+             grid, lambda x, y: 0.05 ** 2 - (x - 0.3) ** 2 - (y - 0.3) ** 2))
+    sim.state["T"] = f
+    ev = out.OutputDropletSums("T", istep=1)
+    ev.fire(sim, sim.time.t, sim.time.i)
+    assert len(ev.rows) == 2
+    vols = sorted(r[2] for r in ev.rows)
+    import math as m
+    # tg_sim's grid is only 16^2: the R=0.1 droplet spans ~3 cells, so the
+    # linearized fractions carry O(10%) volume error here
+    assert abs(vols[1] - m.pi * 0.01) / (m.pi * 0.01) < 0.2
