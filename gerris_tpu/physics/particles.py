@@ -311,6 +311,39 @@ def volume_fraction_field(p: dict, grid: Grid, cfg: ParticleConfig):
     return deposit(p["vol"], p, grid, cfg)
 
 
+def feed_particles(p: dict, pos, vel=None, vol=1e-6, mass=None,
+                   rho_p: float = 1.0):
+    """Inject new particles into free slots of the fixed-capacity state
+    (GfsFeedParticle, modules/particulatecommon.c:2377-2640).  Silently
+    drops injections beyond capacity (the reference grows its list; the
+    fixed-capacity design trades that for static shapes)."""
+    pos = jnp.atleast_2d(jnp.asarray(pos, p["pos"].dtype))
+    k = pos.shape[0]
+    vel = jnp.zeros_like(pos) if vel is None else \
+        jnp.atleast_2d(jnp.asarray(vel, p["pos"].dtype))
+    vol = jnp.broadcast_to(jnp.asarray(vol, p["vol"].dtype), (k,))
+    mass = rho_p * vol if mass is None else \
+        jnp.broadcast_to(jnp.asarray(mass, p["mass"].dtype), (k,))
+    # first k free slots (injections beyond the free count are dropped)
+    cap = p["alive"].shape[0]
+    free = jnp.where(~p["alive"], jnp.arange(cap), cap)
+    freesorted = jnp.sort(free)
+    sel = jnp.arange(k)
+    order = jnp.where(sel < cap, freesorted[jnp.clip(sel, 0, cap - 1)], cap)
+    ok = order < cap
+    idx = jnp.where(ok, order, 0)
+    new = dict(p)
+    new["pos"] = p["pos"].at[idx].set(jnp.where(ok[:, None], pos,
+                                                p["pos"][idx]))
+    new["vel"] = p["vel"].at[idx].set(jnp.where(ok[:, None], vel,
+                                                p["vel"][idx]))
+    new["vol"] = p["vol"].at[idx].set(jnp.where(ok, vol, p["vol"][idx]))
+    new["mass"] = p["mass"].at[idx].set(jnp.where(ok, mass, p["mass"][idx]))
+    new["alive"] = p["alive"].at[idx].set(jnp.where(ok, True,
+                                                    p["alive"][idx]))
+    return new
+
+
 def reaction_force_fields(total_force: jnp.ndarray, p: dict, grid: Grid,
                           cfg: ParticleConfig):
     """Momentum source on the fluid = minus the hydrodynamic force on the

@@ -95,6 +95,108 @@ def positive_normal(mx, my, alpha):
 
 
 # ---------------------------------------------------------------------------
+# 3D plane geometry (reference: gfs_plane_volume src/vof.c:288,
+# gfs_plane_alpha:344 — Scardovelli & Zaleski closed forms; the inverse
+# here is a vectorized bisection, exact to f64 roundoff in 40 steps)
+# ---------------------------------------------------------------------------
+
+def plane_volume_positive(m1, m2, m3, alpha):
+    """Fluid volume fraction of the unit cube below m.x = alpha, for
+    m >= 0 with m1+m2+m3 = 1 (inclusion-exclusion closed form)."""
+    a = jnp.clip(alpha, 0.0, 1.0)
+
+    def p3(x):
+        return jnp.maximum(x, 0.0) ** 3
+
+    den = 6.0 * jnp.maximum(m1, EPS) * jnp.maximum(m2, EPS) * \
+        jnp.maximum(m3, EPS)
+    v = (a ** 3 - p3(a - m1) - p3(a - m2) - p3(a - m3)
+         + p3(a - m1 - m2) + p3(a - m1 - m3) + p3(a - m2 - m3)) / den
+    # degenerate: one (or two) vanishing components reduce to 2D/1D
+    small1 = m1 < 1e-9
+    small2 = m2 < 1e-9
+    small3 = m3 < 1e-9
+    v2_12 = line_area_positive(m1 / jnp.maximum(m1 + m2, EPS),
+                               m2 / jnp.maximum(m1 + m2, EPS),
+                               a / jnp.maximum(m1 + m2, EPS))
+    v2_13 = line_area_positive(m1 / jnp.maximum(m1 + m3, EPS),
+                               m3 / jnp.maximum(m1 + m3, EPS),
+                               a / jnp.maximum(m1 + m3, EPS))
+    v2_23 = line_area_positive(m2 / jnp.maximum(m2 + m3, EPS),
+                               m3 / jnp.maximum(m2 + m3, EPS),
+                               a / jnp.maximum(m2 + m3, EPS))
+    v = jnp.where(small3, v2_12, v)
+    v = jnp.where(small2, v2_13, v)
+    v = jnp.where(small1, v2_23, v)
+    return jnp.clip(v, 0.0, 1.0)
+
+
+def plane_alpha_positive(m1, m2, m3, c, iters: int = 40):
+    """Inverse of plane_volume_positive by monotone bisection."""
+    c = jnp.clip(c, 0.0, 1.0)
+    lo = jnp.zeros_like(c)
+    hi = jnp.ones_like(c)
+    for _ in range(iters):
+        mid = 0.5 * (lo + hi)
+        v = plane_volume_positive(m1, m2, m3, mid)
+        lo = jnp.where(v < c, mid, lo)
+        hi = jnp.where(v < c, hi, mid)
+    a = 0.5 * (lo + hi)
+    return jnp.where(c <= 0.0, 0.0, jnp.where(c >= 1.0, 1.0, a))
+
+
+def box_fraction(m1, m2, m3, alpha, b0, b1):
+    """Fluid fraction of the sub-box [b0, b1] (tuples per axis) of the unit
+    cube cut by {m.x <= alpha}, positive-normalized m."""
+    d = [jnp.maximum(b1[k] - b0[k], EPS) for k in range(3)]
+    a = alpha - m1 * b0[0] - m2 * b0[1] - m3 * b0[2]
+    n = [m1 * d[0], m2 * d[1], m3 * d[2]]
+    norm = jnp.maximum(n[0] + n[1] + n[2], EPS)
+    return plane_volume_positive(n[0] / norm, n[1] / norm, n[2] / norm,
+                                 a / norm)
+
+
+def positive_normal_3d(mx, my, mz, alpha):
+    a = alpha + jnp.where(mx < 0.0, -mx, 0.0) + \
+        jnp.where(my < 0.0, -my, 0.0) + jnp.where(mz < 0.0, -mz, 0.0)
+    return jnp.abs(mx), jnp.abs(my), jnp.abs(mz), a
+
+
+def youngs_normals_3d(f_pad: jnp.ndarray):
+    """3D Youngs-gradient interface normal (|mx|+|my|+|mz| = 1, pointing
+    out of the fluid).  Reference: gfs_youngs_gradient src/vof.c:672-891
+    (the full 3D MYC of src/myc.h is a later refinement)."""
+    def sh(i, j, k):
+        n0, n1, n2 = f_pad.shape
+        return f_pad[i:n0 - 2 + i, j:n1 - 2 + j, k:n2 - 2 + k]
+
+    def grad(axis):
+        g = 0.0
+        for a in (-1, 0, 1):
+            for b in (-1, 0, 1):
+                wt = (2.0 if a == 0 else 1.0) * (2.0 if b == 0 else 1.0)
+                if axis == 0:
+                    g = g + wt * (sh(2, a + 1, b + 1) - sh(0, a + 1, b + 1))
+                elif axis == 1:
+                    g = g + wt * (sh(a + 1, 2, b + 1) - sh(a + 1, 0, b + 1))
+                else:
+                    g = g + wt * (sh(a + 1, b + 1, 2) - sh(a + 1, b + 1, 0))
+        return g
+
+    # m points out of the fluid: gradient of f points INTO the fluid
+    mx, my, mz = -grad(0), -grad(1), -grad(2)
+    norm = jnp.abs(mx) + jnp.abs(my) + jnp.abs(mz) + EPS
+    return mx / norm, my / norm, mz / norm
+
+
+def reconstruct_alpha_3d(f, mx, my, mz):
+    m1, m2, m3 = jnp.abs(mx), jnp.abs(my), jnp.abs(mz)
+    a_pos = plane_alpha_positive(m1, m2, m3, f)
+    return a_pos - jnp.where(mx < 0.0, -mx, 0.0) - \
+        jnp.where(my < 0.0, -my, 0.0) - jnp.where(mz < 0.0, -mz, 0.0)
+
+
+# ---------------------------------------------------------------------------
 # Interface normals: MYC (mixed Youngs-centered)
 # ---------------------------------------------------------------------------
 
@@ -233,7 +335,48 @@ def _face_flux_1d(f_pad, mx_pad, my_pad, un, axis, dun=None, bands=4):
 
 def normals(f: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC, t=0.0):
     f_pad = bcs.apply_bc(f, grid, fbc, 1, t=t)
+    if grid.dim == 3:
+        return youngs_normals_3d(f_pad)
     return mycs_normals(f_pad)
+
+
+def _face_flux_3d(f_pad, m_pads, un, axis):
+    """Single-band 3D geometric flux through faces of ``axis`` (the 3D
+    counterpart of _face_flux_1d; reference vof_flux's 3D branch with
+    n=1, src/vof.c:1510-1520)."""
+    n = f_pad.shape[axis]
+    lo = [slice(None)] * 3
+    lo[axis] = slice(0, n - 1)
+    hi = [slice(None)] * 3
+    hi[axis] = slice(1, n)
+    crop = [slice(1, sdim - 1) for sdim in f_pad.shape]
+    crop[axis] = slice(None)
+
+    def cr(a):
+        return a[tuple(crop)]
+
+    def side(a, which):
+        return cr(a)[tuple(lo if which == 0 else hi)]
+
+    upos = un > 0.0
+    donor_f = jnp.where(upos, side(f_pad, 0), side(f_pad, 1))
+    dm = [jnp.where(upos, side(m_pads[k], 0), side(m_pads[k], 1))
+          for k in range(3)]
+    a = reconstruct_alpha_3d(donor_f, *dm)
+    m1, m2, m3, ap = positive_normal_3d(dm[0], dm[1], dm[2], a)
+    cfl = jnp.abs(un)
+    b0 = [jnp.zeros_like(cfl)] * 3
+    b1 = [jnp.ones_like(cfl)] * 3
+    s0 = jnp.where(upos, 1.0 - cfl, 0.0)
+    s1 = jnp.where(upos, 1.0, cfl)
+    neg = dm[axis] < 0.0
+    b0 = list(b0)
+    b1 = list(b1)
+    b0[axis] = jnp.where(neg, 1.0 - s1, s0)
+    b1[axis] = jnp.where(neg, 1.0 - s0, s1)
+    frac = box_fraction(m1, m2, m3, ap, tuple(b0), tuple(b1))
+    frac = jnp.where(is_full(donor_f), jnp.clip(donor_f, 0.0, 1.0), frac)
+    return frac * un
 
 
 def advect(f: jnp.ndarray, u_face: list, grid: Grid, fbc: bcs.FieldBC,
@@ -251,9 +394,25 @@ def advect(f: jnp.ndarray, u_face: list, grid: Grid, fbc: bcs.FieldBC,
         c = (cstart + k) % dim
         f_pad = bcs.apply_bc(f, grid, fbc, 1, t=t)
         pad2 = bcs.apply_bc(f, grid, fbc, 2, t=t)
+        un = u_face[c] * dt / grid.h
+        if dim == 3:
+            m_pads = youngs_normals_3d(pad2)
+            flux = _face_flux_3d(f_pad, m_pads, un, c)
+            nfc3 = flux.shape[c]
+            hi3 = [slice(None)] * dim
+            hi3[c] = slice(1, nfc3)
+            lo3 = [slice(None)] * dim
+            lo3[c] = slice(0, nfc3 - 1)
+            fv = -(flux[tuple(hi3)] - flux[tuple(lo3)])
+            volflux = -(un[tuple(hi3)] - un[tuple(lo3)])
+            f = f * dV + fv
+            dV = dV + volflux
+            f = f / jnp.maximum(dV, EPS)
+            f = jnp.where(f < FULL_TOL, 0.0,
+                          jnp.where(f > 1.0 - FULL_TOL, 1.0, f))
+            continue
         mx, my = mycs_normals(pad2)     # on the +1 ring layout
         # mx,my have ring shape (n+2); f_pad too
-        un = u_face[c] * dt / grid.h
         # transverse velocity-gradient increment for the band refinement
         # (reference: grad_u src/vof.c:1595 + dun interpolation :1491)
         o = 1 - c if dim == 2 else None
@@ -478,10 +637,37 @@ def fraction_from_levelset(grid: Grid, phi):
     subsampling, produces smooth fractions usable for height-function
     curvature.
     """
-    assert grid.dim == 2
-    xv, yv = [jnp.asarray(c) for c in grid.face_centers(0)]  # placeholder
-    # vertices: (n+1, n+1)
     import numpy as np
+
+    if grid.dim == 3:
+        ax = np.asarray(grid.axis_faces(0))
+        ay = np.asarray(grid.axis_faces(1))
+        az = np.asarray(grid.axis_faces(2))
+        X, Y, Z = np.meshgrid(ax, ay, az, indexing="ij")
+        pv = phi(jnp.asarray(X), jnp.asarray(Y), jnp.asarray(Z))
+        c = {}
+        for i in (0, 1):
+            for j in (0, 1):
+                for k in (0, 1):
+                    c[i, j, k] = pv[i:pv.shape[0] - 1 + i,
+                                    j:pv.shape[1] - 1 + j,
+                                    k:pv.shape[2] - 1 + k]
+        gx = 0.25 * sum(c[1, j, k] - c[0, j, k]
+                        for j in (0, 1) for k in (0, 1))
+        gy = 0.25 * sum(c[i, 1, k] - c[i, 0, k]
+                        for i in (0, 1) for k in (0, 1))
+        gz = 0.25 * sum(c[i, j, 1] - c[i, j, 0]
+                        for i in (0, 1) for j in (0, 1))
+        pc = 0.125 * sum(c.values())
+        mx, my, mz = -gx, -gy, -gz
+        alpha = pc + 0.5 * (mx + my + mz)
+        norm = jnp.abs(mx) + jnp.abs(my) + jnp.abs(mz) + EPS
+        m1, m2, m3, a = positive_normal_3d(mx / norm, my / norm, mz / norm,
+                                           alpha / norm)
+        fr = plane_volume_positive(m1, m2, m3, a)
+        allpos = sum((v > 0) for v in c.values()) == 8
+        allneg = sum((v <= 0) for v in c.values()) == 8
+        return jnp.where(allpos, 1.0, jnp.where(allneg, 0.0, fr))
 
     ax = np.asarray(grid.axis_faces(0))
     ay = np.asarray(grid.axis_faces(1))

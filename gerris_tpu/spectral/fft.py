@@ -80,6 +80,26 @@ def scalar_spectrum(f: jnp.ndarray, grid: Grid):
     return k, E
 
 
+def interface_spectrum(f: jnp.ndarray, grid: Grid, axis: int = 1):
+    """Power spectrum of the VOF interface height along the transverse
+    direction (GfsOutputSpectraInterface, modules/fft.c fft.h:54-121:
+    spectra of the interface elevation).
+
+    The height is the column sum of f along ``axis`` (valid for a
+    single-valued interface); returns (k, |eta_hat|^2) with the mean
+    removed.
+    """
+    eta = jnp.sum(f, axis=axis) * grid.h + grid.origin[axis]
+    eta = eta - jnp.mean(eta)
+    n = eta.shape[0]
+    ek = jnp.abs(jnp.fft.rfft(eta) / n) ** 2
+    # conjugate-pair doubling (interior modes)
+    dbl = jnp.where((jnp.arange(ek.shape[0]) == 0) |
+                    ((n % 2 == 0) &
+                     (jnp.arange(ek.shape[0]) == ek.shape[0] - 1)), 1.0, 2.0)
+    return jnp.arange(ek.shape[0]), ek * dbl
+
+
 def init_solenoidal(grid: Grid, spectrum: Callable, key) -> list:
     """Random solenoidal velocity field with prescribed energy spectrum.
 

@@ -161,3 +161,17 @@ def test_two_way_coupling_momentum():
     assert gained > 0.0                      # particles picked up momentum
     assert lost > 0.0                        # the fluid paid for it
     assert abs(lost - gained) / gained < 0.2  # approximately conserved
+
+
+def test_feed_particles():
+    """GfsFeedParticle analogue (modules/particulatecommon.c:2377)."""
+    p = parts.make_particles(8, 2, pos=[[0.0, 0.0]], vol=[1e-4],
+                             mass=[1e-4])
+    assert int(jnp.sum(p["alive"])) == 1
+    p2 = parts.feed_particles(p, [[0.1, 0.1], [0.2, 0.2]], vol=2e-4)
+    assert int(jnp.sum(p2["alive"])) == 3
+    assert float(jnp.sum(jnp.where(p2["alive"], p2["vol"], 0.0))) == \
+        pytest.approx(1e-4 + 2 * 2e-4)
+    # over-capacity injections are dropped, not wrapped
+    p3 = parts.feed_particles(p2, np.zeros((10, 2)), vol=1e-5)
+    assert int(jnp.sum(p3["alive"])) <= 8

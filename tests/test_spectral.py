@@ -53,3 +53,19 @@ def test_scalar_spectrum_parseval():
     f = jax.random.normal(jax.random.PRNGKey(1), grid.shape)
     k, E = spec.scalar_spectrum(f, grid)
     assert abs(float(jnp.sum(E)) - float(jnp.mean(f ** 2))) < 1e-10
+
+
+def test_interface_spectrum():
+    """GfsOutputSpectraInterface analogue: a single-mode interface shows a
+    single spectral peak with the right amplitude."""
+    import math
+    from gerris_tpu.physics import vof as vofm
+    grid = Grid(level=6, dim=2)
+    a0, kmode = 0.03, 3
+    f = vofm.fraction_from_levelset(
+        grid, lambda x, y: (a0 * jnp.cos(2 * math.pi * kmode * x)) - y)
+    k, E = spec.interface_spectrum(f, grid, axis=1)
+    assert int(jnp.argmax(E[1:])) + 1 == kmode
+    # |eta_hat|^2 doubled = a0^2/2 for a cosine (fraction discretization
+    # carries ~2% amplitude error at this resolution)
+    assert abs(float(E[kmode]) - a0 * a0 / 2) / (a0 * a0 / 2) < 0.05
