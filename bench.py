@@ -19,6 +19,12 @@ import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# persistent compilation cache: cold 2048^2 compiles through the remote
+# TPU compiler take ~25 minutes; cached re-runs take seconds
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 LEVEL = int(os.environ.get("BENCH_LEVEL", "11"))   # 2048^2
 STEPS = int(os.environ.get("BENCH_STEPS", "10"))
 
