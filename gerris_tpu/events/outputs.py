@@ -27,6 +27,12 @@ from .events import Event
 from ..ops.stencils import norms, unbiased_error
 
 
+def sim_field(sim, name):
+    """Field at the finest resolution — uniform Simulation or
+    AMRSimulation (which exposes ``fine``)."""
+    return sim.fine(name) if hasattr(sim, "fine") else sim.state[name]
+
+
 class OutputScalarNorm(Event):
     """L1/L2/Linf of a field or expression each firing.
     Reference: src/output.c OutputScalarNorm."""
@@ -41,7 +47,7 @@ class OutputScalarNorm(Event):
     def _value(self, sim):
         if callable(self.v):
             return self.v(sim)
-        return sim.state[self.v]
+        return sim_field(sim, self.v)
 
     def fire(self, sim, t, i):
         super().fire(sim, t, i)
@@ -91,7 +97,7 @@ class OutputErrorNorm(Event):
         exact = self.solution(*grid.centers, sim.time.t) \
             if self.solution.__code__.co_argcount >= grid.dim + 1 \
             else self.solution(*grid.centers)
-        e = sim.state[self.v] - exact
+        e = sim_field(sim, self.v) - exact
         if self.unbiased:
             e = unbiased_error(e)
         n = norms(e)
@@ -163,10 +169,19 @@ class OutputSimulation(Event):
 
 
 def save_checkpoint(path: str, sim):
-    arrays = {k: np.asarray(v) for k, v in sim.state.items()}
+    """Uniform sims store {name: array}; AMR sims store every level as
+    ``name@level`` plus the depth map (bit-exact multi-level resume,
+    mirroring the reference's tree dump, src/output.c:1354)."""
+    amr = hasattr(sim, "topo")
+    if amr:
+        arrays = {f"{k}@{l}": np.asarray(v)
+                  for k, stack in sim.state.items() for l, v in stack.items()}
+        arrays["__depth__"] = np.asarray(sim.depth)
+    else:
+        arrays = {k: np.asarray(v) for k, v in sim.state.items()}
     meta = {"t": sim.time.t, "i": sim.time.i, "end": sim.time.end,
             "iend": min(sim.time.iend, 2 ** 31), "dtmax": sim.time.dtmax
-            if math.isfinite(sim.time.dtmax) else -1.0}
+            if math.isfinite(sim.time.dtmax) else -1.0, "amr": amr}
     np.savez(path, __meta__=json.dumps(meta), **arrays)
 
 
@@ -174,8 +189,19 @@ def load_checkpoint(path: str, sim):
     """Restore state+time into an existing Simulation (resume = run())."""
     data = np.load(path, allow_pickle=False)
     meta = json.loads(str(data["__meta__"]))
-    sim.state = {k: jnp.asarray(data[k]) for k in data.files
-                 if k != "__meta__"}
+    if meta.get("amr"):
+        state = {}
+        for k in data.files:
+            if k in ("__meta__", "__depth__"):
+                continue
+            name, l = k.rsplit("@", 1)
+            state.setdefault(name, {})[int(l)] = jnp.asarray(data[k])
+        sim.state = state
+        sim.depth = np.asarray(data["__depth__"])
+        sim.leaf = sim._masks_from_depth(sim.depth)
+    else:
+        sim.state = {k: jnp.asarray(data[k]) for k in data.files
+                     if k != "__meta__"}
     sim.time.t = meta["t"]
     sim.time.i = meta["i"]
     if meta["dtmax"] > 0:
@@ -197,7 +223,7 @@ class OutputPPM(Event):
     def fire(self, sim, t, i):
         super().fire(sim, t, i)
         f = np.asarray(self._value(sim)) if callable(self.v) else \
-            np.asarray(sim.state[self.v])
+            np.asarray(sim_field(sim, self.v))
         write_ppm(self.file.format(t=sim.time.t, i=sim.time.i), f,
                   self.vmin, self.vmax)
 
@@ -241,7 +267,7 @@ class OutputProjectionStats(Event):
         from ..models import ns as _ns
 
         grid = sim.cfg.grid
-        U = [sim.state[n] for n in _ns.velocity_names(grid.dim)]
+        U = [sim_field(sim, n) for n in _ns.velocity_names(grid.dim)]
         uf = face_interpolated_velocity(U, grid, list(sim.cfg.u_bcs),
                                         t=sim.time.t)
         div = divergence(uf, grid)
@@ -273,9 +299,9 @@ class OutputDropletSums(Event):
         from ..physics import droplets
 
         grid = sim.cfg.grid
-        labels, n = droplets.tag_droplets(sim.state[self.v])
-        counts, vol, cent, _ = droplets.droplet_stats(
-            sim.state[self.v], labels, n, grid)
+        T = sim_field(sim, self.v)
+        labels, n = droplets.tag_droplets(T)
+        counts, vol, cent, _ = droplets.droplet_stats(T, labels, n, grid)
         for k in range(n):
             row = (sim.time.t, k + 1, float(vol[k]))
             self.rows.append(row)

@@ -1,0 +1,540 @@
+"""Incompressible Navier-Stokes on the adaptive composite mesh.
+
+TPU-native rebuild of the reference's run loop ON ADAPTIVE MESHES
+(reference: src/simulation.c:432-557 — every numerical phase traverses the
+adaptive tree; gfs_simulation_adapt fires INSIDE the loop each step
+:528-533 -> src/adaptive.c:1445; fine-coarse face stencils
+src/fluid.c:905, VOF fine/coarse fluxes src/vof.c:1214-1272).
+
+Design: state fields are per-level full-domain arrays with *runtime* leaf
+masks (solvers/amr.py) — adapting the mesh changes only mask values, so
+the whole step stays ONE compiled XLA program across adaptations (no
+recompile; the TPU answer to AMR's dynamic topology).  Each phase runs the
+uniform-grid kernels densely per level; leaf masks select the real
+solution, sync() supplies restriction/prolongation ghosts, and the
+composite multigrid (with flux-conservative interface corrections and
+per-level alpha/dia) does the projections and implicit diffusion.
+
+VOF interface tracking runs at the finest level only: the adapt criteria
+(interface_cost) force interface cells to maxlevel (the reference's
+fix_too_coarse, src/vof.c:1431, made structural), so away from the finest
+patches the fraction is exactly 0/1 and geometric fluxes of a constant
+field are trivially conservative.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.grid import Grid
+from ..core import bc as bcs
+from ..solvers import advection as adv
+from ..solvers import amr
+from ..solvers import poisson
+from ..solvers import projection as proj
+from ..solvers.amr import Topo
+from ..solvers.composite import CompositeGrid, grade_depth_map
+from ..ops.stencils import divergence, face_average
+from . import ns
+
+
+# ---------------------------------------------------------------------------
+# per-phase helpers (each maps the uniform-grid kernel over the level stack)
+# ---------------------------------------------------------------------------
+
+def _grids(topo: Topo):
+    return {l: topo.grid(l) for l in topo.levels}
+
+
+def sync_all(state: dict, leaf, cfg: ns.NSConfig, topo: Topo, t, cov=None):
+    """Sync every field of the state pytree with its own BC."""
+    if cov is None:
+        cov = amr.covered_masks(leaf, topo)
+    names = ns.velocity_names(topo.dim)
+    gbc = ns.grad_bc(cfg.u_bcs[0])
+    out = {}
+    for c, n in enumerate(names):
+        out[n] = amr.sync(state[n], topo, leaf, cfg.u_bcs[c], t=t, cov=cov)
+    for n in ("P", "Pmac"):
+        out[n] = amr.sync(state[n], topo, leaf, cfg.p_bc, t=t, cov=cov)
+    if cfg.advection.gc:
+        for n in ns.gradient_names(topo.dim):
+            out[n] = amr.sync(state[n], topo, leaf, gbc, t=t, cov=cov)
+    for name, fbc in cfg.vof_tracers:
+        out[name] = amr.sync(state[name], topo, leaf, fbc, t=t, cov=cov)
+    for tr in cfg.tracers:
+        out[tr[0]] = amr.sync(state[tr[0]], topo, leaf, tr[1], t=t, cov=cov)
+    return out
+
+
+def mac_projection_amr(uf, p, topo: Topo, leaf, cov, p_bc, dt,
+                       params: poisson.MultilevelParams,
+                       alpha=None, face_sources=None, t=0.0):
+    """Composite MAC projection (reference: mac_projection
+    src/timestep.c:356-432 on the adaptive tree).  Returns
+    (uf', p, g_cell[c][l], niter)."""
+    dim = topo.dim
+    if face_sources is not None:
+        uf = {l: [uf[l][c] + dt * face_sources[l][c] for c in range(dim)]
+              for l in topo.levels}
+        uf = amr.sync_faces(uf, topo, leaf, cov)
+    div = {l: divergence(uf[l], topo.grid(l)) / dt for l in topo.levels}
+    p, niter, _ = amr.solve(div, topo, leaf, p_bc, params, alpha=alpha,
+                            u0=p, t=t)
+    gf = {l: proj.face_gradients(p[l], topo.grid(l), p_bc,
+                                 None if alpha is None else alpha[l], t=t)
+          for l in topo.levels}
+    uf = {l: [uf[l][c] - dt * gf[l][c] for c in range(dim)]
+          for l in topo.levels}
+    uf = amr.sync_faces(uf, topo, leaf, cov)
+    if face_sources is not None:
+        gf = {l: [gf[l][c] - face_sources[l][c] for c in range(dim)]
+              for l in topo.levels}
+    gc_l = {l: proj.cell_gradient_from_faces(gf[l], topo.grid(l))
+            for l in topo.levels}
+    g_cell = [{l: gc_l[l][c] for l in topo.levels} for c in range(dim)]
+    return uf, p, g_cell, niter
+
+
+def amr_diffuse(v, fv, topo: Topo, leaf, fbc, dt, D, rho=None,
+                beta: float = 1.0, params=None, t=0.0):
+    """Composite implicit diffusion: rho u - beta dt div(D grad u) =
+    rho u_old + extra (reference: gfs_diffusion src/timestep.c:735 via the
+    tree multigrid).  ``v``/``fv``: per-level value / advection increment;
+    ``rho``: per-level density arrays or None (=1)."""
+    params = params or poisson.MultilevelParams(tolerance=1e-3, nitermax=10)
+    if rho is None:
+        # scalar system: divide through by beta*dt*D -> unit alpha, scalar
+        # dia (keeps the Pallas smoother eligible, solvers/diffusion.py)
+        scale = beta * dt * D
+        rhs, dia = {}, {}
+        for l in topo.levels:
+            r = v[l] + fv[l]
+            if beta < 1.0:
+                from ..ops.stencils import laplacian
+                v_pad = bcs.apply_bc(v[l], topo.grid(l), fbc, 1, t=t)
+                r = r + (1.0 - beta) * dt * D * laplacian(v_pad, topo.grid(l))
+            rhs[l] = -r / scale
+            dia[l] = 1.0 / scale
+        u, niter, _ = amr.solve(rhs, topo, leaf, fbc, params, dia=dia,
+                                u0=v, t=t)
+        return u
+    rhs, dia, alpha = {}, {}, {}
+    for l in topo.levels:
+        grid = topo.grid(l)
+        a = tuple(jnp.full(grid.face_shape(c), beta * dt * D,
+                           dtype=v[l].dtype) for c in range(topo.dim))
+        alpha[l] = a
+        dia[l] = rho[l]
+        rhs[l] = -(rho[l] * v[l] + rho[l] * fv[l])
+    u, niter, _ = amr.solve(rhs, topo, leaf, fbc, params, alpha=alpha,
+                            dia=dia, u0=v, t=t)
+    return u
+
+
+# ---------------------------------------------------------------------------
+# the composite NS step
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "topo", "cstart", "first_step"))
+def amr_step(state: dict, leaf: dict, dt, t, cfg: ns.NSConfig, topo: Topo,
+             cstart: int = 0, first_step: bool = False) -> dict:
+    """One full NS step on the composite mesh.  ``state``: {name: {level:
+    array}}; ``leaf``: {level: bool array} (runtime — adaptation changes
+    these without recompiling).  Mirrors ns.ns_step phase by phase
+    (reference: simulation_run src/simulation.c:479-548)."""
+    dim = topo.dim
+    names = ns.velocity_names(dim)
+    gnames = ns.gradient_names(dim)
+    cov = amr.covered_masks(leaf, topo)
+    st = sync_all(state, leaf, cfg, topo, t, cov=cov)
+    gc = cfg.advection.gc
+    gbc = ns.grad_bc(cfg.u_bcs[0])
+
+    # per-level density / tension (evaluated from the synced VOF stack;
+    # away from the finest patches gradT = 0 at leaf faces so coarse
+    # tension sources vanish identically)
+    rho = alpha = None
+    if cfg.density is not None:
+        rho, alpha = {}, {}
+        for l in topo.levels:
+            lv = {name: st[name][l] for name, _ in cfg.vof_tracers}
+            rho[l], alpha[l] = ns.density_fields(lv, cfg, t,
+                                                 grid=topo.grid(l))
+    fs = None
+    if cfg.tension:
+        fs = {}
+        for l in topo.levels:
+            lv = {name: st[name][l] for name, _ in cfg.vof_tracers}
+            fs[l] = ns.tension_sources(
+                lv, cfg, t, alpha=None if alpha is None else alpha[l],
+                grid=topo.grid(l))
+
+    # 1. predicted face velocities (BCG) per level
+    uf = {l: ns.predicted_face_velocities([st[n][l] for n in names],
+                                          topo.grid(l), cfg, dt, t)
+          for l in topo.levels}
+    uf = amr.sync_faces(uf, topo, leaf, cov)
+
+    # 2. composite MAC projection at dt/2 on Pmac
+    uf, pmac, gmac, _ = mac_projection_amr(
+        uf, st["Pmac"], topo, leaf, cov, cfg.p_bc, dt / 2.0, cfg.projection,
+        alpha=alpha, face_sources=fs, t=t)
+
+    # 3. centred advection + implicit diffusion per component
+    if gc:
+        g_prev = gmac if first_step else \
+            [st[n] for n in gnames]
+    else:
+        g_prev = None
+    U_new = []
+    for c in range(dim):
+        fv = {}
+        for l in topo.levels:
+            grid = topo.grid(l)
+            uc_pad = adv.mac_cell_mean(uf[l], grid)
+            fvals = adv.advected_face_values(st[names[c]][l], grid,
+                                             cfg.u_bcs[c], dt,
+                                             cfg.advection, uc_pad, t=t)
+            g_pad = bcs.apply_bc(gmac[c][l], grid, gbc, 1, t=t)
+            v_faces = []
+            for a in range(dim):
+                vface = adv.upwind_face_value(fvals[a][0], fvals[a][1],
+                                              uf[l][a], a)
+                vface = vface - face_average(g_pad, grid, a) * dt / 2.0
+                if a == c:
+                    vface = bcs.apply_face_bc(vface, grid, cfg.u_bcs[c], a,
+                                              t=t)
+                v_faces.append(vface)
+            f = adv.flux_divergence(v_faces, uf[l], grid, dt)
+            if g_prev is not None:
+                f = f - dt * g_prev[c][l]
+            fv[l] = f
+        if cfg.nu > 0.0:
+            U_c = amr_diffuse({l: st[names[c]][l] for l in topo.levels},
+                              fv, topo, leaf, cfg.u_bcs[c], dt, cfg.nu,
+                              rho=rho, beta=cfg.beta,
+                              params=cfg.diffusion_params, t=t)
+        else:
+            U_c = {l: st[names[c]][l] + fv[l] for l in topo.levels}
+        if gc:
+            U_c = {l: U_c[l] + dt * g_prev[c][l] for l in topo.levels}
+        U_new.append(U_c)
+
+    # 4. composite approximate projection at dt
+    uf2 = {l: proj.face_interpolated_velocity(
+        [U_new[c][l] for c in range(dim)], topo.grid(l), list(cfg.u_bcs),
+        t=t) for l in topo.levels}
+    uf2 = amr.sync_faces(uf2, topo, leaf, cov)
+    uf2, p, g_cell, _ = mac_projection_amr(
+        uf2, st["P"], topo, leaf, cov, cfg.p_bc, dt, cfg.approx_projection,
+        alpha=alpha, face_sources=fs, t=t)
+    U_new = [{l: U_new[c][l] - dt * g_cell[c][l] for l in topo.levels}
+             for c in range(dim)]
+
+    new = dict(state)
+    for c, n in enumerate(names):
+        new[n] = amr.sync(U_new[c], topo, leaf, cfg.u_bcs[c], t=t, cov=cov)
+    new["P"] = p
+    new["Pmac"] = pmac
+    if gc:
+        for c, n in enumerate(gnames):
+            new[n] = amr.sync(g_cell[c], topo, leaf, gbc, t=t, cov=cov)
+
+    # 5. tracers with the projected face field
+    for tr in cfg.tracers:
+        Tl = {}
+        for l in topo.levels:
+            Tl[l] = ns.advect_tracer(st[tr[0]][l], tr, uf2[l], topo.grid(l),
+                                     cfg, dt, t)
+        new[tr[0]] = amr.sync(Tl, topo, leaf, tr[1], t=t, cov=cov)
+    if cfg.vof_tracers:
+        from ..physics import vof as vofm
+        for name, fbc in cfg.vof_tracers:
+            Tf = vofm.advect(st[name][topo.lmax], uf2[topo.lmax],
+                             topo.grid(topo.lmax), fbc, dt, cstart=cstart,
+                             t=t)
+            stack = dict(st[name])
+            stack[topo.lmax] = Tf
+            new[name] = amr.sync(stack, topo, leaf, fbc, t=t, cov=cov)
+    return new
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "topo"))
+def amr_initial_projection(state: dict, leaf: dict, dt, t, cfg: ns.NSConfig,
+                           topo: Topo) -> dict:
+    """i==0 composite approximate projection (reference:
+    src/simulation.c:466-474; tension face sources deliberately absent —
+    see ns.initial_projection)."""
+    dim = topo.dim
+    names = ns.velocity_names(dim)
+    cov = amr.covered_masks(leaf, topo)
+    st = sync_all(state, leaf, cfg, topo, t, cov=cov)
+    rho = alpha = None
+    if cfg.density is not None:
+        alpha = {}
+        for l in topo.levels:
+            lv = {name: st[name][l] for name, _ in cfg.vof_tracers}
+            _, alpha[l] = ns.density_fields(lv, cfg, t, grid=topo.grid(l))
+    uf = {l: proj.face_interpolated_velocity(
+        [st[n][l] for n in names], topo.grid(l), list(cfg.u_bcs), t=t)
+        for l in topo.levels}
+    uf = amr.sync_faces(uf, topo, leaf, cov)
+    uf, p, g_cell, _ = mac_projection_amr(
+        uf, st["P"], topo, leaf, cov, cfg.p_bc, dt, cfg.approx_projection,
+        alpha=alpha, t=t)
+    new = dict(st)
+    for c, n in enumerate(names):
+        new[n] = amr.sync({l: st[n][l] - dt * g_cell[c][l]
+                           for l in topo.levels}, topo, leaf, cfg.u_bcs[c],
+                          t=t, cov=cov)
+    new["P"] = p
+    if cfg.advection.gc:
+        gbc = ns.grad_bc(cfg.u_bcs[0])
+        for c, n in enumerate(ns.gradient_names(dim)):
+            new[n] = amr.sync(g_cell[c], topo, leaf, gbc, t=t, cov=cov)
+    return new
+
+
+# ---------------------------------------------------------------------------
+# dynamic adaptation criterion + driver
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class AdaptSpec:
+    """Dynamic adaptation every ``istep`` steps (reference: AdaptFunction
+    {istep=1} {cmax maxlevel}, test/oscillation/oscillation.gfs:87-91).
+
+    ``criterion(sim) -> (c0, c1)``: two cost fields at the finest
+    resolution — ``c0`` scale-free (e.g. 1 at interface cells), ``c1``
+    per-length (multiplied by the candidate cell size h(l), e.g.
+    |Vorticity| for the reference's |Vorticity|*dL).  Either may be None.
+    A leaf at level l is refined while max-pooled cost(l) > cmax; kept
+    refined while > cmax/cfactor (hysteresis, adaptive.c:1351-1381)."""
+    criterion: Callable
+    cmax: float = 0.01
+    cfactor: float = 4.0
+    minlevel: int = 3
+    maxlevel: int = 8
+    istep: int = 1
+
+
+def depth_map_from_cost(c0, c1, spec: AdaptSpec, topo: Topo,
+                        prev: Optional[np.ndarray] = None) -> np.ndarray:
+    """Target depth per finest cell from the two cost fields (host-side
+    numpy; the arrays are the finest-level mask resolution)."""
+    gf = topo.grid(spec.maxlevel)
+    shape = gf.shape
+    dim = topo.dim
+
+    def pool(a, rep):
+        if rep == 1:
+            return a
+        sh = []
+        for ax in range(dim):
+            sh += [a.shape[ax] // rep, rep]
+        red = tuple(2 * ax + 1 for ax in range(dim))
+        return a.reshape(sh).max(axis=red)
+
+    def rep_up(a, rep):
+        for ax in range(dim):
+            a = a.repeat(rep, axis=ax)
+        return a
+
+    c0 = None if c0 is None else np.asarray(c0)
+    c1 = None if c1 is None else np.asarray(c1)
+    D = np.full(shape, spec.minlevel, np.int32)
+    for l in range(spec.minlevel, spec.maxlevel):
+        rep = 1 << (spec.maxlevel - l)
+        h_l = topo.base.size / (1 << l)
+        cost = np.zeros(tuple(s // rep for s in shape))
+        if c0 is not None:
+            cost = np.maximum(cost, pool(c0, rep))
+        if c1 is not None:
+            cost = np.maximum(cost, pool(c1, rep) * h_l)
+        want = cost > spec.cmax
+        if prev is not None:
+            keep = (pool(prev, rep) > l) & (cost > spec.cmax / spec.cfactor)
+            want |= keep
+        D = np.maximum(D, np.where(rep_up(want, rep), l + 1, spec.minlevel))
+    return grade_depth_map(D)
+
+
+def interface_vorticity_criterion(sim: "AMRSimulation", vof_name="T"):
+    """The reference oscillation criterion:
+    (T > 0 && T < 1 ? 1 : |Vorticity|*dL) — c0 = interface indicator,
+    c1 = |vorticity| (oscillation.gfs:87-91)."""
+    topo = sim.topo
+    lmax = topo.lmax
+    T = sim.fine(vof_name)
+    c0 = ((T > 1e-6) & (T < 1.0 - 1e-6)).astype(jnp.float32)
+    grid = topo.grid(lmax)
+    names = ns.velocity_names(topo.dim)
+    up = bcs.apply_bc(sim.fine(names[0]), grid, sim.cfg.u_bcs[0], 1,
+                      t=sim.time.t)
+    vp = bcs.apply_bc(sim.fine(names[1]), grid, sim.cfg.u_bcs[1], 1,
+                      t=sim.time.t)
+    w = ((vp[2:, 1:-1] - vp[:-2, 1:-1]) -
+         (up[1:-1, 2:] - up[1:-1, :-2])) / (2.0 * grid.h)
+    return c0, jnp.abs(w)
+
+
+class AMRSimulation:
+    """Host-side driver for the adaptive composite NS solver.
+
+    Mirrors models/simulation.py's Simulation, with per-level state and an
+    in-loop adapt phase (reference: simulation_run src/simulation.c:483
+    events -> :528-533 gfs_simulation_adapt every step).  Construct with
+    either a static CompositeGrid (``mesh=``, the reference's Refine-only
+    case e.g. test/capwave) or an AdaptSpec (``adapt=``, dynamic)."""
+
+    def __init__(self, cfg: ns.NSConfig, mesh: CompositeGrid = None,
+                 adapt: AdaptSpec = None, time=None, events=None):
+        from .simulation import Time
+        assert mesh is not None or adapt is not None
+        self.cfg = cfg
+        if mesh is not None:
+            self.topo = mesh.topo
+            self.depth = mesh.depth_map()
+        else:
+            base = dataclasses.replace(cfg.grid, level=adapt.minlevel)
+            self.topo = Topo(base=base, lmin=adapt.minlevel,
+                             lmax=adapt.maxlevel)
+            # start uniform at maxlevel (the reference's Refine LEVEL);
+            # the first adapt pass coarsens
+            self.depth = np.full(self.topo.grid(adapt.maxlevel).shape,
+                                 adapt.maxlevel, np.int32)
+        self.adapt = adapt
+        self.leaf = self._masks_from_depth(self.depth)
+        self.time = time or Time()
+        self.events = list(events or [])
+        self.state: Dict[str, Dict[int, jnp.ndarray]] = {}
+        self.stop = False
+        self.dt = None
+        self._tnext = None
+        self.timers = {}
+        self.leaf_history = []
+
+    # -- mesh ------------------------------------------------------------
+    def _masks_from_depth(self, D: np.ndarray) -> dict:
+        cg = CompositeGrid.from_depth_map(self.topo.base, self.topo.lmax, D,
+                                          graded=True)
+        return cg.leaf_arrays()
+
+    def n_leaves(self) -> int:
+        return int(sum(int(np.asarray(m).sum()) for m in self.leaf.values()))
+
+    def adapt_now(self):
+        """Recompute the depth map from the criterion; masks swap in place
+        (state arrays are resampled implicitly by the next step's sync)."""
+        c0, c1 = self.adapt.criterion(self)
+        self.depth = depth_map_from_cost(
+            None if c0 is None else np.asarray(c0),
+            None if c1 is None else np.asarray(c1),
+            self.adapt, self.topo, prev=self.depth)
+        self.leaf = self._masks_from_depth(self.depth)
+
+    # -- state -----------------------------------------------------------
+    def init(self, **fields):
+        """Fields given at the finest resolution (array or callable);
+        coarser levels filled by restriction."""
+        topo = self.topo
+        gf = topo.grid(topo.lmax)
+        names = list(ns.velocity_names(topo.dim)) + ["P", "Pmac"] + \
+            [tr[0] for tr in self.cfg.tracers] + \
+            [v[0] for v in self.cfg.vof_tracers]
+        if self.cfg.advection.gc:
+            names += list(ns.gradient_names(topo.dim))
+        zeros = jnp.zeros(gf.shape)
+        for n in names:
+            v = fields.get(n, zeros)
+            if callable(v):
+                v = v(*gf.centers)
+            v = jnp.asarray(v) + zeros
+            stack = {topo.lmax: v}
+            for l in range(topo.lmax - 1, topo.lmin - 1, -1):
+                stack[l] = poisson.restrict(stack[l + 1], topo.dim)
+            self.state[n] = stack
+        return self
+
+    def fine(self, name: str) -> jnp.ndarray:
+        return self.state[name][self.topo.lmax]
+
+    # -- timestep --------------------------------------------------------
+    def set_timestep(self):
+        grid = self.topo.grid(self.topo.lmax)
+        umax = 1e-300
+        for n in ns.velocity_names(self.topo.dim):
+            umax = max(umax, float(jnp.max(jnp.abs(self.fine(n)))))
+        cfl = self.cfg.advection.cfl
+        if self.cfg.vof_tracers:
+            cfl = min(cfl, 0.45)
+        dt = cfl * grid.h / umax
+        dt = min(dt, self.time.dtmax)
+        for name, sigma in self.cfg.tension:
+            from ..physics.tension import stability_dt
+            r1, r2 = (1.0, 1.0) if self.cfg.density is None else \
+                (self.cfg.density[1], self.cfg.density[2])
+            dt = min(dt, stability_dt(grid, sigma, r1, r2))
+        t = self.time.t
+        tnext = min((e.next_time(t) for e in self.events), default=math.inf)
+        tnext = min(tnext + 1e-9 if tnext < math.inf else tnext, math.inf)
+        if self.time.end < tnext:
+            tnext = self.time.end
+        if tnext < math.inf:
+            n = max(1.0, math.ceil((tnext - t) / dt))
+            if n < 2 ** 31:
+                dt = (tnext - t) / n
+                self._tnext = tnext if n == 1 else t + dt
+            else:
+                self._tnext = t + dt
+        else:
+            self._tnext = t + dt
+        self.dt = max(dt, 1e-9)
+
+    # -- events ------------------------------------------------------------
+    def do_events(self):
+        for e in self.events:
+            if e.should_fire(self.time.t, self.time.i):
+                e.fire(self, self.time.t, self.time.i)
+
+    # -- main loop ---------------------------------------------------------
+    def run(self, max_steps: Optional[int] = None):
+        cfg, topo = self.cfg, self.topo
+        self.set_timestep()
+        if self.time.i == 0:
+            self.state = amr_initial_projection(
+                self.state, self.leaf, self.dt, self.time.t, cfg, topo)
+            self.set_timestep()
+        steps = 0
+        while (self.time.t < self.time.end and self.time.i < self.time.iend
+               and not self.stop):
+            if (self.adapt is not None
+                    and self.time.i % self.adapt.istep == 0):
+                self.adapt_now()
+                self.leaf_history.append(self.n_leaves())
+            self.do_events()
+            if self.stop:
+                break
+            self.state = amr_step(self.state, self.leaf, self.dt,
+                                  self.time.t, cfg, topo,
+                                  cstart=self.time.i % topo.dim,
+                                  first_step=(self.time.i == 0))
+            self.time.t = self._tnext
+            self.time.i += 1
+            self.set_timestep()
+            steps += 1
+            if max_steps is not None and steps >= max_steps:
+                break
+        self.do_events()
+        for e in self.events:
+            if getattr(e, "at_end", False):
+                e.fire(self, self.time.t, self.time.i)
+        return self

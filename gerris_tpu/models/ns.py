@@ -189,16 +189,17 @@ def filtered(T: jnp.ndarray, grid: Grid, fbc, npass: int = 1, t=0.0):
     return T
 
 
-def density_fields(state: dict, cfg: NSConfig, t):
+def density_fields(state: dict, cfg: NSConfig, t, grid: Grid = None):
     """(rho_cell, alpha_faces) from the VOF tracer: rho = rho2 + T1 (rho1 -
     rho2) with T1 the filtered fraction; alpha_face = 1/rho(T1_face)
     (reference: gfs_poisson_coefficients alpha face evaluation,
-    src/poisson.c:868; PhysicalParams alpha in test/oscillation)."""
+    src/poisson.c:868; PhysicalParams alpha in test/oscillation).
+    ``grid`` overrides cfg.grid for per-level AMR evaluation."""
     if cfg.density is None:
         return None, None
     name, rho1, rho2, npass = cfg.density
     fbc = dict((v[0], v[1]) for v in cfg.vof_tracers)[name]
-    grid = cfg.grid
+    grid = grid or cfg.grid
     T1 = filtered(state[name], grid, fbc, npass, t)
     T1c = jnp.clip(T1, 0.0, 1.0)
     rho_c = rho2 + T1c * (rho1 - rho2)
@@ -211,16 +212,18 @@ def density_fields(state: dict, cfg: NSConfig, t):
     return rho_c, tuple(alpha)
 
 
-def tension_sources(state: dict, cfg: NSConfig, t, alpha=None):
+def tension_sources(state: dict, cfg: NSConfig, t, alpha=None,
+                    grid: Grid = None):
     """Curvature + well-balanced tension face sources from the current VOF
     fields (reference: GfsVariableCurvature event + tension_coeff; the
-    face coefficient carries alpha=1/rho, src/poisson.c:907)."""
+    face coefficient carries alpha=1/rho, src/poisson.c:907).
+    ``grid`` overrides cfg.grid for per-level AMR evaluation."""
     if not cfg.tension:
         return None
     from ..physics import vof as vofm
     from ..physics import tension as tens
 
-    grid = cfg.grid
+    grid = grid or cfg.grid
     srcs = None
     for name, sigma in cfg.tension:
         fbc = dict((v[0], v[1]) for v in cfg.vof_tracers)[name]

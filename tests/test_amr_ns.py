@@ -1,0 +1,205 @@
+"""Gates: dynamic AMR inside the NS loop (VERDICT round-1 item 1).
+
+1. Fully-refined composite == uniform NS (sanity of the composite step).
+2. test/capwave on the reference's own STATIC graded mesh
+   (capwave.gfs:65 'Refine floor(LEVEL + 1 - (LEVEL - 2)*fabs(y)/1.5)')
+   reproducing convergence.ref with fewer leaves than uniform.
+3. test/oscillation with the reference's DYNAMIC AdaptFunction
+   (oscillation.gfs:87-91, istep=1 cmax=0.01) reproducing fit.ref with a
+   leaf count well below uniform.
+"""
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gerris_tpu.core.grid import Grid
+from gerris_tpu.core import bc as bcs
+from gerris_tpu.events.events import Event
+from gerris_tpu.models import ns, amr_ns
+from gerris_tpu.models.simulation import Simulation, Time
+from gerris_tpu.physics import vof
+from gerris_tpu.solvers import poisson
+from gerris_tpu.solvers.amr import Topo
+from gerris_tpu.solvers.composite import CompositeGrid
+
+
+def test_fully_refined_composite_matches_uniform():
+    """With every leaf at lmax the composite step is the uniform step (up
+    to solver tolerance)."""
+    level = 5
+    gridf = Grid(level=level, dim=2)
+    u_bc = bcs.FieldBC.make(2, default=bcs.Dirichlet(0.0),
+                            top=bcs.Dirichlet(1.0))
+    v_bc = bcs.FieldBC.uniform(bcs.Dirichlet(0.0), 2)
+    cfg = ns.NSConfig(grid=gridf, u_bcs=(u_bc, v_bc), nu=1e-3)
+
+    sim_u = Simulation(cfg, time=Time(end=1.0)).init()
+    sim_u.run(max_steps=5)
+
+    base = Grid(level=4, dim=2)
+    topo = Topo(base=base, lmin=4, lmax=level)
+    mesh = CompositeGrid.build(base, {4: np.zeros((16, 16), bool),
+                                      5: np.ones((32, 32), bool)})
+    sim_a = amr_ns.AMRSimulation(cfg, mesh=mesh, time=Time(end=1.0)).init()
+    sim_a.run(max_steps=5)
+
+    for n in ("U", "V"):
+        d = float(jnp.max(jnp.abs(sim_u.state[n] - sim_a.fine(n))))
+        print(n, "max diff", d)
+        assert d < 2e-4
+
+
+# -- capwave on the reference's graded static mesh ---------------------------
+
+NU = 0.0182571749236
+SIGMA = 1.0
+K = 2 * math.pi
+A0 = 0.01
+TEND = 2.2426211256
+SAMPLE = 3.04290519077e-3
+REF = {3: 0.159142, 4: 0.0316239, 5: 0.00769877, 6: 0.00215977}
+
+
+def capwave_mesh(level):
+    """Reference: Refine floor(LEVEL + 1 - (LEVEL - 2)*fabs(y)/1.5)
+    (capwave.gfs:65) on the 1x3 domain."""
+    base = Grid(level=3, dim=2, origin=(-0.5, -1.5), extents=(1, 3))
+
+    def refine(x, y, l):
+        depth = np.floor(level + 1 - (level - 2) * np.abs(y) / 1.5)
+        return depth > l
+
+    return CompositeGrid.from_refine_fn(base, level, refine)
+
+
+def run_capwave_amr(level):
+    from gerris_tpu.utils.analytic import prosperetti_capwave
+
+    mesh = capwave_mesh(level)
+    gridf = mesh.grid(level)
+    ubc = bcs.FieldBC(((bcs.Periodic(), bcs.Periodic()),
+                       (bcs.Neumann(), bcs.Neumann())))
+    vbc = bcs.FieldBC(((bcs.Periodic(), bcs.Periodic()),
+                       (bcs.Dirichlet(0.0), bcs.Dirichlet(0.0))))
+    tbc = bcs.FieldBC(((bcs.Periodic(), bcs.Periodic()),
+                       (bcs.Neumann(), bcs.Neumann())))
+    cfg = ns.NSConfig(
+        grid=gridf, u_bcs=(ubc, vbc), nu=NU, beta=1.0,
+        vof_tracers=(("T", tbc),), tension=(("T", SIGMA),),
+        projection=poisson.MultilevelParams(tolerance=1e-6, nitermax=100),
+        approx_projection=poisson.MultilevelParams(tolerance=1e-6,
+                                                   nitermax=100),
+        diffusion_params=poisson.MultilevelParams(tolerance=1e-6,
+                                                  nitermax=20))
+    samples = []
+
+    def record(sim):
+        T = sim.fine("T")
+        mx, my = vof.normals(T, gridf, tbc)
+        px, py = vof.interface_point(T, mx, my)
+        _, y = gridf.centers
+        ypos = y + py * gridf.h
+        ifc = (T > 1e-6) & (T < 1 - 1e-6)
+        samples.append((sim.time.t,
+                        float(jnp.max(jnp.where(ifc, jnp.abs(ypos), 0.0)))))
+
+    sim = amr_ns.AMRSimulation(cfg, mesh=mesh, time=Time(end=TEND),
+                               events=[Event(action=record, step=SAMPLE)])
+    sim.init(T=vof.fraction_from_levelset(
+        gridf, lambda x, y: y - A0 * jnp.cos(K * x)))
+    sim.run()
+    ts = np.array([s[0] for s in samples])
+    amps = np.array([s[1] for s in samples])
+    exact = np.abs(prosperetti_capwave(ts, A0, K, NU, SIGMA))
+    rms = math.sqrt(float(np.mean((amps - exact) ** 2))) / A0
+    n_uniform = gridf.shape[0] * gridf.shape[1]
+    return rms, mesh.n_leaves(), n_uniform
+
+
+@pytest.mark.slow
+def test_capwave_amr_convergence():
+    rms4, nl4, nu4 = run_capwave_amr(4)
+    rms5, nl5, nu5 = run_capwave_amr(5)
+    print(f"AMR capwave: L4 rms={rms4:.5f} (ref {REF[4]}) "
+          f"leaves {nl4}/{nu4}; L5 rms={rms5:.5f} (ref {REF[5]}) "
+          f"leaves {nl5}/{nu5}")
+    assert abs(rms4 - REF[4]) / REF[4] < 0.25
+    assert abs(rms5 - REF[5]) / REF[5] < 0.25
+    assert nl5 < 0.75 * nu5          # actual mesh-size saving
+    assert math.log2(rms4 / rms5) > 1.5
+
+
+# -- oscillation with the reference's dynamic AdaptFunction ------------------
+
+D = 0.2
+EPS = 0.05
+RHO_L, RHO_G = 1.0, 1e-3
+OMEGA0 = math.sqrt((8 - 2) * SIGMA / ((RHO_L + RHO_G) * (D / 2) ** 3))
+REF_C = {5: 152.80, 6: 153.984, 7: 154.591, 8: 154.785}
+
+
+def osc_phi(x, y):
+    xx = x + 0.5
+    yy = y + 0.5
+    r = D / 2.0 * (1.0 + EPS * jnp.cos(2.0 * jnp.arctan2(yy, xx)))
+    return r * r - (xx * xx + yy * yy)
+
+
+def run_oscillation_amr(level, t_end=1.0):
+    gridf = Grid(level=level, dim=2)
+    u_bc = bcs.velocity_bc(0, 2)
+    v_bc = bcs.velocity_bc(1, 2)
+    tbc = bcs.default_scalar_bc(2)
+    cfg = ns.NSConfig(
+        grid=gridf, u_bcs=(u_bc, v_bc), nu=0.0,
+        vof_tracers=(("T", tbc),), tension=(("T", SIGMA),),
+        density=("T", RHO_L, RHO_G, 1),
+        projection=poisson.MultilevelParams(tolerance=1e-4, nitermax=100),
+        approx_projection=poisson.MultilevelParams(tolerance=1e-4,
+                                                   nitermax=100))
+    adapt = amr_ns.AdaptSpec(
+        criterion=amr_ns.interface_vorticity_criterion,
+        cmax=0.01, minlevel=3, maxlevel=level, istep=1)
+    ke = []
+
+    def record(sim):
+        rho = RHO_G + jnp.clip(sim.fine("T"), 0, 1) * (RHO_L - RHO_G)
+        k = float(jnp.sum(rho * (sim.fine("U") ** 2 + sim.fine("V") ** 2))
+                  * gridf.cell_volume)
+        ke.append((sim.time.t, k))
+
+    sim = amr_ns.AMRSimulation(cfg, adapt=adapt, time=Time(end=t_end),
+                               events=[Event(action=record, istep=1)])
+    sim.init(T=vof.fraction_from_levelset(gridf, osc_phi))
+    sim.run()
+    return np.array(ke), sim
+
+
+def fit_ke(ke):
+    from scipy.optimize import curve_fit
+
+    t, k = ke[:, 0], ke[:, 1]
+
+    def model(t, a, b, c):
+        return a * np.exp(-b * t) * (1.0 - np.cos(c * t))
+
+    popt, _ = curve_fit(model, t, k, p0=(3e-4, 1.5, 2 * OMEGA0),
+                        maxfev=20000)
+    return popt
+
+
+@pytest.mark.slow
+def test_oscillation_amr_frequency():
+    level = 6
+    ke, sim = run_oscillation_amr(level)
+    a, b, c = fit_ke(ke)
+    n_uniform = (1 << level) ** 2
+    ratio = np.mean(sim.leaf_history) / n_uniform
+    print(f"AMR oscillation L{level}: c={c:.2f} (ref {REF_C[level]}, "
+          f"2w0={2*OMEGA0:.2f}); mean leaves {np.mean(sim.leaf_history):.0f}"
+          f" = {ratio:.2f}x uniform")
+    assert abs(c - REF_C[level]) / REF_C[level] < 0.015
+    assert b > 0
+    assert ratio < 0.55   # the adaptive mesh must actually save cells
