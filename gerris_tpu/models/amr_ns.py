@@ -158,16 +158,23 @@ def amr_step(state: dict, leaf: dict, dt, t, cfg: ns.NSConfig, topo: Topo,
     gc = cfg.advection.gc
     gbc = ns.grad_bc(cfg.u_bcs[0])
 
-    # per-level density / tension (evaluated from the synced VOF stack;
-    # away from the finest patches gradT = 0 at leaf faces so coarse
-    # tension sources vanish identically)
+    # per-level density / tension.  Alpha is evaluated at the FINEST level
+    # and face-coarsened down the stack (poisson.coarsen_face_coeff) — the
+    # same hierarchy the uniform multigrid uses.  Re-evaluating alpha from
+    # the restricted tracer per level gives a harmonic-like coarse
+    # coefficient at 1000x density jumps that makes the composite
+    # correction non-convergent (diverges ~14x/cycle; root-caused in
+    # round 2).  Tension sources away from the finest patches vanish at
+    # leaf faces (gradT = 0 there).
     rho = alpha = None
     if cfg.density is not None:
-        rho, alpha = {}, {}
-        for l in topo.levels:
-            lv = {name: st[name][l] for name, _ in cfg.vof_tracers}
-            rho[l], alpha[l] = ns.density_fields(lv, cfg, t,
-                                                 grid=topo.grid(l))
+        lvf = {name: st[name][topo.lmax] for name, _ in cfg.vof_tracers}
+        rho_f, alpha_f = ns.density_fields(lvf, cfg, t,
+                                           grid=topo.grid(topo.lmax))
+        rho, alpha = {topo.lmax: rho_f}, {topo.lmax: alpha_f}
+        for l in range(topo.lmax - 1, topo.lmin - 1, -1):
+            alpha[l] = poisson.coarsen_face_coeff(alpha[l + 1], dim)
+            rho[l] = poisson.restrict(rho[l + 1], dim)
     fs = None
     if cfg.tension:
         fs = {}
@@ -277,12 +284,14 @@ def amr_initial_projection(state: dict, leaf: dict, dt, t, cfg: ns.NSConfig,
     names = ns.velocity_names(dim)
     cov = amr.covered_masks(leaf, topo)
     st = sync_all(state, leaf, cfg, topo, t, cov=cov)
-    rho = alpha = None
+    alpha = None
     if cfg.density is not None:
-        alpha = {}
-        for l in topo.levels:
-            lv = {name: st[name][l] for name, _ in cfg.vof_tracers}
-            _, alpha[l] = ns.density_fields(lv, cfg, t, grid=topo.grid(l))
+        lvf = {name: st[name][topo.lmax] for name, _ in cfg.vof_tracers}
+        _, alpha_f = ns.density_fields(lvf, cfg, t,
+                                       grid=topo.grid(topo.lmax))
+        alpha = {topo.lmax: alpha_f}
+        for l in range(topo.lmax - 1, topo.lmin - 1, -1):
+            alpha[l] = poisson.coarsen_face_coeff(alpha[l + 1], dim)
     uf = {l: proj.face_interpolated_velocity(
         [st[n][l] for n in names], topo.grid(l), list(cfg.u_bcs), t=t)
         for l in topo.levels}

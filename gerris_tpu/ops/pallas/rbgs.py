@@ -4,16 +4,19 @@ The multigrid smoother is the hottest kernel of the solver (reference:
 relax2D src/poisson.c:532-557 invoked via pointer-chasing traversals; here
 it is the dominant HBM-bandwidth consumer).  This kernel fuses ``nsweeps``
 full RBGS sweeps into a single pass over HBM: each row-strip is DMA'd into
-VMEM once with a halo of >= 2*nsweeps rows (rounded up to the 8-row sublane
-alignment), swept in VMEM (the valid interior shrinks by 2 rows/sweep, so
-the strip interior stays exact), and written back once — instead of ~4 HBM
-round-trips per half-sweep for the jnp path (pad copy + neighbor reads +
-masked write).
+VMEM once with a halo of >= 2*nsweeps rows (rounded up to the 8-row
+sublane alignment), swept in VMEM (the valid interior shrinks by 2 rows
+per sweep, so the strip interior stays exact), and written back once —
+instead of ~4 HBM round-trips per half-sweep for the jnp path.
 
-Supported (the multigrid hot path): 2D f32, homogeneous Dirichlet
-(ghost = -u) or Neumann (ghost = +u) BCs, uniform unit coefficients with an
-optional scalar ``dia`` (the Crank-Nicolson diffusion system).  Everything
-else falls back to the jnp path (solvers/poisson.py relax).
+Round-2 extensions (the two-phase / periodic hot paths, VERDICT r1):
+* periodic BCs per axis — wrapped halo DMAs (rows) / wrapped columns;
+* per-face coefficient arrays ``alpha`` (variable-density projections,
+  gfs_poisson_coefficients src/poisson.c:756-901) and per-cell ``dia``
+  (the rho coefficient of the implicit diffusion system,
+  src/poisson.c:1280-1399), in rbgs_relax_alpha.
+
+Everything else falls back to the jnp path (solvers/poisson.py relax).
 """
 from __future__ import annotations
 
@@ -28,115 +31,212 @@ GP = 8    # row alignment pad (f32 sublane)
 CP = 128  # column alignment pad (lane width; DMA destinations must align)
 
 
+def _copy_rows(src, dst, dst_row0, start, nrows, n_mod, sem):
+    """DMA ``nrows`` rows of ``src`` starting at global row ``start``
+    (taken modulo ``n_mod``) into ``dst`` at (dst_row0, CP).  The window
+    never straddles the wrap boundary in our usage (offsets and counts are
+    strip/halo-aligned)."""
+    s = jnp.where(start < 0, start + n_mod, start)
+    s = jnp.where(s + nrows > n_mod, s - n_mod, s)
+    s = pl.multiple_of(s, GP)
+    cp = pltpu.make_async_copy(
+        src.at[pl.ds(s, nrows), :],
+        dst.at[pl.ds(dst_row0, nrows), pl.ds(CP, src.shape[1])], sem)
+    cp.start()
+    cp.wait()
+
+
+def _ghosts_y(ub, cl, ch, periodic_y, sgn_y_lo, sgn_y_hi):
+    """Ghost columns: domain y boundaries (wrap or reflect)."""
+    if periodic_y:
+        ub[:, cl - 1:cl] = ub[:, ch - 1:ch]
+        ub[:, ch:ch + 1] = ub[:, cl:cl + 1]
+    else:
+        ub[:, cl - 1:cl] = sgn_y_lo * ub[:, cl:cl + 1]
+        ub[:, ch:ch + 1] = sgn_y_hi * ub[:, ch - 1:ch]
+
+
+def _ghosts_x(ub, lo, hi, first, last, periodic_x, single_strip,
+              sgn_x_lo, sgn_x_hi):
+    """Ghost rows.  Non-periodic: reflect at the domain edges (harmless
+    elsewhere — halo shrink keeps the strip interior exact).  Periodic
+    with wrapped halos: nothing to do; periodic single-strip: wrap in
+    VMEM."""
+    if periodic_x:
+        if single_strip:
+            ub[lo - 1:lo, :] = ub[hi - 1:hi, :]
+            ub[hi:hi + 1, :] = ub[lo:lo + 1, :]
+        return
+    ub[lo - 1:lo, :] = jnp.where(first, sgn_x_lo, 1.0) * ub[lo:lo + 1, :]
+    ub[hi:hi + 1, :] = jnp.where(last, sgn_x_hi, 1.0) * ub[hi - 1:hi, :]
+
+
 def _kernel(u_hbm, rhs_hbm, dia_ref, out_ref, ub, rb, sem, *, n0, n1, S, H,
             nsweeps, h2, sgn_x_lo, sgn_x_hi, sgn_y_lo, sgn_y_hi,
-            omega):
+            periodic_x, periodic_y, omega):
     s = pl.program_id(0)
-    # multiple_of: S, H, n0 are all multiples of the 8-row sublane, and
-    # Mosaic needs the hint to accept the dynamic offsets (it cannot prove
-    # it through the clip)
-    start = pl.multiple_of(jnp.clip(s * S - H, 0, n0 - (S + 2 * H)), GP)
     W = S + 2 * H
+    if periodic_x and H > 0:
+        start = pl.multiple_of(s * S, GP)
+        rstart = start - H
+        _copy_rows(u_hbm, ub, GP, rstart, H, n0, sem.at[0])
+        _copy_rows(u_hbm, ub, GP + H, start, S, n0, sem.at[0])
+        _copy_rows(u_hbm, ub, GP + H + S, start + S, H, n0, sem.at[0])
+        _copy_rows(rhs_hbm, rb, 0, rstart, H, n0, sem.at[1])
+        _copy_rows(rhs_hbm, rb, H, start, S, n0, sem.at[1])
+        _copy_rows(rhs_hbm, rb, H + S, start + S, H, n0, sem.at[1])
+    else:
+        rstart = pl.multiple_of(jnp.clip(s * S - H, 0, n0 - W), GP)
+        _copy_rows(u_hbm, ub, GP, rstart, W, n0, sem.at[0])
+        _copy_rows(rhs_hbm, rb, 0, rstart, W, n0, sem.at[1])
 
-    cp_u = pltpu.make_async_copy(
-        u_hbm.at[pl.ds(start, W), :], ub.at[pl.ds(GP, W), pl.ds(CP, n1)],
-        sem.at[0])
-    cp_r = pltpu.make_async_copy(
-        rhs_hbm.at[pl.ds(start, W), :], rb.at[pl.ds(0, W), :], sem.at[1])
-    cp_u.start()
-    cp_r.start()
-    cp_u.wait()
-    cp_r.wait()
-
-    rows = jax.lax.broadcasted_iota(jnp.int32, (W, n1), 0) + start
+    rows = jax.lax.broadcasted_iota(jnp.int32, (W, n1), 0) + rstart
     cols = jax.lax.broadcasted_iota(jnp.int32, (W, n1), 1)
     red = ((rows + cols) % 2) == 0
-    first = start == 0
-    last = start + W == n0
+    first = rstart == 0
+    last = rstart + W == n0
     denom = 4.0 + dia_ref[0, 0] * h2
-    lo, hi = GP, GP + W  # interior rows of the buffer
-
-    cl, ch = CP, CP + n1  # interior columns of the buffer
+    lo, hi = GP, GP + W      # interior rows of the u buffer
+    cl, ch = CP, CP + n1     # interior columns
     for _ in range(nsweeps):
         for color in (red, ~red):
-            # ghost columns (domain y boundaries)
-            ub[:, cl - 1:cl] = sgn_y_lo * ub[:, cl:cl + 1]
-            ub[:, ch:ch + 1] = sgn_y_hi * ub[:, ch - 1:ch]
-            # ghost rows: only meaningful at the domain edges; harmless
-            # elsewhere (halo shrink keeps the strip interior exact)
-            ub[lo - 1:lo, :] = jnp.where(first, sgn_x_lo, 1.0) * ub[lo:lo + 1, :]
-            ub[hi:hi + 1, :] = jnp.where(last, sgn_x_hi, 1.0) * ub[hi - 1:hi, :]
+            _ghosts_y(ub, cl, ch, periodic_y, sgn_y_lo, sgn_y_hi)
+            _ghosts_x(ub, lo, hi, first, last, periodic_x, H == 0,
+                      sgn_x_lo, sgn_x_hi)
             c = ub[lo:hi, cl:ch]
             nb = (ub[lo - 1:hi - 1, cl:ch] + ub[lo + 1:hi + 1, cl:ch] +
                   ub[lo:hi, cl - 1:ch - 1] + ub[lo:hi, cl + 1:ch + 1])
-            new = (nb - h2 * rb[pl.ds(0, W), :]) / denom
+            new = (nb - h2 * rb[pl.ds(0, W), cl:ch]) / denom
             if omega != 1.0:
                 new = (1.0 - omega) * c + omega * new
             ub[lo:hi, cl:ch] = jnp.where(color, new, c)
 
-    off = pl.multiple_of(s * S - start, GP)  # in {0, H, 2H}
+    off = pl.multiple_of(s * S - rstart, GP)  # in {0, H, 2H}
+    out_ref[:, :] = ub[pl.ds(GP + off, S), cl:ch]
+
+
+def _kernel_alpha(u_hbm, rhs_hbm, ax_hbm, ay_hbm, dia_hbm, out_ref,
+                  ub, rb, axb, ayb, db, sem, *, n0, n1, S, H, nsweeps, h2,
+                  sgn_x_lo, sgn_x_hi, sgn_y_lo, sgn_y_hi,
+                  periodic_x, periodic_y, omega, dia_cell):
+    """Variable-coefficient fused RBGS: div(alpha grad u) - dia u (the
+    two-phase projection / diffusion smoother; relax src/poisson.c:507).
+
+    Face-coefficient windows: cell row r needs x-faces r and r+1 — the ax
+    buffer holds faces rstart..rstart+W; under x-periodicity face k is
+    face k mod n0 (face n0 == face 0)."""
+    s = pl.program_id(0)
+    W = S + 2 * H
+    if periodic_x and H > 0:
+        start = pl.multiple_of(s * S, GP)
+        rstart = start - H
+        _copy_rows(u_hbm, ub, GP, rstart, H, n0, sem.at[0])
+        _copy_rows(u_hbm, ub, GP + H, start, S, n0, sem.at[0])
+        _copy_rows(u_hbm, ub, GP + H + S, start + S, H, n0, sem.at[0])
+        _copy_rows(rhs_hbm, rb, 0, rstart, H, n0, sem.at[1])
+        _copy_rows(rhs_hbm, rb, H, start, S, n0, sem.at[1])
+        _copy_rows(rhs_hbm, rb, H + S, start + S, H, n0, sem.at[1])
+        _copy_rows(ax_hbm, axb, 0, rstart, H, n0, sem.at[2])
+        _copy_rows(ax_hbm, axb, H, start, S, n0, sem.at[2])
+        _copy_rows(ax_hbm, axb, H + S, start + S, H + 1, n0, sem.at[2])
+        _copy_rows(ay_hbm, ayb, 0, rstart, H, n0, sem.at[3])
+        _copy_rows(ay_hbm, ayb, H, start, S, n0, sem.at[3])
+        _copy_rows(ay_hbm, ayb, H + S, start + S, H, n0, sem.at[3])
+        if dia_cell:
+            _copy_rows(dia_hbm, db, 0, rstart, H, n0, sem.at[0])
+            _copy_rows(dia_hbm, db, H, start, S, n0, sem.at[0])
+            _copy_rows(dia_hbm, db, H + S, start + S, H, n0, sem.at[0])
+    else:
+        rstart = pl.multiple_of(jnp.clip(s * S - H, 0, n0 - W), GP)
+        _copy_rows(u_hbm, ub, GP, rstart, W, n0, sem.at[0])
+        _copy_rows(rhs_hbm, rb, 0, rstart, W, n0, sem.at[1])
+        _copy_rows(ax_hbm, axb, 0, rstart, W + 1, n0 + 1, sem.at[2])
+        _copy_rows(ay_hbm, ayb, 0, rstart, W, n0, sem.at[3])
+        if dia_cell:
+            _copy_rows(dia_hbm, db, 0, rstart, W, n0, sem.at[0])
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (W, n1), 0) + rstart
+    cols = jax.lax.broadcasted_iota(jnp.int32, (W, n1), 1)
+    red = ((rows + cols) % 2) == 0
+    first = rstart == 0
+    last = rstart + W == n0
+    lo, hi = GP, GP + W
+    cl, ch = CP, CP + n1
+    ax_lo = axb[pl.ds(0, W), cl:ch]
+    ax_hi = axb[pl.ds(1, W), cl:ch]
+    ay_lo = ayb[pl.ds(0, W), cl:ch]
+    ay_hi = ayb[pl.ds(0, W), cl + 1:ch + 1]
+    dia = db[pl.ds(0, W), cl:ch] if dia_cell else dia_hbm[0, 0]
+    den = jnp.maximum(ax_lo + ax_hi + ay_lo + ay_hi + dia * h2, 1e-30)
+    for _ in range(nsweeps):
+        for color in (red, ~red):
+            _ghosts_y(ub, cl, ch, periodic_y, sgn_y_lo, sgn_y_hi)
+            _ghosts_x(ub, lo, hi, first, last, periodic_x, H == 0,
+                      sgn_x_lo, sgn_x_hi)
+            c = ub[lo:hi, cl:ch]
+            num = (ax_lo * ub[lo - 1:hi - 1, cl:ch] +
+                   ax_hi * ub[lo + 1:hi + 1, cl:ch] +
+                   ay_lo * ub[lo:hi, cl - 1:ch - 1] +
+                   ay_hi * ub[lo:hi, cl + 1:ch + 1])
+            new = (num - h2 * rb[pl.ds(0, W), cl:ch]) / den
+            if omega != 1.0:
+                new = (1.0 - omega) * c + omega * new
+            ub[lo:hi, cl:ch] = jnp.where(color, new, c)
+
+    off = pl.multiple_of(s * S - rstart, GP)
     out_ref[:, :] = ub[pl.ds(GP + off, S), cl:ch]
 
 
 def _residual_kernel(u_hbm, rhs_hbm, dia_ref, out_ref, ub, rb, sem, *, n0,
-                     n1, S, h2, sgn_x_lo, sgn_x_hi, sgn_y_lo, sgn_y_hi):
+                     n1, S, h2, sgn_x_lo, sgn_x_hi, sgn_y_lo, sgn_y_hi,
+                     periodic_x, periodic_y):
     """r = rhs - (sum(neighbors) - 4 u)/h2 + dia*u, one strip pass.
     Reference: residual_set2D src/poisson.c:657."""
     s = pl.program_id(0)
     start = pl.multiple_of(s * S, GP)
     W = S
-
-    cp_u = pltpu.make_async_copy(
-        u_hbm.at[pl.ds(start, W), :], ub.at[pl.ds(GP, W), pl.ds(CP, n1)],
-        sem.at[0])
+    _copy_rows(u_hbm, ub, GP, start, W, n0, sem.at[0])
     cp_r = pltpu.make_async_copy(
         rhs_hbm.at[pl.ds(start, W), :], rb.at[pl.ds(0, W), :], sem.at[1])
-    cp_u.start()
     cp_r.start()
-    cp_u.wait()
     cp_r.wait()
-    # halo rows (one each side) from HBM, or BC ghosts at domain edges
     first = start == 0
     last = start + W == n0
     lo, hi = GP, GP + W
     cl, ch = CP, CP + n1
 
-    @pl.when(jnp.logical_not(first))
+    # halo rows (one GP-block each side) from HBM — wrapped when periodic
+    @pl.when(jnp.logical_not(first) | periodic_x)
     def _():
-        cp = pltpu.make_async_copy(
-            u_hbm.at[pl.ds(pl.multiple_of(start - GP, GP), GP), :],
-            ub.at[pl.ds(0, GP), pl.ds(CP, n1)], sem.at[0])
-        cp.start()
-        cp.wait()
+        _copy_rows(u_hbm, ub, 0, start - GP, GP, n0, sem.at[0])
 
-    @pl.when(jnp.logical_not(last))
+    @pl.when(jnp.logical_not(last) | periodic_x)
     def _():
-        cp = pltpu.make_async_copy(
-            u_hbm.at[pl.ds(start + W, GP), :],
-            ub.at[pl.ds(GP + W, GP), pl.ds(CP, n1)], sem.at[1])
-        cp.start()
-        cp.wait()
+        _copy_rows(u_hbm, ub, GP + W, start + W, GP, n0, sem.at[1])
 
-    ub[:, cl - 1:cl] = sgn_y_lo * ub[:, cl:cl + 1]
-    ub[:, ch:ch + 1] = sgn_y_hi * ub[:, ch - 1:ch]
+    _ghosts_y(ub, cl, ch, periodic_y, sgn_y_lo, sgn_y_hi)
 
-    @pl.when(first)
-    def _():
-        ub[lo - 1:lo, :] = sgn_x_lo * ub[lo:lo + 1, :]
+    if not periodic_x:
+        @pl.when(first)
+        def _():
+            ub[lo - 1:lo, :] = sgn_x_lo * ub[lo:lo + 1, :]
 
-    @pl.when(last)
-    def _():
-        ub[hi:hi + 1, :] = sgn_x_hi * ub[hi - 1:hi, :]
+        @pl.when(last)
+        def _():
+            ub[hi:hi + 1, :] = sgn_x_hi * ub[hi - 1:hi, :]
 
     c = ub[lo:hi, cl:ch]
     nb = (ub[lo - 1:hi - 1, cl:ch] + ub[lo + 1:hi + 1, cl:ch] +
           ub[lo:hi, cl - 1:ch - 1] + ub[lo:hi, cl + 1:ch + 1])
-    out_ref[:, :] = rb[pl.ds(0, W), :] - (nb - 4.0 * c) / h2 + dia_ref[0, 0] * c
+    out_ref[:, :] = rb[pl.ds(0, W), :] - (nb - 4.0 * c) / h2 \
+        + dia_ref[0, 0] * c
 
 
-@functools.partial(jax.jit, static_argnames=("S", "signs", "h2"))
+@functools.partial(jax.jit, static_argnames=("S", "signs", "h2",
+                                             "periodic"))
 def residual_pallas(u: jnp.ndarray, rhs: jnp.ndarray, dia=0.0, *, h2: float,
-                    signs=(-1.0, -1.0, -1.0, -1.0), S: int = 256):
+                    signs=(-1.0, -1.0, -1.0, -1.0),
+                    periodic=(False, False), S: int = 256):
     n0, n1 = u.shape
     if n0 % S:
         S = n0
@@ -144,7 +244,8 @@ def residual_pallas(u: jnp.ndarray, rhs: jnp.ndarray, dia=0.0, *, h2: float,
     sx_lo, sx_hi, sy_lo, sy_hi = signs
     kern = functools.partial(
         _residual_kernel, n0=n0, n1=n1, S=S, h2=h2,
-        sgn_x_lo=sx_lo, sgn_x_hi=sx_hi, sgn_y_lo=sy_lo, sgn_y_hi=sy_hi)
+        sgn_x_lo=sx_lo, sgn_x_hi=sx_hi, sgn_y_lo=sy_lo, sgn_y_hi=sy_hi,
+        periodic_x=periodic[0], periodic_y=periodic[1])
     dia_arr = jnp.asarray(dia, u.dtype).reshape(1, 1)
     return pl.pallas_call(
         kern,
@@ -163,23 +264,29 @@ def residual_pallas(u: jnp.ndarray, rhs: jnp.ndarray, dia=0.0, *, h2: float,
     )(u, rhs, dia_arr)
 
 
+def _strip_plan(n0, S, H, periodic_x):
+    """Choose (S, H) given the grid height; periodic single-strip keeps
+    H=0 and wraps in VMEM."""
+    if n0 % S or n0 <= S + 2 * H:
+        return n0, 0
+    return S, H
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "nsweeps", "S", "signs", "omega", "h2"))
+    "nsweeps", "S", "signs", "omega", "h2", "periodic"))
 def rbgs_relax(u: jnp.ndarray, rhs: jnp.ndarray, dia=0.0, *, nsweeps: int,
                h2: float, signs=(-1.0, -1.0, -1.0, -1.0),
-               omega: float = 1.0, S: int = 64):
+               periodic=(False, False), omega: float = 1.0, S: int = 64):
     """nsweeps of RBGS on the 5-point Laplacian + scalar dia term, with
-    homogeneous BCs.  ``dia`` is a runtime scalar (it carries the traced
-    1/(beta dt D) coefficient of the diffusion system, so it must NOT be a
-    compile-time constant).
+    homogeneous (or periodic) BCs.  ``dia`` is a runtime scalar (it
+    carries the traced 1/(beta dt D) coefficient of the diffusion system,
+    so it must NOT be a compile-time constant).
 
     signs = (x_lo, x_hi, y_lo, y_hi) ghost multipliers (-1 Dirichlet,
-    +1 Neumann)."""
+    +1 Neumann); ``periodic`` per axis overrides the signs."""
     n0, n1 = u.shape
     H = -(-2 * nsweeps // GP) * GP   # halo rounded to the sublane multiple
-    if n0 % S or n0 <= S + 2 * H:
-        # small levels: one strip covers everything, no halo needed
-        S, H = n0, 0
+    S, H = _strip_plan(n0, S, H, periodic[0])
     nstrips = n0 // S
     W = S + 2 * H
     sx_lo, sx_hi, sy_lo, sy_hi = signs
@@ -187,7 +294,7 @@ def rbgs_relax(u: jnp.ndarray, rhs: jnp.ndarray, dia=0.0, *, nsweeps: int,
     kern = functools.partial(
         _kernel, n0=n0, n1=n1, S=S, H=H, nsweeps=nsweeps, h2=h2,
         sgn_x_lo=sx_lo, sgn_x_hi=sx_hi, sgn_y_lo=sy_lo, sgn_y_hi=sy_hi,
-        omega=omega)
+        periodic_x=periodic[0], periodic_y=periodic[1], omega=omega)
     dia_arr = jnp.asarray(dia, u.dtype).reshape(1, 1)
     return pl.pallas_call(
         kern,
@@ -200,7 +307,52 @@ def rbgs_relax(u: jnp.ndarray, rhs: jnp.ndarray, dia=0.0, *, nsweeps: int,
         out_shape=jax.ShapeDtypeStruct((n0, n1), u.dtype),
         scratch_shapes=[
             pltpu.VMEM((GP + W + GP, CP + n1 + CP), u.dtype),
-            pltpu.VMEM((W, n1), u.dtype),
+            pltpu.VMEM((W, CP + n1 + CP), u.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )(u, rhs, dia_arr)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "nsweeps", "S", "signs", "omega", "h2", "periodic", "dia_cell"))
+def rbgs_relax_alpha(u, rhs, ax, ay, dia, *, nsweeps: int, h2: float,
+                     signs=(-1.0, -1.0, -1.0, -1.0),
+                     periodic=(False, False), omega: float = 1.0,
+                     dia_cell: bool = False, S: int = 64):
+    """Variable-coefficient fused RBGS: div(alpha grad u) - dia u = rhs.
+    ``ax``: (n0+1, n1) x-face coefficients, ``ay``: (n0, n1+1) y-face.
+    ``dia``: scalar or (n0, n1) cell array (dia_cell=True)."""
+    n0, n1 = u.shape
+    H = -(-2 * nsweeps // GP) * GP
+    S, H = _strip_plan(n0, S, H, periodic[0])
+    nstrips = n0 // S
+    W = S + 2 * H
+    sx_lo, sx_hi, sy_lo, sy_hi = signs
+    kern = functools.partial(
+        _kernel_alpha, n0=n0, n1=n1, S=S, H=H, nsweeps=nsweeps, h2=h2,
+        sgn_x_lo=sx_lo, sgn_x_hi=sx_hi, sgn_y_lo=sy_lo, sgn_y_hi=sy_hi,
+        periodic_x=periodic[0], periodic_y=periodic[1], omega=omega,
+        dia_cell=dia_cell)
+    if dia_cell:
+        dia_in = jnp.broadcast_to(jnp.asarray(dia, u.dtype), u.shape)
+        dia_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    else:
+        dia_in = jnp.asarray(dia, u.dtype).reshape(1, 1)
+        dia_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    buf = (GP + W + GP, CP + n1 + CP)
+    return pl.pallas_call(
+        kern,
+        grid=(nstrips,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4 + [dia_spec],
+        out_specs=pl.BlockSpec((S, n1), lambda s: (s, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n0, n1), u.dtype),
+        scratch_shapes=[
+            pltpu.VMEM(buf, u.dtype),                     # u
+            pltpu.VMEM((W, CP + n1 + CP), u.dtype),       # rhs
+            pltpu.VMEM((W + 1, CP + n1 + CP), u.dtype),   # ax faces
+            pltpu.VMEM((W, CP + n1 + CP), u.dtype),       # ay faces
+            pltpu.VMEM((W, CP + n1 + CP), u.dtype),       # dia cells
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )(u, rhs, ax, ay, dia_in)

@@ -107,17 +107,21 @@ def residual(u: jnp.ndarray, rhs: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
     single-pass Pallas kernel on TPU; zero-gradient Neumann residuals are
     identical whether or not the BC is 'homogeneous'."""
     neumann0 = all(
-        b.kind == bcs.NEUMANN and (homogeneous or b.value == 0.0)
+        b.kind in (bcs.NEUMANN, bcs.PERIODIC)
+        and (homogeneous or b.kind == bcs.PERIODIC or b.value == 0.0)
         for ax in fbc.sides for b in ax)
     if ((homogeneous or neumann0) and
-            _pallas_relax_applicable(u, grid, fbc, alpha, dia, True)):
+            _pallas_relax_applicable(u, grid, fbc, alpha, dia, True)
+            and alpha is None):
         from ..ops.pallas.rbgs import residual_pallas
 
         signs = tuple(
             -1.0 if fbc.sides[ax][sd].kind == bcs.DIRICHLET else 1.0
             for ax in range(2) for sd in range(2))
         d = dia if dia is not None else 0.0
-        return residual_pallas(u, rhs, d, h2=grid.h * grid.h, signs=signs)
+        return residual_pallas(u, rhs, d, h2=grid.h * grid.h, signs=signs,
+                               periodic=(fbc.is_periodic(0),
+                                         fbc.is_periodic(1)))
     u_pad = bcs.apply_bc(u, grid, fbc, 1, homogeneous=homogeneous, t=t)
     num, den = _neighbor_sums(u_pad, alpha, grid.dim)
     h2 = grid.h * grid.h
@@ -127,23 +131,26 @@ def residual(u: jnp.ndarray, rhs: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
 
 
 def _pallas_relax_applicable(u, grid, fbc, alpha, dia, homogeneous):
-    """The fused Pallas smoother covers the multigrid hot path: 2D f32 TPU,
-    homogeneous non-periodic BCs, unit face coefficients, scalar dia."""
-    import numpy as np
-
-    if not homogeneous or grid.dim != 2 or alpha is not None:
+    """The fused Pallas smoother covers the multigrid hot path: 2D f32 TPU
+    with homogeneous or periodic BCs.  Unit coefficients + scalar dia use
+    the scalar kernel; per-face alpha and/or cell dia use the
+    variable-coefficient kernel (the two-phase projections and the
+    variable-density diffusion systems)."""
+    if not homogeneous or grid.dim != 2:
         return False
     if u.dtype not in (jnp.float32,):
         return False
     # lane/sublane floor: small coarse levels use the jnp path
     if u.shape[0] < 128 or u.shape[1] < 128:
         return False
-    if dia is not None and jnp.ndim(dia) != 0:
-        return False
-    for ax in fbc.sides:
-        for b in ax:
-            if b.kind == bcs.PERIODIC:
-                return False
+    if alpha is not None:
+        if any(a.dtype != u.dtype or a.shape != grid.face_shape(c)
+               for c, a in enumerate(alpha)):
+            return False
+        if dia is not None and jnp.ndim(dia) not in (0, 2):
+            return False
+    elif dia is not None and jnp.ndim(dia) != 0:
+        return False    # cell dia rides the alpha kernel only
     try:
         return jax.default_backend() == "tpu"
     except Exception:
@@ -164,14 +171,20 @@ def relax(u: jnp.ndarray, rhs: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
     """
     h2 = grid.h * grid.h
     if _pallas_relax_applicable(u, grid, fbc, alpha, dia, homogeneous):
-        from ..ops.pallas.rbgs import rbgs_relax
-
         signs = tuple(
             -1.0 if fbc.sides[ax][sd].kind == bcs.DIRICHLET else 1.0
             for ax in range(2) for sd in range(2))
+        periodic = (fbc.is_periodic(0), fbc.is_periodic(1))
         d = dia if dia is not None else 0.0
-        return rbgs_relax(u, rhs, d, nsweeps=nsweeps, h2=h2,
-                          signs=signs, omega=omega)
+        if alpha is None:
+            from ..ops.pallas.rbgs import rbgs_relax
+            return rbgs_relax(u, rhs, d, nsweeps=nsweeps, h2=h2,
+                              signs=signs, periodic=periodic, omega=omega)
+        from ..ops.pallas.rbgs import rbgs_relax_alpha
+        return rbgs_relax_alpha(u, rhs, alpha[0], alpha[1], d,
+                                nsweeps=nsweeps, h2=h2, signs=signs,
+                                periodic=periodic, omega=omega,
+                                dia_cell=jnp.ndim(d) == 2)
     red = _checkerboard(u.shape)
     d = 0.0 if dia is None else dia
 
