@@ -76,14 +76,16 @@ class Grid:
         return dataclasses.replace(self, level=self.level + 1)
 
     # -- coordinates ---------------------------------------------------------
-    def axis_centers(self, axis: int) -> jnp.ndarray:
+    # numpy (host) arrays: coordinates are static geometry, safe to build
+    # inside jit traces (they become constants, never tracers)
+    def axis_centers(self, axis: int) -> np.ndarray:
         """Cell-centre coordinates along one axis."""
-        i = jnp.arange(self.shape[axis])
+        i = np.arange(self.shape[axis])
         return self.origin[axis] + (i + 0.5) * self.h
 
-    def axis_faces(self, axis: int) -> jnp.ndarray:
+    def axis_faces(self, axis: int) -> np.ndarray:
         """Face coordinates along one axis (n+1 values)."""
-        i = jnp.arange(self.shape[axis] + 1)
+        i = np.arange(self.shape[axis] + 1)
         return self.origin[axis] + i * self.h
 
     @cached_property

@@ -376,14 +376,31 @@ def depth_map_from_cost(c0, c1, spec: AdaptSpec, topo: Topo,
     return grade_depth_map(D)
 
 
+def dilate(m: jnp.ndarray, r: int) -> jnp.ndarray:
+    """Chebyshev-ball max-dilation by r cells."""
+    for _ in range(r):
+        p = jnp.pad(m, 1, mode="edge")
+        m = jnp.maximum(m, jnp.maximum(
+            jnp.maximum(p[:-2, 1:-1], p[2:, 1:-1]),
+            jnp.maximum(p[1:-1, :-2], p[1:-1, 2:])))
+    return m
+
+
 def interface_vorticity_criterion(sim: "AMRSimulation", vof_name="T"):
     """The reference oscillation criterion:
     (T > 0 && T < 1 ? 1 : |Vorticity|*dL) — c0 = interface indicator,
-    c1 = |vorticity| (oscillation.gfs:87-91)."""
+    c1 = |vorticity| (oscillation.gfs:87-91).
+
+    The interface indicator is dilated by 4 cells so the height-function
+    curvature stencil (7-cell columns, physics/vof.py) always reads real
+    finest-level data — the structural analogue of the reference's forced
+    refinement of too-coarse interface cells (fix_too_coarse,
+    src/vof.c:1431)."""
     topo = sim.topo
     lmax = topo.lmax
     T = sim.fine(vof_name)
     c0 = ((T > 1e-6) & (T < 1.0 - 1e-6)).astype(jnp.float32)
+    c0 = dilate(c0, 4)
     grid = topo.grid(lmax)
     names = ns.velocity_names(topo.dim)
     up = bcs.apply_bc(sim.fine(names[0]), grid, sim.cfg.u_bcs[0], 1,

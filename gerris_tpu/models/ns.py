@@ -77,6 +77,11 @@ class NSConfig:
     # variable density via a VOF tracer (PhysicalParams { alpha = 1/RHO(T1) },
     # test/oscillation/oscillation.gfs): (tracer, rho1, rho2, filter_passes)
     density: tuple = None
+    # embedded solid: level-set callable, fluid = {phi > 0} (Solid in .gfs,
+    # src/solid.c) + per-component surface velocity (SurfaceBc Dirichlet,
+    # src/timestep.c:1062-1229); None = free-slip/no solid
+    solid_phi: object = None
+    surface_u: tuple = None
 
     def __post_init__(self):
         if self.p_bc is None:
@@ -111,7 +116,7 @@ def predicted_face_velocities(U: list, grid: Grid, cfg: NSConfig, dt, t):
 
 def velocity_advection_diffusion(U: list, uf: list, gmac: list, g_prev,
                                  grid: Grid, cfg: NSConfig, dt, t,
-                                 sources=None, rho=None):
+                                 sources=None, rho=None, solid=None):
     """Reference: src/timestep.c:976-1017 + variable_sources:872-921.
 
     With gc=TRUE (the reference default), the previous approximate
@@ -137,20 +142,43 @@ def velocity_advection_diffusion(U: list, uf: list, gmac: list, g_prev,
             if a == c:
                 vface = bcs.apply_face_bc(vface, grid, cfg.u_bcs[c], a, t=t)
             v_faces.append(vface)
-        fv = adv.flux_divergence(v_faces, uf, grid, dt)
+        if solid is None:
+            fv = adv.flux_divergence(v_faces, uf, grid, dt)
+        else:
+            # fluxes through fractional faces scale with s; the update
+            # divides by the fluid volume fraction with a small-cell clamp
+            # (the reference merges cells with a < 0.5 instead,
+            # src/advection.c:784 gfs_advection_update)
+            a_s, s_s, ds_s = solid
+            fv = adv.flux_divergence(
+                [s_s[ax] * v_faces[ax] for ax in range(dim)],
+                [s_s[ax] * uf[ax] for ax in range(dim)], grid, dt)
+            fv = fv / jnp.maximum(a_s, 0.25)
+            fv = jnp.where(a_s > 0.0, fv, 0.0)
         if g_prev is not None:
             fv = fv - dt * g_prev[c]
         if sources is not None and sources[c] is not None:
             fv = fv + dt * sources[c]
         if cfg.nu > 0.0:
             rr = 1.0 if rho is None else rho
-            v_new, _ = diff.diffuse(U[c], grid, cfg.u_bcs[c], dt, cfg.nu,
-                                    rho=rr, beta=cfg.beta,
-                                    params=cfg.diffusion_params,
-                                    extra_rhs=(rr * fv if rho is not None
-                                               else fv), t=t)
+            if solid is not None:
+                a_s, s_s, ds_s = solid
+                us_c = 0.0 if cfg.surface_u is None else cfg.surface_u[c]
+                v_new = solid_velocity_diffusion(
+                    U[c], ds_s, us_c, grid, cfg.u_bcs[c], dt, cfg.nu,
+                    rr * a_s, s_s, cfg.beta, cfg.diffusion_params,
+                    rr * a_s * fv, t)
+            else:
+                v_new, _ = diff.diffuse(U[c], grid, cfg.u_bcs[c], dt,
+                                        cfg.nu, rho=rr, beta=cfg.beta,
+                                        params=cfg.diffusion_params,
+                                        extra_rhs=(rr * fv
+                                                   if rho is not None
+                                                   else fv), t=t)
         else:
             v_new = U[c] + fv
+        if solid is not None:
+            v_new = jnp.where(solid[0] > 0.0, v_new, 0.0)
         out.append(v_new)
     return out
 
@@ -236,6 +264,46 @@ def tension_sources(state: dict, cfg: NSConfig, t, alpha=None,
     return srcs
 
 
+@functools.lru_cache(maxsize=32)
+def _solid_ctx(grid: Grid, solid_phi):
+    """Cached embedded-solid geometry for a config: (a, s faces,
+    DirichletSurface) — static per (grid, phi).  Evaluated eagerly even
+    when first touched inside a jit trace (geometry is constant data; the
+    cache must never hold tracers)."""
+    from ..physics.solid import solid_fractions, DirichletSurface
+
+    with jax.ensure_compile_time_eval():
+        a, s = solid_fractions(grid, solid_phi)
+        ds = DirichletSurface(grid, solid_phi)
+    return a, s, ds
+
+
+def solid_velocity_diffusion(v, ds, us_v, grid, fbc, dt, nu, a, s,
+                             beta, params, extra_rhs, t):
+    """Implicit viscous solve in the cut-cell region with Dirichlet
+    velocity on the embedded surface:
+    a u - beta dt [div(nu s grad u) + nu l_b (u_s - u_probe)/(d_p h^2)]
+    = a u_old + extra.  The probe term is deferred-corrected (2 outer
+    iterations).  Reference: surface BCs in the viscous solve
+    (GfsSurfaceBc, src/timestep.c:1062-1229; Dirichlet relax
+    src/poisson.c:561-586)."""
+    from ..solvers import poisson as psn
+
+    dim = grid.dim
+    scale = beta * dt * nu
+    alpha = tuple(scale * s[c] for c in range(dim))
+    dia = a + scale * ds.dia
+    usv = ds.surface_value(us_v, t)
+    base = -(a * v + extra_rhs + scale * ds.dia * usv)
+    params = params or psn.MultilevelParams(tolerance=1e-3, nitermax=10)
+    u = v
+    for _ in range(2):
+        corr = jnp.where(ds.mixed, scale * ds.dia * (ds.probe(u) - u), 0.0)
+        u, _ = psn.solve(u, base + corr, grid, fbc, params, alpha=alpha,
+                         dia=dia, t=t)
+    return u
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "cstart", "first_step"))
 def ns_step(state: dict, dt, t, cfg: NSConfig, cstart: int = 0,
             first_step: bool = False) -> dict:
@@ -250,15 +318,23 @@ def ns_step(state: dict, dt, t, cfg: NSConfig, cstart: int = 0,
     g_prev = [state[n] for n in gradient_names(dim)] if gc else None
     rho_c, alpha = density_fields(state, cfg, t)
     fs = tension_sources(state, cfg, t, alpha=alpha)
+    solid = None
+    sfrac = None
+    if cfg.solid_phi is not None:
+        solid = _solid_ctx(grid, cfg.solid_phi)
+        sfrac = solid[1]
 
     # 1. prediction
     uf = predicted_face_velocities(U, grid, cfg, dt, t)
+    if sfrac is not None:
+        uf = [jnp.where(sfrac[c] > 0.0, uf[c], 0.0) for c in range(dim)]
 
     # 2. MAC projection at dt/2 on Pmac (reference swaps P<->Pmac around it,
     #    src/simulation.c:498-504)
     uf, pmac, gmac, _ = proj.mac_projection(
         uf, state["Pmac"], grid, cfg.p_bc, dt / 2.0, cfg.projection,
-        alpha=alpha, face_sources=fs, t=t)
+        alpha=alpha, face_sources=fs, face_frac=sfrac,
+        vol_frac=None if solid is None else solid[0], t=t)
 
     # 3. centred advection + diffusion (momentum rhs includes -dt*g_prev);
     # at i==0 the gc gradient role is played by this step's gmac
@@ -269,7 +345,8 @@ def ns_step(state: dict, dt, t, cfg: NSConfig, cstart: int = 0,
     if cfg.particle_coupling:
         sources = [state["PF" + ax] for ax in ("x", "y", "z")[:dim]]
     U = velocity_advection_diffusion(U, uf, gmac, g_prev, grid, cfg, dt, t,
-                                     sources=sources, rho=rho_c)
+                                     sources=sources, rho=rho_c,
+                                     solid=solid)
     if gc:
         # remove the explicit gradient again before re-projecting
         # (gfs_correct_centered_velocities with -dt, src/simulation.c:520)
@@ -277,10 +354,15 @@ def ns_step(state: dict, dt, t, cfg: NSConfig, cstart: int = 0,
 
     # 4. approximate projection at dt
     uf2 = proj.face_interpolated_velocity(U, grid, list(cfg.u_bcs), t=t)
+    if sfrac is not None:
+        uf2 = [jnp.where(sfrac[c] > 0.0, uf2[c], 0.0) for c in range(dim)]
     uf2, p, g_cell, _ = proj.mac_projection(
         uf2, state["P"], grid, cfg.p_bc, dt, cfg.approx_projection,
-        alpha=alpha, face_sources=fs, t=t)
+        alpha=alpha, face_sources=fs, face_frac=sfrac,
+        vol_frac=None if solid is None else solid[0], t=t)
     U = [U[c] - dt * g_cell[c] for c in range(dim)]
+    if solid is not None:
+        U = [jnp.where(solid[0] > 0.0, U[c], 0.0) for c in range(dim)]
 
     new = dict(state)
     for c, n in enumerate(names):
@@ -314,8 +396,13 @@ def initial_projection(state: dict, dt, t, cfg: NSConfig) -> dict:
     names = velocity_names(cfg.dim)
     U = [state[n] for n in names]
     rho_c, alpha = density_fields(state, cfg, t)
+    sfrac = vfrac = None
+    if cfg.solid_phi is not None:
+        ctx = _solid_ctx(cfg.grid, cfg.solid_phi)
+        sfrac, vfrac = ctx[1], ctx[0]
     U, _, p, g_cell, _ = _approx(U, state["P"], cfg, dt, t,
-                                 alpha=alpha, face_sources=None)
+                                 alpha=alpha, face_sources=None,
+                                 face_frac=sfrac, vol_frac=vfrac)
     new = dict(state)
     for c, n in enumerate(names):
         new[n] = U[c]
@@ -326,11 +413,16 @@ def initial_projection(state: dict, dt, t, cfg: NSConfig) -> dict:
     return new
 
 
-def _approx(U, p, cfg, dt, t, alpha=None, face_sources=None):
+def _approx(U, p, cfg, dt, t, alpha=None, face_sources=None,
+            face_frac=None, vol_frac=None):
     uf = proj.face_interpolated_velocity(U, cfg.grid, list(cfg.u_bcs), t=t)
+    if face_frac is not None:
+        uf = [jnp.where(face_frac[c] > 0.0, uf[c], 0.0)
+              for c in range(cfg.dim)]
     uf, p, g_cell, stats = proj.mac_projection(
         uf, p, cfg.grid, cfg.p_bc, dt, cfg.approx_projection,
-        alpha=alpha, face_sources=face_sources, t=t)
+        alpha=alpha, face_sources=face_sources, face_frac=face_frac,
+        vol_frac=vol_frac, t=t)
     U = [U[c] - dt * g_cell[c] for c in range(cfg.dim)]
     return U, uf, p, g_cell, stats
 

@@ -62,7 +62,7 @@ def mac_projection(u_face: list, p: jnp.ndarray, grid: Grid,
                    p_bc: bcs.FieldBC, dt,
                    params: poisson.MultilevelParams,
                    alpha=None, div_source=None, face_sources=None,
-                   t: float = 0.0):
+                   face_frac=None, vol_frac=None, t: float = 0.0):
     """Project the MAC field. Returns (u_face', p, g_cell, stats).
 
     ``div_source``: optional extra divergence (the reference's
@@ -73,20 +73,43 @@ def mac_projection(u_face: list, p: jnp.ndarray, grid: Grid,
     tension_coeff src/poisson.c:903-996): u_face += dt*dp before the solve,
     and g_cell returns the NET gradient (alpha grad p - dp) so the momentum
     update sees the balanced force.
+    ``face_frac``: optional embedded-solid face fractions s — the flux is
+    s*u_f, the Poisson coefficient s*alpha, the velocity correction the
+    unweighted alpha grad p (reference: gfs_poisson_coefficients carries
+    the face fraction, src/poisson.c:756-901).
     Reference: src/timestep.c:356-432.
     """
     if face_sources is not None:
         u_face = [u_face[c] + dt * face_sources[c] for c in range(grid.dim)]
-    div = divergence(u_face, grid) / dt
+    if face_frac is None:
+        div = divergence(u_face, grid) / dt
+        alpha_solve = alpha
+    else:
+        div = divergence([face_frac[c] * u_face[c]
+                          for c in range(grid.dim)], grid) / dt
+        alpha_solve = tuple(
+            face_frac[c] * (1.0 if alpha is None else alpha[c])
+            for c in range(grid.dim))
     if div_source is not None:
         div = div + div_source
     # pure-Neumann/periodic compatibility: remove the mean (the reference
     # achieves this by construction; discretely we enforce it, cf.
-    # GfsPoisson correct_div, src/simulation.c:2156-2186)
+    # GfsPoisson correct_div, src/simulation.c:2156-2186).  With embedded
+    # solids the mean is fluid-volume weighted so fully-solid cells (zero
+    # operator diagonal) keep rhs = 0.
     if not any(side.kind == bcs.DIRICHLET for ax in p_bc.sides for side in ax):
-        div = div - jnp.mean(div)
-    p, stats = poisson.solve(p, div, grid, p_bc, params, alpha=alpha, t=t)
+        if vol_frac is None:
+            div = div - jnp.mean(div)
+        else:
+            div = div - vol_frac * (jnp.sum(div)
+                                    / jnp.maximum(jnp.sum(vol_frac), 1e-30))
+    p, stats = poisson.solve(p, div, grid, p_bc, params, alpha=alpha_solve,
+                             t=t)
     gf = face_gradients(p, grid, p_bc, alpha, t=t)
+    if face_frac is not None:
+        # no correction through zero-fraction (fully solid) faces
+        gf = [jnp.where(face_frac[c] > 0.0, gf[c], 0.0)
+              for c in range(grid.dim)]
     u_face = [u_face[c] - dt * gf[c] for c in range(grid.dim)]
     if face_sources is not None:
         gf = [gf[c] - face_sources[c] for c in range(grid.dim)]

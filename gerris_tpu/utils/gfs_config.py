@@ -692,6 +692,20 @@ def build_simulation(sim: ParsedSim):
             sim.errors.append(
                 f"PhysicalParams alpha not reducible: {sim.alpha_expr}")
 
+    solid_phi = None
+    if sim.solids:
+        fns = tuple(sim.solids)
+        if len(fns) == 1:
+            solid_phi = fns[0]
+        else:
+            import jax.numpy as _jnp
+
+            def solid_phi(x, y, z=0.0, t=0.0, fns=fns):
+                out = fns[0](x, y, z, t)
+                for f in fns[1:]:
+                    out = _jnp.minimum(out, f(x, y, z, t))
+                return out
+
     cfg = ns.NSConfig(
         grid=grid,
         u_bcs=u_bcs,
@@ -703,6 +717,7 @@ def build_simulation(sim: ParsedSim):
         approx_projection=mk_params(sim.approx_projection),
         p_bc=side_bc("P", lambda ax, sd: bcs.Neumann()),
         density=density,
+        solid_phi=solid_phi,
     )
 
     time = Time(t=sim.time.get("t", 0.0), end=sim.time.get("end", math.inf),
