@@ -82,6 +82,14 @@ class NSConfig:
     # src/timestep.c:1062-1229); None = free-slip/no solid
     solid_phi: object = None
     surface_u: tuple = None
+    # axisymmetric metric (GfsAxi, src/simulation.c + src/metric.c): y is
+    # the radial coordinate; cell/face metric factors r enter the same
+    # face-coefficient machinery as solid fractions (domain metric hooks,
+    # src/domain.h:94-110)
+    axi: bool = False
+    # constant/callable body force per component (GfsSource on velocity,
+    # src/source.c; gravity etc.)
+    body_force: tuple = None
 
     def __post_init__(self):
         if self.p_bc is None:
@@ -146,28 +154,36 @@ def velocity_advection_diffusion(U: list, uf: list, gmac: list, g_prev,
             fv = adv.flux_divergence(v_faces, uf, grid, dt)
         else:
             # fluxes through fractional faces scale with s; the update
-            # divides by the fluid volume fraction with a small-cell clamp
+            # divides by the (clamped) fluid volume weight
             # (the reference merges cells with a < 0.5 instead,
             # src/advection.c:784 gfs_advection_update)
-            a_s, s_s, ds_s = solid
+            a_s, s_s, ds_s, a_cl = solid
             fv = adv.flux_divergence(
                 [s_s[ax] * v_faces[ax] for ax in range(dim)],
                 [s_s[ax] * uf[ax] for ax in range(dim)], grid, dt)
-            fv = fv / jnp.maximum(a_s, 0.25)
-            fv = jnp.where(a_s > 0.0, fv, 0.0)
+            fv = jnp.where(a_s > 0.0, fv / a_cl, 0.0)
         if g_prev is not None:
             fv = fv - dt * g_prev[c]
         if sources is not None and sources[c] is not None:
             fv = fv + dt * sources[c]
+        if cfg.body_force is not None and cfg.body_force[c] is not None:
+            bf = cfg.body_force[c]
+            fv = fv + dt * (bf(*grid.centers, t) if callable(bf) else bf)
         if cfg.nu > 0.0:
             rr = 1.0 if rho is None else rho
             if solid is not None:
-                a_s, s_s, ds_s = solid
+                a_s, s_s, ds_s, a_cl = solid
                 us_c = 0.0 if cfg.surface_u is None else cfg.surface_u[c]
+                extra_dia = None
+                if cfg.axi and c == 1:
+                    # radial vector-Laplacian term -nu u_r / r^2
+                    # (reference: metric viscous terms, src/metric.c)
+                    yc = jnp.asarray(grid.axis_centers(1))[None, :]
+                    extra_dia = a_s / (yc * yc)
                 v_new = solid_velocity_diffusion(
                     U[c], ds_s, us_c, grid, cfg.u_bcs[c], dt, cfg.nu,
                     rr * a_s, s_s, cfg.beta, cfg.diffusion_params,
-                    rr * a_s * fv, t)
+                    rr * a_s * fv, t, extra_dia=extra_dia)
             else:
                 v_new, _ = diff.diffuse(U[c], grid, cfg.u_bcs[c], dt,
                                         cfg.nu, rho=rr, beta=cfg.beta,
@@ -208,12 +224,19 @@ def gradient_names(dim):
 
 def filtered(T: jnp.ndarray, grid: Grid, fbc, npass: int = 1, t=0.0):
     """Smoothed tracer (GfsVariableFiltered, src/variable.c): one pass of
-    the 3x3 (1,2,1) tensor kernel per filter level."""
+    the separable (1,2,1)/4 tensor kernel per filter level (nD)."""
     for _ in range(npass):
         p = bcs.apply_bc(T, grid, fbc, 1, t=t)
-        T = (4.0 * p[1:-1, 1:-1] +
-             2.0 * (p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:]) +
-             (p[:-2, :-2] + p[:-2, 2:] + p[2:, :-2] + p[2:, 2:])) / 16.0
+        for ax in range(grid.dim):
+            n = p.shape[ax]
+
+            def tk(s0, s1):
+                idx = [slice(None)] * p.ndim
+                idx[ax] = slice(s0, n + s1)
+                return p[tuple(idx)]
+
+            p = 0.25 * (tk(0, -2) + 2.0 * tk(1, -1) + tk(2, 0))
+        T = p
     return T
 
 
@@ -265,6 +288,42 @@ def tension_sources(state: dict, cfg: NSConfig, t, alpha=None,
 
 
 @functools.lru_cache(maxsize=32)
+def _axi_metric(grid: Grid):
+    """(cm, fm): cell and per-axis face metric factors r = y for the
+    axisymmetric metric (GfsAxi; reference src/metric.c + the generic
+    per-face metric hooks src/domain.h:94-110)."""
+    import numpy as np
+
+    with jax.ensure_compile_time_eval():
+        yc = jnp.asarray(grid.axis_centers(1))
+        yf = jnp.asarray(grid.axis_faces(1))
+        cm = jnp.broadcast_to(yc[None, :], grid.shape)
+        fmx = jnp.broadcast_to(yc[None, :], grid.face_shape(0))
+        fmy = jnp.broadcast_to(yf[None, :], grid.face_shape(1))
+    return cm, (fmx, fmy)
+
+
+def _weights(cfg: NSConfig):
+    """Combined (vol, faces, dirichlet-surface, clamped-vol) weights:
+    solid fractions x metric factors — both enter the reference's face
+    coefficients identically (gfs_poisson_coefficients,
+    src/poisson.c:756-901).  The clamp applies to the solid fraction only
+    (small-cut-cell guard, the merged-cell stand-in); metric factors are
+    exact."""
+    grid = cfg.grid
+    a = s = ds = a_cl = None
+    if cfg.solid_phi is not None:
+        a, s, ds = _solid_ctx(grid, cfg.solid_phi)
+        a_cl = jnp.maximum(a, 0.25)
+    if cfg.axi:
+        cm, fm = _axi_metric(grid)
+        a = cm if a is None else a * cm
+        a_cl = cm if a_cl is None else a_cl * cm
+        s = fm if s is None else tuple(s[c] * fm[c] for c in range(2))
+    return a, s, ds, a_cl
+
+
+@functools.lru_cache(maxsize=32)
 def _solid_ctx(grid: Grid, solid_phi):
     """Cached embedded-solid geometry for a config: (a, s faces,
     DirichletSurface) — static per (grid, phi).  Evaluated eagerly even
@@ -279,26 +338,37 @@ def _solid_ctx(grid: Grid, solid_phi):
 
 
 def solid_velocity_diffusion(v, ds, us_v, grid, fbc, dt, nu, a, s,
-                             beta, params, extra_rhs, t):
-    """Implicit viscous solve in the cut-cell region with Dirichlet
-    velocity on the embedded surface:
+                             beta, params, extra_rhs, t, extra_dia=None):
+    """Implicit viscous solve with weighted coefficients (cut cells and/or
+    metric factors) and optional Dirichlet velocity on an embedded
+    surface:
     a u - beta dt [div(nu s grad u) + nu l_b (u_s - u_probe)/(d_p h^2)]
-    = a u_old + extra.  The probe term is deferred-corrected (2 outer
-    iterations).  Reference: surface BCs in the viscous solve
-    (GfsSurfaceBc, src/timestep.c:1062-1229; Dirichlet relax
-    src/poisson.c:561-586)."""
+        + beta dt nu extra_dia u = a u_old + extra.
+    The probe term is deferred-corrected (2 outer iterations).
+    ``extra_dia``: per-cell addition (the axisymmetric -u/r^2 term for the
+    radial component; reference src/metric.c viscous metric terms).
+    Reference: surface BCs in the viscous solve (GfsSurfaceBc,
+    src/timestep.c:1062-1229; Dirichlet relax src/poisson.c:561-586)."""
     from ..solvers import poisson as psn
 
     dim = grid.dim
     scale = beta * dt * nu
     alpha = tuple(scale * s[c] for c in range(dim))
-    dia = a + scale * ds.dia
-    usv = ds.surface_value(us_v, t)
-    base = -(a * v + extra_rhs + scale * ds.dia * usv)
+    dia = a + (0.0 if extra_dia is None else scale * extra_dia)
+    if ds is not None:
+        dia = dia + scale * ds.dia
+        usv = ds.surface_value(us_v, t)
+        base = -(a * v + extra_rhs + scale * ds.dia * usv)
+    else:
+        base = -(a * v + extra_rhs)
     params = params or psn.MultilevelParams(tolerance=1e-3, nitermax=10)
     u = v
-    for _ in range(2):
-        corr = jnp.where(ds.mixed, scale * ds.dia * (ds.probe(u) - u), 0.0)
+    for _ in range(2 if ds is not None else 1):
+        if ds is not None:
+            corr = jnp.where(ds.mixed,
+                             scale * ds.dia * (ds.probe(u) - u), 0.0)
+        else:
+            corr = 0.0
         u, _ = psn.solve(u, base + corr, grid, fbc, params, alpha=alpha,
                          dia=dia, t=t)
     return u
@@ -320,8 +390,8 @@ def ns_step(state: dict, dt, t, cfg: NSConfig, cstart: int = 0,
     fs = tension_sources(state, cfg, t, alpha=alpha)
     solid = None
     sfrac = None
-    if cfg.solid_phi is not None:
-        solid = _solid_ctx(grid, cfg.solid_phi)
+    if cfg.solid_phi is not None or cfg.axi:
+        solid = _weights(cfg)
         sfrac = solid[1]
 
     # 1. prediction
@@ -397,8 +467,8 @@ def initial_projection(state: dict, dt, t, cfg: NSConfig) -> dict:
     U = [state[n] for n in names]
     rho_c, alpha = density_fields(state, cfg, t)
     sfrac = vfrac = None
-    if cfg.solid_phi is not None:
-        ctx = _solid_ctx(cfg.grid, cfg.solid_phi)
+    if cfg.solid_phi is not None or cfg.axi:
+        ctx = _weights(cfg)
         sfrac, vfrac = ctx[1], ctx[0]
     U, _, p, g_cell, _ = _approx(U, state["P"], cfg, dt, t,
                                  alpha=alpha, face_sources=None,
@@ -429,12 +499,22 @@ def _approx(U, p, cfg, dt, t, alpha=None, face_sources=None,
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def timescale(state: dict, cfg: NSConfig):
-    """min over cells/components of h/|u| (reference: gfs_domain_cfl
-    src/domain.c:2857-2906; acceleration-source terms omitted until
-    sources are wired in)."""
+    """min over cells/components of h/|u|, plus the acceleration-source
+    stability bound sqrt(2h/|a|) for body forces and particle reaction
+    forces (reference: gfs_domain_cfl src/domain.c:2857-2906 including
+    the g/(2 size) source terms)."""
     grid = cfg.grid
     ts = jnp.asarray(jnp.inf, state["P"].dtype)
-    for n in velocity_names(grid.dim):
+    for c, n in enumerate(velocity_names(grid.dim)):
         umax = jnp.max(jnp.abs(state[n]))
         ts = jnp.minimum(ts, grid.h / jnp.maximum(umax, 1e-300))
+        amax = 0.0
+        if cfg.body_force is not None and cfg.body_force[c] is not None:
+            bf = cfg.body_force[c]
+            bfv = bf(*grid.centers, 0.0) if callable(bf) else bf
+            amax = amax + jnp.max(jnp.abs(bfv))
+        if cfg.particle_coupling:
+            amax = amax + jnp.max(jnp.abs(state["PF" + "xyz"[c]]))
+        ts = jnp.minimum(ts, jnp.sqrt(
+            2.0 * grid.h / jnp.maximum(amax, 1e-300)))
     return ts

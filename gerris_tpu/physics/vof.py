@@ -162,6 +162,95 @@ def positive_normal_3d(mx, my, mz, alpha):
     return jnp.abs(mx), jnp.abs(my), jnp.abs(mz), a
 
 
+def mycs_normals_3d(f_pad: jnp.ndarray):
+    """3D mixed-Youngs-centered interface normal (|m|_1 = 1, pointing OUT
+    of the fluid).  Reference behavior: src/myc.h:17-200 (the Aulisa et
+    al. 2007 scheme); this is an independent vectorized re-derivation
+    mirroring the 2D selection logic of mycs_normals: the dominant axis
+    comes from the Youngs gradient, the centered candidate uses 9-cell
+    column sums along it, and Youngs wins when its transverse slope
+    estimate is steeper (interface too inclined for the columns)."""
+    n0, n1, n2 = f_pad.shape
+
+    def sh(i, j, k):
+        return f_pad[i:n0 - 2 + i, j:n1 - 2 + j, k:n2 - 2 + k]
+
+    my_y = youngs_normals_3d(f_pad)            # (mx, my, mz), L1-normalized
+
+    # column sums along each axis over the 3x3 transverse neighborhood
+    def colsum(d, t1, t2):
+        """Sum of f over the 3-cell column along axis d at transverse
+        offset (t1, t2) (cells -1..1 along d)."""
+        out = 0.0
+        for k in (-1, 0, 1):
+            off = [0, 0, 0]
+            off[d] = k
+            taxes = [a for a in range(3) if a != d]
+            off[taxes[0]] += t1
+            off[taxes[1]] += t2
+            out = out + sh(off[0] + 1, off[1] + 1, off[2] + 1)
+        return out
+
+    # centered candidate per dominant axis d: transverse slopes from
+    # column-sum differences, dominant component = +-1
+    cands = []
+    for d in range(3):
+        s_t1 = 0.0
+        s_t2 = 0.0
+        for t in (-1, 0, 1):
+            w = 2.0 if t == 0 else 1.0
+            s_t1 = s_t1 + w * (colsum(d, -1, t) - colsum(d, 1, t))
+            s_t2 = s_t2 + w * (colsum(d, t, -1) - colsum(d, t, 1))
+        mt1 = 0.5 * s_t1 / 4.0
+        mt2 = 0.5 * s_t2 / 4.0
+        # dominant sign from the central difference of f along d
+        off_m = [1, 1, 1]
+        off_p = [1, 1, 1]
+        off_m[d] = 0
+        off_p[d] = 2
+        dd = sh(*off_m) - sh(*off_p)
+        md = jnp.sign(dd) + (dd == 0.0)
+        cands.append((mt1, mt2, md))
+
+    mx_y, my_y2, mz_y = my_y
+    absY = [jnp.abs(mx_y), jnp.abs(my_y2), jnp.abs(mz_y)]
+    # dominant axis = largest Youngs component
+    dom = jnp.argmax(jnp.stack(absY), axis=0)
+
+    out = []
+    for comp in range(3):
+        v = 0.0
+        for d in range(3):
+            mt1, mt2, md = cands[d]
+            taxes = [a for a in range(3) if a != d]
+            if comp == d:
+                c = md
+            elif comp == taxes[0]:
+                c = mt1
+            else:
+                c = mt2
+            v = jnp.where(dom == d, c, v)
+        out.append(v)
+
+    # centered vs Youngs: compare transverse steepness at the dominant axis
+    slope_c = 0.0
+    slope_y = 0.0
+    for d in range(3):
+        mt1, mt2, _ = cands[d]
+        taxes = [a for a in range(3) if a != d]
+        sc = jnp.maximum(jnp.abs(mt1), jnp.abs(mt2))
+        sy = jnp.maximum(absY[taxes[0]], absY[taxes[1]]) / \
+            jnp.maximum(absY[d], EPS)
+        slope_c = jnp.where(dom == d, sc, slope_c)
+        slope_y = jnp.where(dom == d, sy, slope_y)
+    take_youngs = slope_y > slope_c
+    mx = jnp.where(take_youngs, mx_y, out[0])
+    my = jnp.where(take_youngs, my_y2, out[1])
+    mz = jnp.where(take_youngs, mz_y, out[2])
+    norm = jnp.abs(mx) + jnp.abs(my) + jnp.abs(mz) + EPS
+    return mx / norm, my / norm, mz / norm
+
+
 def youngs_normals_3d(f_pad: jnp.ndarray):
     """3D Youngs-gradient interface normal (|mx|+|my|+|mz| = 1, pointing
     out of the fluid).  Reference: gfs_youngs_gradient src/vof.c:672-891
@@ -336,7 +425,7 @@ def _face_flux_1d(f_pad, mx_pad, my_pad, un, axis, dun=None, bands=4):
 def normals(f: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC, t=0.0):
     f_pad = bcs.apply_bc(f, grid, fbc, 1, t=t)
     if grid.dim == 3:
-        return youngs_normals_3d(f_pad)
+        return mycs_normals_3d(f_pad)
     return mycs_normals(f_pad)
 
 
@@ -396,7 +485,7 @@ def advect(f: jnp.ndarray, u_face: list, grid: Grid, fbc: bcs.FieldBC,
         pad2 = bcs.apply_bc(f, grid, fbc, 2, t=t)
         un = u_face[c] * dt / grid.h
         if dim == 3:
-            m_pads = youngs_normals_3d(pad2)
+            m_pads = mycs_normals_3d(pad2)
             flux = _face_flux_3d(f_pad, m_pads, un, c)
             nfc3 = flux.shape[c]
             hi3 = [slice(None)] * dim
@@ -466,7 +555,8 @@ def curvature(f: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC, t=0.0):
     gfs_height_curvature:2548; the parabola-fit fallback :2201-2493 is
     replaced by neighbor averaging, see fill_curvature)."""
     dim = grid.dim
-    assert dim == 2, "3D curvature lands with the 3D VOF pass"
+    if dim == 3:
+        return curvature_3d(f, grid, fbc, t=t)
     R = 3  # column half-height
     P = R + 1
     f_pad = bcs.apply_bc(f, grid, fbc, P, t=t)
@@ -517,6 +607,79 @@ def curvature(f: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC, t=0.0):
     # parabola-fit fallback where no height column was usable
     kap_fit = parabola_curvature(f, grid, fbc, mx, my, t=t)
     kap = jnp.where(jnp.isfinite(kap), kap, kap_fit)
+    return jnp.where(interface, kap, jnp.nan)
+
+
+def curvature_3d(f: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC, t=0.0):
+    """3D height-function curvature: 7-cell column sums along the dominant
+    normal axis over the 3x3 transverse stencil,
+    kappa = -(Hxx(1+Hy^2) + Hyy(1+Hx^2) - 2 Hxy Hx Hy) /
+            (h (1+Hx^2+Hy^2)^{3/2})
+    (the sum of principal curvatures — div of the outward normal, the
+    quantity SourceTension consumes).  Invalid columns fall back to
+    neighbor averaging via fill_curvature (the reference fits a paraboloid
+    there, src/vof.c:2201-2493; averaging loses the corner cells only).
+    Reference: curvature_along_direction / gfs_height_curvature,
+    src/vof.c:2068-2200,2548 (3D branches)."""
+    R = 3
+    P = R + 1
+    f_pad = bcs.apply_bc(f, grid, fbc, P, t=t)
+    n0, n1, n2 = grid.shape
+
+    def sub(di, dj, dk):
+        return f_pad[P + di:P + di + n0, P + dj:P + dj + n1,
+                     P + dk:P + dk + n2]
+
+    mx, my, mz = mycs_normals_3d(bcs.apply_bc(f, grid, fbc, 1, t=t))
+    m = [mx, my, mz]
+    interface = (f > FULL_TOL) & (f < 1.0 - FULL_TOL)
+
+    kappas = []
+    valids = []
+    for d in range(3):
+        taxes = [a for a in range(3) if a != d]
+
+        def col(t1, t2):
+            s = 0.0
+            for k in range(-R, R + 1):
+                off = [0, 0, 0]
+                off[d] = k
+                off[taxes[0]] += t1
+                off[taxes[1]] += t2
+                s = s + sub(*off)
+            return s
+
+        H = {}
+        for t1 in (-1, 0, 1):
+            for t2 in (-1, 0, 1):
+                H[t1, t2] = col(t1, t2)
+        Hx = 0.5 * (H[1, 0] - H[-1, 0])
+        Hy = 0.5 * (H[0, 1] - H[0, -1])
+        Hxx = H[1, 0] - 2.0 * H[0, 0] + H[-1, 0]
+        Hyy = H[0, 1] - 2.0 * H[0, 0] + H[0, -1]
+        Hxy = 0.25 * (H[1, 1] - H[1, -1] - H[-1, 1] + H[-1, -1])
+        den = jnp.power(1.0 + Hx * Hx + Hy * Hy, 1.5)
+        kap = -(Hxx * (1.0 + Hy * Hy) + Hyy * (1.0 + Hx * Hx)
+                - 2.0 * Hxy * Hx * Hy) / (grid.h * den)
+        off_top = [0, 0, 0]
+        off_top[d] = R
+        off_bot = [0, 0, 0]
+        off_bot[d] = -R
+        top, bot = sub(*off_top), sub(*off_bot)
+        ends_ok = is_full(top) & is_full(bot) & (jnp.abs(top - bot) > 0.5)
+        sane = (H[0, 0] > 0.0) & (H[0, 0] < 2.0 * R + 1.0) & \
+            (jnp.abs(Hx) <= 1.0) & (jnp.abs(Hy) <= 1.0)
+        kappas.append(kap)
+        valids.append(ends_ok & sane)
+
+    absm = [jnp.abs(c) for c in m]
+    dom = jnp.argmax(jnp.stack(absm), axis=0)
+    kap = jnp.full(grid.shape, jnp.nan, f.dtype)
+    # dominant direction first, then any valid one
+    for d in range(3):
+        kap = jnp.where((dom == d) & valids[d], kappas[d], kap)
+    for d in range(3):
+        kap = jnp.where(jnp.isnan(kap) & valids[d], kappas[d], kap)
     return jnp.where(interface, kap, jnp.nan)
 
 
@@ -606,16 +769,21 @@ def fill_curvature(kap: jnp.ndarray, interface_band: jnp.ndarray,
                    niter: int = 4):
     """Propagate defined curvature to neighbouring cells by averaging
     (replaces the reference's interpolation from interface fragments,
-    src/tension.c:390-760 GfsVariableCurvature diffusion)."""
+    src/tension.c:390-760 GfsVariableCurvature diffusion).  nD."""
+    dim = kap.ndim
     for _ in range(niter):
         ok = jnp.isfinite(kap)
         k0 = jnp.where(ok, kap, 0.0)
         pad_k = jnp.pad(k0, 1)
         pad_ok = jnp.pad(ok, 1).astype(kap.dtype)
-        s = (pad_k[:-2, 1:-1] + pad_k[2:, 1:-1] +
-             pad_k[1:-1, :-2] + pad_k[1:-1, 2:])
-        w = (pad_ok[:-2, 1:-1] + pad_ok[2:, 1:-1] +
-             pad_ok[1:-1, :-2] + pad_ok[1:-1, 2:])
+        s = 0.0
+        w = 0.0
+        for ax in range(dim):
+            for off in (0, 2):
+                idx = [slice(1, -1)] * dim
+                idx[ax] = slice(off, pad_k.shape[ax] - 2 + off)
+                s = s + pad_k[tuple(idx)]
+                w = w + pad_ok[tuple(idx)]
         avg = s / jnp.maximum(w, 1.0)
         kap = jnp.where(ok, kap, jnp.where(w > 0, avg, jnp.nan))
     return kap

@@ -1,0 +1,94 @@
+"""Gates: 3D VOF curvature + surface tension (VERDICT round-1 item 6:
+'3D VOF has no curvature at all ... no 3D surface-tension flow works').
+
+- 3D MYC normals against the exact sphere normal;
+- 3D height-function curvature vs the exact 2/R (sum of principal
+  curvatures, the SourceTension input; reference curvature_along_direction
+  3D branches src/vof.c:2068-2200);
+- a 3D static droplet holds: tension + projection keep parasitic
+  velocities at solver-tolerance level (the spurious property in 3D).
+"""
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gerris_tpu.core.grid import Grid
+from gerris_tpu.core import bc as bcs
+from gerris_tpu.models import ns
+from gerris_tpu.models.simulation import Simulation, Time
+from gerris_tpu.physics import vof
+from gerris_tpu.solvers import poisson
+
+R = 0.3
+
+
+def phi(x, y, z):
+    return R * R - (x * x + y * y + z * z)
+
+
+def test_mycs_normals_3d():
+    grid = Grid(level=5, dim=3, origin=(-0.5, -0.5, -0.5))
+    T = vof.fraction_from_levelset(grid, phi)
+    fbc = bcs.default_scalar_bc(3)
+    mx, my, mz = vof.normals(T, grid, fbc)
+    ifc = (T > 1e-6) & (T < 1 - 1e-6)
+    x, y, z = grid.centers
+    r = jnp.sqrt(x * x + y * y + z * z) + 1e-30
+    ex, ey, ez = x / r, y / r, z / r        # outward normal of the ball
+    m2 = jnp.sqrt(mx ** 2 + my ** 2 + mz ** 2) + 1e-30
+    cosang = (mx * ex + my * ey + mz * ez) / m2
+    worst = float(jnp.min(jnp.where(ifc, cosang, 1.0)))
+    print("worst normal alignment cos:", worst)
+    assert worst > 0.97                     # < ~14 deg everywhere
+
+
+def test_curvature_3d_sphere():
+    fbc = bcs.default_scalar_bc(3)
+    errs = []
+    for lvl in (4, 5):
+        grid = Grid(level=lvl, dim=3, origin=(-0.5, -0.5, -0.5))
+        T = vof.fraction_from_levelset(grid, phi)
+        kap = vof.curvature(T, grid, fbc)
+        ifc = (T > 1e-6) & (T < 1 - 1e-6)
+        ok = ifc & jnp.isfinite(kap)
+        exact = 2.0 / R
+        rel = jnp.where(ok, jnp.abs(kap - exact) / exact, 0.0)
+        frac_ok = float(jnp.sum(ok) / jnp.maximum(jnp.sum(ifc), 1))
+        errs.append(float(jnp.max(rel)))
+        print(f"L{lvl}: max rel kappa err {errs[-1]:.3f}, "
+              f"HF coverage {frac_ok:.2f}")
+        assert frac_ok > 0.6               # HF valid on most of the sphere
+    assert errs[-1] < 0.15
+    assert errs[-1] < errs[0]              # converging
+
+
+@pytest.mark.slow
+def test_static_droplet_3d():
+    level = 4
+    grid = Grid(level=level, dim=3, origin=(-0.5, -0.5, -0.5))
+    tbc = bcs.default_scalar_bc(3)
+    cfg = ns.NSConfig(
+        grid=grid,
+        u_bcs=tuple(bcs.velocity_bc(c, 3) for c in range(3)),
+        nu=0.1, beta=1.0,
+        advection=ns.adv.AdvectionParams(scheme="none"),
+        vof_tracers=(("T", tbc),), tension=(("T", 1.0),),
+        projection=poisson.MultilevelParams(tolerance=1e-6, nitermax=50),
+        approx_projection=poisson.MultilevelParams(tolerance=1e-6,
+                                                   nitermax=50))
+    sim = Simulation(cfg, time=Time(end=1.0))
+    sim.init(T=vof.fraction_from_levelset(grid, phi))
+    T0 = sim.state["T"]
+    umax = []
+    for _ in range(20):
+        sim.run(max_steps=1)
+        u2 = sim.state["U"]**2 + sim.state["V"]**2 + sim.state["W"]**2
+        umax.append(float(jnp.sqrt(jnp.max(u2))))
+    shape_err = float(jnp.max(jnp.abs(sim.state["T"] - T0)))
+    print(f"3D droplet: umax first={umax[0]:.2e} last={umax[-1]:.2e} "
+          f"shape err={shape_err:.2e}")
+    # parasitic currents bounded and the droplet does not deform
+    assert umax[-1] < 5e-3                 # capillary velocity scale ~ 1
+    assert shape_err < 5e-3
