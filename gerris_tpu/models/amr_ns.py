@@ -427,6 +427,10 @@ class AMRSimulation:
         assert mesh is not None or adapt is not None
         self.cfg = cfg
         if mesh is not None:
+            # an empty finest level would silently discard VOF updates
+            # (the tracer advances at lmax only)
+            assert mesh.leaf_np(mesh.lmax).any(), \
+                "static mesh has no leaves at its finest level"
             self.topo = mesh.topo
             self.depth = mesh.depth_map()
         else:

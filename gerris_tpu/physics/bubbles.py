@@ -35,6 +35,9 @@ class BubbleConfig:
     visc: float = 0.0        # liquid dynamic viscosity
     cl: float = 1500.0       # liquid sound speed (Keller-Miksis)
     substeps: int = 16       # RK4 substeps per flow dt
+    # bubble-bubble radiated-pressure coupling (GfsBubbleInteractions,
+    # modules/bubbles.c:815-1130); dense O(n^2) — for clouds, not swarms
+    interactions: bool = False
 
 
 def gas_pressure(p0, R0, R, gamma):
@@ -58,6 +61,59 @@ def radius_rhs(R, Rdot, p0, R0, p_liq, rho_liq, cfg: BubbleConfig):
         f = f - 1.5 * Rdot * Rdot * (1.0 - Rdot / (3.0 * cfg.cl))
         return f / (R * (1.0 - Rdot / cfg.cl))
     raise ValueError(cfg.model)
+
+
+def coupled_radius_rhs(R, Rdot, p0, R0, p_liq, rho_liq, pos, alive,
+                       cfg: BubbleConfig):
+    """Bubble-bubble interaction dynamics (GfsBubbleInteractions,
+    modules/bubbles.c:815-1130): each bubble's wall motion radiates a
+    pressure field p'(d) = rho (R^2 Rddot + 2 R Rdot^2)/d that drives its
+    neighbours, coupling the accelerations into the linear system
+        R_i Rddot_i + sum_j (R_j^2/d_ij) Rddot_j = b_i
+        b_i = pdiff_i/rho - 1.5 Rdot_i^2 - sum_j 2 R_j Rdot_j^2 / d_ij
+    solved densely per RK stage (vectorized; the reference iterates the
+    same coupling bubble-by-bubble)."""
+    pb = gas_pressure(p0, R0, R, cfg.gamma)
+    pdiff = pb - 2.0 * cfg.sigma / R + 4.0 * cfg.visc * Rdot / R - p_liq
+    n = R.shape[0]
+    d = jnp.linalg.norm(pos[:, None, :] - pos[None, :, :], axis=-1)
+    # regularize: no self-coupling; distance floored at the bubble radii
+    eye = jnp.eye(n, dtype=bool)
+    d = jnp.maximum(d, (R[:, None] + R[None, :]))
+    inv_d = jnp.where(eye | ~(alive[:, None] & alive[None, :]),
+                      0.0, 1.0 / d)
+    A = jnp.diag(R) + (R[None, :] ** 2) * inv_d
+    b = (pdiff / rho_liq - 1.5 * Rdot * Rdot
+         - jnp.sum(2.0 * (R * Rdot * Rdot)[None, :] * inv_d, axis=1))
+    # dead rows: identity equation Rddot = 0
+    A = jnp.where(alive[:, None] & alive[None, :], A,
+                  jnp.eye(n, dtype=A.dtype))
+    b = jnp.where(alive, b, 0.0)
+    return jnp.linalg.solve(A, b)
+
+
+def integrate_radius_coupled(R, Rdot, p0, R0, p_liq, rho_liq, pos, alive,
+                             dt, cfg: BubbleConfig):
+    """RK4 on the coupled (R, Rdot) system of ALL bubbles (interactions
+    on; modules/bubbles.c:815-1130)."""
+    h = dt / cfg.substeps
+
+    def rhs(y):
+        R, Rdot = y
+        return (Rdot, coupled_radius_rhs(R, Rdot, p0, R0, p_liq, rho_liq,
+                                         pos, alive, cfg))
+
+    def rk4_step(i, y):
+        k1 = rhs(y)
+        k2 = rhs((y[0] + 0.5 * h * k1[0], y[1] + 0.5 * h * k1[1]))
+        k3 = rhs((y[0] + 0.5 * h * k2[0], y[1] + 0.5 * h * k2[1]))
+        k4 = rhs((y[0] + h * k3[0], y[1] + h * k3[1]))
+        return (y[0] + h / 6.0 * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0]),
+                y[1] + h / 6.0 * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1]))
+
+    R, Rdot = jax.lax.fori_loop(0, cfg.substeps, rk4_step, (R, Rdot))
+    R = jnp.where(R <= 1e-3 * R0, 1e-2 * R0, R)
+    return R, Rdot
 
 
 def integrate_radius(R, Rdot, p0, R0, p_liq, rho_liq, dt,
@@ -113,8 +169,13 @@ def step_bubbles(b: dict, U: list, U_old: list, P: jnp.ndarray, grid: Grid,
     pressure, then the shared particle translation update.
     Reference: gfs_bubble_event modules/bubbles.c:186-276."""
     p_at = parts.interpolate_at(P, grid, p_bc, b["pos"], t)
-    R, Rdot = integrate_radius(b["R"], b["Rdot"], b["p0"], b["R0"],
-                               p_at, rho_liq, dt, bcfg)
+    if bcfg.interactions:
+        R, Rdot = integrate_radius_coupled(
+            b["R"], b["Rdot"], b["p0"], b["R0"], p_at, rho_liq,
+            b["pos"], b["alive"], dt, bcfg)
+    else:
+        R, Rdot = integrate_radius(b["R"], b["Rdot"], b["p0"], b["R0"],
+                                   p_at, rho_liq, dt, bcfg)
     b = dict(b)
     b["R"], b["Rdot"] = R, Rdot
     b["vol"] = 4.0 / 3.0 * math.pi * R ** 3

@@ -628,10 +628,28 @@ def build_simulation(sim: ParsedSim):
     dim = 2
     if sim.sim_class == "GfsPoisson":
         return _build_poisson(sim)
-    grid = Grid(level=sim.level, dim=dim, extents=sim.box_stack
-                if sim.box_stack != (1, 1) else None,
-                origin=(-0.5, -0.5 * sim.box_stack[1])
-                if sim.box_stack != (1, 1) else (-0.5, -0.5))
+
+    def mk_grid(level):
+        return Grid(level=level, dim=dim, extents=sim.box_stack
+                    if sim.box_stack != (1, 1) else None,
+                    origin=(-0.5, -0.5 * sim.box_stack[1])
+                    if sim.box_stack != (1, 1) else (-0.5, -0.5))
+
+    if sim.refine_expr is not None:
+        # true max depth: a level-l cell refines while refine(center) > l
+        # (GfsRefine semantics, src/refine.c) — evaluate at cell centres
+        # per level instead of trusting integer literals in the expression
+        import numpy as _np
+        rf = sim.refine_expr
+        lmax = 2
+        for l in range(2, sim.level + 2):
+            g = mk_grid(l)
+            if bool(_np.any(_np.asarray(rf(*g.centers)) > l)):
+                lmax = l + 1
+            else:
+                break
+        sim.level = lmax
+    grid = mk_grid(sim.level)
 
     def side_bc(var, default):
         sides = []

@@ -175,3 +175,61 @@ def test_feed_particles():
     # over-capacity injections are dropped, not wrapped
     p3 = parts.feed_particles(p2, np.zeros((10, 2)), vol=1e-5)
     assert int(jnp.sum(p3["alive"])) <= 8
+
+
+def test_bubble_interactions_frequency_shift():
+    """Two coupled bubbles oscillating in phase have a LOWER natural
+    frequency than an isolated bubble: omega^2 = omega0^2 / (1 + R0/d)
+    (linearized mutual radiation coupling; the GfsBubbleInteractions
+    physics, modules/bubbles.c:815-1130)."""
+    import math
+    import numpy as np
+    from gerris_tpu.physics import bubbles as bub
+
+    R0 = 0.01
+    d = 0.05
+    rho = 1000.0
+    p0 = 1e5
+    gamma = 1.4
+    cfg = bub.BubbleConfig(model="rp", gamma=gamma, substeps=8,
+                           interactions=True)
+    omega0 = math.sqrt(3.0 * gamma * p0 / (rho * R0 * R0))
+
+    def frequency(two):
+        import jax
+
+        n = 2 if two else 1
+        pos = jnp.asarray([[0.0, 0.0], [d, 0.0]][:n])
+        alive = jnp.ones((n,), bool)
+        p_at = jnp.full((n,), p0)
+        dt = 1.5e-5          # ~200 steps per omega0 period
+
+        @jax.jit
+        def rollout(R, Rd):
+            def step(carry, _):
+                R, Rd = carry
+                R, Rd = bub.integrate_radius_coupled(
+                    R, Rd, jnp.full((n,), p0), jnp.full((n,), R0), p_at,
+                    rho, pos, alive, dt, cfg)
+                return (R, Rd), R[0]
+            _, hist = jax.lax.scan(step, (R, Rd), None, length=800)
+            return hist
+
+        rs = np.asarray(rollout(jnp.full((n,), R0 * 1.01),
+                                jnp.zeros((n,))))
+        ts = dt * (1.0 + np.arange(800))
+        rs = rs - np.mean(rs)
+        # frequency from zero crossings
+        sgn = np.sign(rs)
+        crossings = np.nonzero(sgn[1:] * sgn[:-1] < 0)[0]
+        period = 2.0 * np.mean(np.diff(np.array(ts)[crossings]))
+        return 2.0 * math.pi / period
+
+    w1 = frequency(False)
+    w2 = frequency(True)
+    expected = omega0 / math.sqrt(1.0 + R0 / d)
+    print(f"isolated w={w1:.0f} (theory {omega0:.0f}); "
+          f"coupled w={w2:.0f} (theory {expected:.0f})")
+    assert abs(w1 - omega0) / omega0 < 0.05
+    assert abs(w2 - expected) / expected < 0.05
+    assert w2 < 0.95 * w1
