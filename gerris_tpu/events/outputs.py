@@ -29,8 +29,32 @@ from ..ops.stencils import norms, unbiased_error
 
 def sim_field(sim, name):
     """Field at the finest resolution — uniform Simulation or
-    AMRSimulation (which exposes ``fine``)."""
-    return sim.fine(name) if hasattr(sim, "fine") else sim.state[name]
+    AMRSimulation (which exposes ``fine``) — including the reference's
+    derived variable names (Velocity/Velocity2/Vorticity/Divergence,
+    src/variable.c gfs_derived_variables)."""
+    get = (lambda n: sim.fine(n)) if hasattr(sim, "fine") \
+        else (lambda n: sim.state[n])
+    if name in ("Velocity", "Velocity2", "Vorticity", "Divergence"):
+        from ..models.ns import velocity_names
+        from ..ops import derived
+        dim = sim.cfg.grid.dim
+        U = [get(n) for n in velocity_names(dim)]
+        if name == "Velocity2":
+            return derived.velocity2(U)
+        if name == "Velocity":
+            return derived.velocity_norm(U)
+        grid = sim.cfg.grid if not hasattr(sim, "fine") \
+            else sim.topo.grid(sim.topo.lmax)
+        if name == "Vorticity":
+            return derived.vorticity(U, grid, list(sim.cfg.u_bcs),
+                                     t=sim.time.t)
+        from ..solvers.projection import face_interpolated_velocity
+        from ..ops.stencils import divergence
+        uf = face_interpolated_velocity(U, grid, list(sim.cfg.u_bcs),
+                                        t=sim.time.t)
+        # reference normalisation: cell-size-weighted flux sum / h
+        return divergence(uf, grid)
+    return get(name)
 
 
 class OutputScalarNorm(Event):
@@ -83,11 +107,12 @@ class OutputErrorNorm(Event):
     Reference: src/output.c:2791 OutputErrorNorm."""
 
     def __init__(self, v: str, solution: Callable, unbiased: bool = False,
-                 file=None, **kw):
+                 relative: bool = False, file=None, **kw):
         super().__init__(name=f"OutputErrorNorm({v})", **kw)
         self.v = v
         self.solution = solution
         self.unbiased = unbiased
+        self.relative = relative
         self.file = file
         self.rows = []
 
@@ -101,6 +126,11 @@ class OutputErrorNorm(Event):
         if self.unbiased:
             e = unbiased_error(e)
         n = norms(e)
+        if self.relative:
+            # error norms relative to the norm of the exact solution
+            # (src/output.c:2849 relative option)
+            nref = norms(exact + jnp.zeros_like(e))
+            n = {k: n[k] / max(float(nref[k]), 1e-300) for k in n}
         row = (sim.time.t, float(n["first"]), float(n["second"]),
                float(n["infty"]))
         self.rows.append(row)

@@ -131,14 +131,25 @@ class Simulation:
             if e.at_end:
                 e.fire(self, self.time.t, self.time.i)
 
+    # -- numerics hooks (overridden by SkewSimulation & friends) ----------
+    def _initial_projection(self):
+        self.state = ns.initial_projection(self.state, self.dt,
+                                           self.time.t, self.cfg)
+
+    def _advance(self):
+        cfg = self.cfg
+        self.state = self._timed(
+            "step", ns.ns_step, self.state, self.dt, self.time.t, cfg,
+            cstart=self.time.i % cfg.grid.dim,
+            first_step=(self.time.i == 0))
+
     # -- main loop -------------------------------------------------------
     def run(self, max_steps: Optional[int] = None):
         """Reference: simulation_run src/simulation.c:432-557."""
         cfg = self.cfg
         self.set_timestep()
         if self.time.i == 0:
-            self.state = ns.initial_projection(self.state, self.dt,
-                                               self.time.t, cfg)
+            self._initial_projection()
             self.set_timestep()
         steps = 0
         while (self.time.t < self.time.end and self.time.i < self.time.iend
@@ -153,10 +164,7 @@ class Simulation:
                 psys.step(self)
             self.prev_state = {n: self.state[n]
                                for n in ns.velocity_names(cfg.grid.dim)}
-            self.state = self._timed(
-                "step", ns.ns_step, self.state, self.dt, self.time.t, cfg,
-                cstart=self.time.i % cfg.grid.dim,
-                first_step=(self.time.i == 0))
+            self._advance()
             self.time.t = self._tnext
             self.time.i += 1
             self.set_timestep()

@@ -322,6 +322,7 @@ class ParsedSim:
     filtered: dict = field(default_factory=dict)       # name -> (parent, n)
     init_fractions: dict = field(default_factory=dict)  # tracer -> phi fn
     inits: dict = field(default_factory=dict)          # var -> fn
+    raw_inits: dict = field(default_factory=dict)      # var -> C expr text
     solids: list = field(default_factory=list)         # phi fns (fluid>0)
     alpha_expr: Optional[str] = None
     projection: dict = field(default_factory=dict)
@@ -401,6 +402,9 @@ def parse_gfs(text: str, defines: dict = None) -> ParsedSim:
         else:
             defines[name] = body.strip()
     text = re.sub(r"^\s*Define.*$", "", text, flags=re.MULTILINE)
+    # GModule lines load compiled plugins in the reference (src/gerris.c);
+    # here every module is built in, so the directive is dropped.
+    text = re.sub(r"^\s*GModule\s+\w+\s*$", "", text, flags=re.MULTILINE)
     # -DNAME=VALUE textual substitution
     for k, v in defines.items():
         if re.match(r"^\w+$", str(k)):
@@ -533,6 +537,14 @@ def _parse_sim_body(sim: ParsedSim, toks, defines):
             blk, i = _read_block(toks, i2)
             kv = _kv_block(blk)
             for var, expr in kv.items():
+                # inline references to variables initialised earlier in the
+                # block (Init { U0 = ...  U = U0 } — reynolds/skew.gfs);
+                # the reference evaluates sequentially against live cell
+                # variables (src/init.c gfs_init_read)
+                for prev, prev_expr in sim.raw_inits.items():
+                    expr = re.sub(rf"\b{re.escape(prev)}\b",
+                                  f"({prev_expr})", expr)
+                sim.raw_inits[var] = expr
                 sim.inits[var] = translate_expr(expr, defines)
         elif t == "EventStop":
             blk, i = _read_block(toks, i + 1)
@@ -783,13 +795,24 @@ def build_simulation(sim: ParsedSim):
                         events.append(out.OutputScalarSum(vv, file=fileish,
                                                           **kw))
             elif name == "OutputErrorNorm" and len(blocks) >= 2:
-                v = blocks[0].get("v")
-                sol = blocks[1].get("s")
+                # the file argument may itself be a { shell pipe } block
+                # (src/output.c:70-130 file name / pipe): locate the v and
+                # solution blocks by content, not position
+                vblk = next((b for b in blocks
+                             if "v" in b and "s" not in b), {})
+                sblk = next((b for b in blocks if "s" in b), {})
+                v = vblk.get("v")
+                sol = sblk.get("s")
                 if v and sol:
+                    for prev, prev_expr in sim.raw_inits.items():
+                        sol = re.sub(rf"\b{re.escape(prev)}\b",
+                                     f"({prev_expr})", sol)
                     fn = translate_expr(sol, None)
                     events.append(out.OutputErrorNorm(
                         v, fn, unbiased=bool(int(float(
-                            blocks[1].get("unbiased", "0")))),
+                            sblk.get("unbiased", "0")))),
+                        relative=bool(int(float(
+                            sblk.get("relative", "0")))),
                         file=fileish, **kw))
             elif name == "OutputSimulation" and fileish:
                 events.append(out.OutputSimulation(
@@ -842,7 +865,13 @@ def build_simulation(sim: ParsedSim):
         s.init(**init_fields(fine_grid))
         return s
 
-    s = Simulation(cfg, time=time, events=events)
+    if sim.sim_class == "GfsSkewSymmetric":
+        # energy-conserving face-based scheme (modules/skewsymmetric.c;
+        # loaded in .gfs files via `GModule skewsymmetric`)
+        from ..models.skew import SkewSimulation
+        s = SkewSimulation(cfg, time=time, events=events)
+    else:
+        s = Simulation(cfg, time=time, events=events)
     s.errors = sim.errors
     s.init(**init_fields(fine_grid))
     return s

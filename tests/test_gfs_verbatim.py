@@ -90,3 +90,28 @@ def test_oscillation_gfs_verbatim(tmp_path):
     ref = 152.80       # test/oscillation/fit.ref level 5
     print(f"verbatim oscillation L{level}: c={c:.2f} ref={ref}")
     assert abs(c - ref) / ref < 0.02
+
+
+@pytest.mark.skipif(not os.path.isdir(REFDIR), reason="reference not mounted")
+def test_reynolds_skew_gfs_verbatim(tmp_path):
+    """test/reynolds/skew/skew.gfs: Taylor-Green on a periodic box with the
+    GfsSkewSymmetric class (GModule skewsymmetric), verbatim through the
+    parser.  Gates: kinetic energy conserved, relative velocity error at
+    t=2 small (the ref suite plots kineticLEVEL / errorLEVEL.dat)."""
+    level = 5
+    txt = _read(f"{REFDIR}/reynolds/skew/skew.gfs")
+    os.chdir(tmp_path)
+    sim = G.build_simulation(G.parse_gfs(txt, {"LEVEL": str(level)}))
+    assert type(sim).__name__ == "SkewSimulation"
+    assert sim.cfg.grid.level == level
+    ks = [e for e in sim.events if "ScalarSum" in type(e).__name__]
+    errs = [e for e in sim.events if "ErrorNorm" in type(e).__name__]
+    assert ks and errs
+    sim.run()
+    rows = np.array(ks[0].rows)
+    k0, k1 = rows[0, 1], rows[-1, 1]
+    assert rows[-1, 0] == pytest.approx(2.0, abs=1e-6)
+    assert abs(k1 / k0 - 1.0) < 1e-2, (k0, k1)
+    # final relative L2 error against the steady TG solution
+    erows = np.array(errs[0].rows)
+    assert erows[-1, 2] < 0.1, erows[-1]
