@@ -376,10 +376,12 @@ def solid_velocity_diffusion(v, ds, us_v, grid, fbc, dt, nu, a, s,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "cstart", "first_step"))
 def ns_step(state: dict, dt, t, cfg: NSConfig, cstart: int = 0,
-            first_step: bool = False) -> dict:
+            first_step: bool = False, sources=None) -> dict:
     """One full time step.  ``state`` keys: U,V(,W), P, Pmac, Gx,Gy(,Gz),
     tracers, VOF tracers.  ``cstart``: rotating first sweep direction for
-    VOF advection (reference: src/vof.c:1648,1721)."""
+    VOF advection (reference: src/vof.c:1648,1721).  ``sources``: optional
+    extra per-component cell accelerations (GfsSourceGeneric centered
+    sources, e.g. the electrohydro Maxwell stress)."""
     grid = cfg.grid
     dim = grid.dim
     names = velocity_names(dim)
@@ -411,9 +413,10 @@ def ns_step(state: dict, dt, t, cfg: NSConfig, cstart: int = 0,
     # (reference: src/simulation.c:514-521 'time.i > 0 ? gc : gmac')
     if gc and first_step:
         g_prev = gmac
-    sources = None
     if cfg.particle_coupling:
-        sources = [state["PF" + ax] for ax in ("x", "y", "z")[:dim]]
+        ps = [state["PF" + ax] for ax in ("x", "y", "z")[:dim]]
+        sources = ps if sources is None else \
+            [ps[c] + sources[c] for c in range(dim)]
     U = velocity_advection_diffusion(U, uf, gmac, g_prev, grid, cfg, dt, t,
                                      sources=sources, rho=rho_c,
                                      solid=solid)

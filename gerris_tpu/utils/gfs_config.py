@@ -331,6 +331,9 @@ class ParsedSim:
     events: list = field(default_factory=list)         # (name, params, extra)
     boundaries: dict = field(default_factory=dict)     # side -> {var: (kind, fn)}
     periodic: set = field(default_factory=set)         # axes
+    electro: Optional[dict] = None                     # GfsElectroHydro block
+    source_electric: bool = False
+    conductivity: Optional[tuple] = None               # (var, expr, potential)
     n_boxes: int = 1
     box_stack: tuple = (1, 1)
     errors: list = field(default_factory=list)         # build diagnostics
@@ -425,6 +428,28 @@ def parse_gfs(text: str, defines: dict = None) -> ParsedSim:
     body, i = _read_block(toks, i)
 
     _parse_sim_body(sim, body, defines)
+
+    # GfsElectroHydro carries a second read block with the electric
+    # parameters (modules/electrohydro.c:93-210 gfs_electro_hydro_read):
+    # { perm = <expr> charge = <expr|var> ElectricProjectionParams {...} }
+    if sim.sim_class.startswith("GfsElectroHydro") and i < len(toks) \
+            and toks[i] == "{":
+        eblk, i = _read_block(toks, i)
+        ekv, eproj = {}, {}
+        j = 0
+        while j < len(eblk):
+            if eblk[j] == "ElectricProjectionParams" and j + 1 < len(eblk) \
+                    and eblk[j + 1] == "{":
+                blk2, j = _read_block(eblk, j + 1)
+                eproj = _kv_block(blk2)
+            elif j + 2 < len(eblk) and eblk[j + 1] == "=":
+                ekv[eblk[j]] = eblk[j + 2]
+                j += 3
+            else:
+                j += 1
+        sim.electro = {"perm": ekv.get("perm", "1."),
+                       "charge": ekv.get("charge"),
+                       "projection": eproj}
 
     # boxes and edges
     boxes = 0
@@ -546,6 +571,26 @@ def _parse_sim_body(sim: ParsedSim, toks, defines):
                                   f"({prev_expr})", expr)
                 sim.raw_inits[var] = expr
                 sim.inits[var] = translate_expr(expr, defines)
+        elif t == "SourceElectric":
+            # Maxwell-stress momentum source (modules/electrohydro.c:612)
+            sim.source_electric = True
+            i += 1
+        elif t == "SourceDiffusionExplicit":
+            # SourceDiffusionExplicit Rhoe <sigma expr> [Phi]: explicit
+            # conduction d var/dt = div(sigma grad Phi)
+            # (modules/electrohydro.c ohmic charge transport)
+            var = toks[i + 1]
+            expr = toks[i + 2]
+            j = i + 3
+            pot = None
+            # the optional potential argument is a variable name (Phi),
+            # which the directive-regex would otherwise swallow
+            if j < n and toks[j] not in "{}" and \
+                    (toks[j] == "Phi" or not _is_directive(toks[j])):
+                pot = toks[j]
+                j += 1
+            sim.conductivity = (var, expr, pot)
+            i = j
         elif t == "EventStop":
             blk, i = _read_block(toks, i + 1)
             sched = _kv_block(blk)
@@ -870,6 +915,29 @@ def build_simulation(sim: ParsedSim):
         # loaded in .gfs files via `GModule skewsymmetric`)
         from ..models.skew import SkewSimulation
         s = SkewSimulation(cfg, time=time, events=events)
+    elif sim.sim_class.startswith("GfsElectroHydro"):
+        # electric subsystem block (modules/electrohydro.c read block)
+        from ..models.electro import ElectroParams, ElectroSimulation
+        eb = sim.electro or {}
+        phi_bc = side_bc("Phi", lambda ax, sd: bcs.Neumann())
+        perm_expr = eb.get("perm", "1.")
+        perm = float(perm_expr) if _isnum(perm_expr) \
+            else translate_expr(perm_expr)
+        charge = eb.get("charge")
+        if charge is not None and not re.match(r"^\w+$", charge):
+            charge = translate_expr(charge)
+        conductivity = None
+        if sim.conductivity is not None:
+            cvar, cexpr, cpot = sim.conductivity
+            if charge is None or cvar == charge:
+                conductivity = float(cexpr) if _isnum(cexpr) \
+                    else translate_expr(cexpr)
+        elec = ElectroParams(
+            phi_bc=phi_bc, perm=perm, charge=charge,
+            conductivity=conductivity,
+            projection=mk_params({k: float(v) for k, v in
+                                  eb.get("projection", {}).items()}))
+        s = ElectroSimulation(cfg, elec, time=time, events=events)
     else:
         s = Simulation(cfg, time=time, events=events)
     s.errors = sim.errors
