@@ -10,6 +10,7 @@ vs_baseline relative to the 1e9 cell-updates/s/chip north-star
 """
 import functools
 import json
+import math
 import os
 import sys
 import time
@@ -51,16 +52,20 @@ def main():
             return ns.ns_step(s, dt, jnp.float32(0.0), cfg)
         return jax.lax.fori_loop(0, nsteps, body, state)
 
-    # warmup / compile
+    # warmup / compile.  NOTE: on the axon remote runtime
+    # block_until_ready can return before remote execution completes —
+    # force a device->host scalar transfer to close the timing window
+    # (CLAUDE.md memoization/async gotchas).
     t0 = time.time()
     state = run(state, 2)
-    state["U"].block_until_ready()
+    chk = float(jnp.sum(state["U"]))
     compile_s = time.time() - t0
 
     t0 = time.time()
     state = run(state, STEPS)
-    state["U"].block_until_ready()
+    chk = float(jnp.sum(state["U"])) + float(jnp.sum(state["P"]))
     dt_wall = time.time() - t0
+    assert math.isfinite(chk), chk
 
     cells = grid.n ** grid.dim
     cups = cells * STEPS / dt_wall

@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -137,8 +138,19 @@ def _eval(value: Value, coords, t=0.0):
 
 
 def apply_bc(field: jnp.ndarray, grid: Grid, fbc: FieldBC, width: int = 1,
-             homogeneous: bool = False, t: float = 0.0) -> jnp.ndarray:
-    """Return ``field`` padded with ``width`` ghost layers per the BCs."""
+             homogeneous: bool = False, t: float = 0.0,
+             corners: bool = True) -> jnp.ndarray:
+    """Return ``field`` padded with ``width`` ghost layers per the BCs.
+
+    ``corners=False`` takes the SPMD-native path: one multi-axis zero pad
+    plus masked ghost-slab writes (corner ghosts stay zero).  Sequential
+    per-axis concatenates force GSPMD to all-gather half the domain per
+    pad (measured on the level-8 dryrun); the masked form lowers to local
+    slices + halo permutes.  Use it for axis-separable stencils (all the
+    NS hot paths); anything reading diagonal neighbours (VOF normals,
+    parabola fits) keeps the corner-filling path."""
+    if not corners:
+        return _apply_bc_nocorner(field, grid, fbc, width, homogeneous, t)
     dim = grid.dim
     out = field
     pad_done_lo = [0] * dim
@@ -182,6 +194,72 @@ def apply_bc(field: jnp.ndarray, grid: Grid, fbc: FieldBC, width: int = 1,
         pad_done_lo[axis] = width
         pad_done_hi[axis] = width
     return out
+
+
+def _apply_bc_nocorner(field: jnp.ndarray, grid: Grid, fbc: FieldBC,
+                       width: int, homogeneous: bool, t: float):
+    """Ghost padding without corner ghosts (see apply_bc docstring)."""
+    dim = grid.dim
+    n_ax = field.shape
+    g = jnp.pad(field, [(width, width)] * dim)
+
+    def place(gg, axis, pad_index, slab):
+        """Write ``slab`` (thin slice broadcast along ``axis``) at padded
+        position ``pad_index`` along ``axis``."""
+        idx = jax.lax.broadcasted_iota(jnp.int32, gg.shape, axis)
+        sl_shape = list(gg.shape)
+        sl_shape[axis] = 1
+        pads = [(width, width) if a != axis else (0, 0) for a in range(dim)]
+        slab_p = jnp.pad(slab, pads, mode="edge")
+        return jnp.where(idx == pad_index, slab_p, gg)
+
+    for axis in range(dim):
+        lo_bc, hi_bc = fbc.sides[axis]
+        per = lo_bc.kind == PERIODIC or hi_bc.kind == PERIODIC
+        for k in range(1, width + 1):
+            if per:
+                lo_slab = _take(field, axis, slice(n_ax[axis] - k,
+                                                   n_ax[axis] - k + 1))
+                hi_slab = _take(field, axis, slice(k - 1, k))
+            else:
+                int_lo = _take(field, axis, slice(k - 1, k))
+                int_hi = _take(field, axis, slice(n_ax[axis] - k,
+                                                 n_ax[axis] - k + 1))
+                if lo_bc.kind == DIRICHLET:
+                    b = 0.0 if homogeneous else _eval(
+                        lo_bc.value,
+                        _boundary_coords(grid, axis, 0, width, k,
+                                         (0,) * dim, (0,) * dim), t)
+                    lo_slab = 2.0 * b - int_lo
+                else:
+                    gr = 0.0 if homogeneous else _eval(
+                        lo_bc.value,
+                        _boundary_coords(grid, axis, 0, width, k,
+                                         (0,) * dim, (0,) * dim), t)
+                    lo_slab = int_lo - gr * (2 * k - 1) * grid.h
+                if hi_bc.kind == DIRICHLET:
+                    b = 0.0 if homogeneous else _eval(
+                        hi_bc.value,
+                        _boundary_coords(grid, axis, 1, width, k,
+                                         (0,) * dim, (0,) * dim), t)
+                    hi_slab = 2.0 * b - int_hi
+                else:
+                    gr = 0.0 if homogeneous else _eval(
+                        hi_bc.value,
+                        _boundary_coords(grid, axis, 1, width, k,
+                                         (0,) * dim, (0,) * dim), t)
+                    hi_slab = int_hi + gr * (2 * k - 1) * grid.h
+            lo_slab = jnp.broadcast_to(
+                lo_slab, tuple(1 if a == axis else s
+                               for a, s in enumerate(field.shape))
+            ).astype(field.dtype)
+            hi_slab = jnp.broadcast_to(
+                hi_slab, tuple(1 if a == axis else s
+                               for a, s in enumerate(field.shape))
+            ).astype(field.dtype)
+            g = place(g, axis, width - k, lo_slab)
+            g = place(g, axis, width + n_ax[axis] + k - 1, hi_slab)
+    return g
 
 
 def _take(a: jnp.ndarray, axis: int, sl: slice) -> jnp.ndarray:

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .events import Event
+from ..core import bc as bcs_mod
 from ..ops.stencils import norms, unbiased_error
 
 
@@ -363,3 +364,206 @@ class OutputTiming(Event):
                 f.write(text)
         else:
             sys.stderr.write(text)
+
+
+def format_filename(name: str, sim) -> str:
+    """Dynamic output filenames: C printf patterns formatted with the
+    simulation step (%ld / %d / %i) or time (%g / %f / %e) — reference:
+    src/output.c:175-213 (format_string, one variable per pattern)."""
+    if name is None or "%" not in name:
+        return name
+    out = []
+    i = 0
+    while i < len(name):
+        ch = name[i]
+        if ch == "%" and i + 1 < len(name):
+            j = i + 1
+            while j < len(name) and name[j] in "0123456789.-+l#":
+                j += 1
+            conv = name[j] if j < len(name) else ""
+            spec = name[i:j + 1].replace("l", "")
+            if conv in "di":
+                out.append(spec % sim.time.i)
+                i = j + 1
+                continue
+            if conv in "gfe":
+                out.append(spec % sim.time.t)
+                i = j + 1
+                continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+class OutputSolidForce(Event):
+    """Net pressure + viscous force (and moments) exerted by the fluid on
+    the embedded solid (reference: src/output.c:902-990 OutputSolidForce +
+    gfs_domain_solid_force src/domain.c:3502-3545).
+
+    Per mixed cell the solid-surface area vector follows from closure of
+    the cell boundary: A_s n_s = -(sum of fluid face fractions * n) h, with
+    n_s pointing out of the fluid (into the solid); then
+    F_p = sum p A_s n_s and F_v = -sum mu (grad u + grad u^T) . A_s n_s.
+    """
+
+    def __init__(self, file=None, **kw):
+        super().__init__(name="OutputSolidForce", **kw)
+        self.file = file
+        self.rows = []
+
+    def fire(self, sim, t, i):
+        super().fire(sim, t, i)
+        from ..physics import solid as solidm
+        from ..models import ns as nsm
+        cfg = sim.cfg
+        grid = cfg.grid
+        assert grid.dim == 2 and cfg.solid_phi is not None
+        a, (sx, sy) = solidm.solid_fractions(grid, cfg.solid_phi)
+        h = grid.h
+        # solid-surface area vector per cell (2D: length vector)
+        nsx = -(sx[1:, :] - sx[:-1, :]) * h
+        nsy = -(sy[:, 1:] - sy[:, :-1]) * h
+        mixed = (a > 0.0) & (a < 1.0)
+        p = sim_field(sim, "P")
+        fpx = float(jnp.sum(jnp.where(mixed, p * nsx, 0.0)))
+        fpy = float(jnp.sum(jnp.where(mixed, p * nsy, 0.0)))
+        x, y = grid.centers
+        mp = float(jnp.sum(jnp.where(mixed, x * p * nsy - y * p * nsx, 0.0)))
+        fvx = fvy = mv = 0.0
+        if cfg.nu > 0.0:
+            from ..ops.stencils import center_gradient
+            U = [sim_field(sim, n) for n in nsm.velocity_names(2)]
+            g = []
+            for c in range(2):
+                pad = bcs_mod.apply_bc(U[c], grid, cfg.u_bcs[c], 1,
+                                       t=sim.time.t)
+                g.append([center_gradient(pad, grid, ax) for ax in range(2)])
+            # deviatoric stress 2 mu D, traction = stress . n_s
+            txx = 2.0 * cfg.nu * g[0][0]
+            tyy = 2.0 * cfg.nu * g[1][1]
+            txy = cfg.nu * (g[0][1] + g[1][0])
+            fvx = -float(jnp.sum(jnp.where(mixed, txx * nsx + txy * nsy, 0.0)))
+            fvy = -float(jnp.sum(jnp.where(mixed, txy * nsx + tyy * nsy, 0.0)))
+            mv = -float(jnp.sum(jnp.where(
+                mixed, x * (txy * nsx + tyy * nsy)
+                - y * (txx * nsx + txy * nsy), 0.0)))
+        row = (sim.time.t, fpx, fpy, fvx, fvy, mp, mv)
+        self.rows.append(row)
+        if self.file:
+            with open(format_filename(self.file, sim), "a") as f:
+                f.write(" ".join("%g" % v for v in row) + "\n")
+
+
+class OutputScalarHistogram(Event):
+    """Volume-weighted histogram of a field (reference:
+    src/output.c:2273-2450 OutputScalarHistogram: n bins, optional weight
+    and y-mean functions)."""
+
+    def __init__(self, v, n: int = 20, vmin=None, vmax=None, w=None, y=None,
+                 file=None, **kw):
+        super().__init__(name=f"OutputScalarHistogram({v})", **kw)
+        self.v, self.n, self.vmin, self.vmax = v, n, vmin, vmax
+        self.w, self.y = w, y
+        self.file = file
+        self.last = None
+
+    def fire(self, sim, t, i):
+        super().fire(sim, t, i)
+        vals = np.asarray(self.v(sim) if callable(self.v)
+                          else sim_field(sim, self.v)).ravel()
+        lo = self.vmin if self.vmin is not None else vals.min()
+        hi = self.vmax if self.vmax is not None else vals.max()
+        w = None
+        if self.w is not None:
+            w = np.asarray(self.w(sim)).ravel()
+        counts, edges = np.histogram(vals, bins=self.n, range=(lo, hi),
+                                     weights=w)
+        centers = 0.5 * (edges[:-1] + edges[1:])
+        rows = [centers, counts]
+        if self.y is not None:
+            yv = np.asarray(self.y(sim)).ravel()
+            ysum, _ = np.histogram(vals, bins=self.n, range=(lo, hi),
+                                   weights=yv if w is None else yv * w)
+            rows.append(ysum / np.maximum(counts, 1e-300))
+        self.last = np.stack(rows, axis=-1)
+        if self.file:
+            with open(format_filename(self.file, sim), "a") as f:
+                for r in self.last:
+                    f.write(" ".join("%g" % x for x in r) + "\n")
+                f.write("\n")
+
+
+class OutputVTK(Event):
+    """Full-state VTK export (reference: gfs_domain_write_vtk,
+    src/unstructured.c:641)."""
+
+    def __init__(self, file: str, **kw):
+        super().__init__(name="OutputVTK", **kw)
+        self.file = file
+
+    def fire(self, sim, t, i):
+        super().fire(sim, t, i)
+        from . import graphics as gfx
+        grid = sim.cfg.grid
+        scalars = {k: v for k, v in sim.state.items()
+                   if hasattr(v, "shape") and tuple(v.shape)
+                   == tuple(grid.shape)}
+        vec = None
+        if "U" in scalars and "V" in scalars:
+            vec = {"Velocity": (scalars.pop("U"), scalars.pop("V"))}
+        gfx.write_vtk(format_filename(self.file, sim), grid, scalars, vec)
+
+
+class OutputStreamline(Event):
+    """Streamlines seeded on a uniform grid (reference:
+    gfs_streamline_new + OutputStreamline, src/graphic.c:2032-2107)."""
+
+    def __init__(self, file=None, nseeds: int = 8, **kw):
+        super().__init__(name="OutputStreamline", **kw)
+        self.file = file
+        self.nseeds = nseeds
+        self.lines = None
+
+    def fire(self, sim, t, i):
+        super().fire(sim, t, i)
+        from . import graphics as gfx
+        grid = sim.cfg.grid
+        o = grid.origin
+        L = grid.shape[0] * grid.h
+        n = self.nseeds
+        seeds = [(o[0] + (a + 0.5) * L / n, o[1] + (b + 0.5) * L / n)
+                 for a in range(n) for b in range(n)]
+        self.lines = gfx.streamlines(sim.state["U"], sim.state["V"],
+                                     grid, seeds)
+        if self.file:
+            fp, close = gfx.open_sink(self.file, sim)
+            for ln in self.lines:
+                for x, y in ln:
+                    fp.write(f"{x} {y}\n")
+                fp.write("\n")
+            close()
+
+
+class OutputInterface(Event):
+    """PLIC interface facets of a VOF tracer as line segments
+    (reference: src/output.c OutputInterface via gfs_vof_facet,
+    src/vof.c:2088-2158).  Rows: t x1 y1 x2 y2 per facet."""
+
+    def __init__(self, tracer: str = "T", file=None, **kw):
+        super().__init__(name=f"OutputInterface({tracer})", **kw)
+        self.tracer = tracer
+        self.file = file
+        self.segments = None
+
+    def fire(self, sim, t, i):
+        super().fire(sim, t, i)
+        from ..physics import vof
+        grid = sim.cfg.grid if not hasattr(sim, "fine") \
+            else sim.topo.grid(sim.topo.lmax)
+        fbc = dict(sim.cfg.vof_tracers)[self.tracer]
+        T = sim_field(sim, self.tracer)
+        self.segments = np.asarray(vof.facets(T, grid, fbc))
+        if self.file:
+            with open(format_filename(self.file, sim), "a") as f:
+                for x1, y1, x2, y2 in self.segments:
+                    f.write("%g %g %g %g %g\n" % (sim.time.t, x1, y1, x2, y2))

@@ -167,7 +167,10 @@ def _kernel_alpha(u_hbm, rhs_hbm, ax_hbm, ay_hbm, dia_hbm, out_ref,
     ay_lo = ayb[pl.ds(0, W), cl:ch]
     ay_hi = ayb[pl.ds(0, W), cl + 1:ch + 1]
     dia = db[pl.ds(0, W), cl:ch] if dia_cell else dia_hbm[0, 0]
-    den = jnp.maximum(ax_lo + ax_hi + ay_lo + ay_hi + dia * h2, 1e-30)
+    den0 = ax_lo + ax_hi + ay_lo + ay_hi + dia * h2
+    den = jnp.maximum(den0, 1e-30)
+    # zero-diagonal (fully-solid/disconnected) cells stay untouched
+    live = den0 > 1e-20
     for _ in range(nsweeps):
         for color in (red, ~red):
             _ghosts_y(ub, cl, ch, periodic_y, sgn_y_lo, sgn_y_hi)
@@ -181,7 +184,7 @@ def _kernel_alpha(u_hbm, rhs_hbm, ax_hbm, ay_hbm, dia_hbm, out_ref,
             new = (num - h2 * rb[pl.ds(0, W), cl:ch]) / den
             if omega != 1.0:
                 new = (1.0 - omega) * c + omega * new
-            ub[lo:hi, cl:ch] = jnp.where(color, new, c)
+            ub[lo:hi, cl:ch] = jnp.where(color & live, new, c)
 
     off = pl.multiple_of(s * S - rstart, GP)
     out_ref[:, :] = ub[pl.ds(GP + off, S), cl:ch]

@@ -888,3 +888,51 @@ def init_fraction(grid: Grid, phi, subsample: int = 4):
                 f = f + (phi(x + ox * grid.h, y + oy * grid.h,
                              z + oz * grid.h) > 0.0)
     return jnp.asarray(f) / (n ** 3)
+
+
+def facets(f, grid: Grid, fbc: bcs.FieldBC, t=0.0):
+    """PLIC interface facets as physical line segments (2D, host-side).
+
+    Returns an (nseg, 4) numpy array of (x1, y1, x2, y2): for each
+    interface cell, the intersection of its PLIC line {m.s = alpha,
+    s in [0,1]^2 cell-local} with the cell boundary.
+    Reference: gfs_vof_facet src/vof.c:2088-2158 (the facet endpoints
+    walked along the cell border)."""
+    import numpy as np
+    mx, my = normals(f, grid, fbc, t=t)
+    a = reconstruct_alpha(f, mx, my)
+    fa = np.asarray(f)
+    ifc = (fa > FULL_TOL) & (fa < 1.0 - FULL_TOL)
+    idx = np.argwhere(ifc)
+    mxa = np.asarray(mx)[ifc]
+    mya = np.asarray(my)[ifc]
+    aa = np.asarray(a)[ifc]
+    eps = 1e-30
+    # candidate intersections with the 4 edges of the unit square
+    cands = np.stack([
+        np.stack([np.zeros_like(aa), aa / (mya + eps)], -1),          # sx=0
+        np.stack([np.ones_like(aa), (aa - mxa) / (mya + eps)], -1),   # sx=1
+        np.stack([aa / (mxa + eps), np.zeros_like(aa)], -1),          # sy=0
+        np.stack([(aa - mya) / (mxa + eps), np.ones_like(aa)], -1),   # sy=1
+    ], axis=1)                                                        # (n,4,2)
+    tol = 1e-9
+    valid = np.all((cands >= -tol) & (cands <= 1.0 + tol), axis=-1)
+    segs = []
+    h = grid.h
+    x0 = np.asarray(grid.axis_faces(0))
+    y0 = np.asarray(grid.axis_faces(1))
+    for k in range(idx.shape[0]):
+        pts = [cands[k, e] for e in range(4) if valid[k, e]]
+        # dedupe corner hits
+        uniq = []
+        for p in pts:
+            if not any(abs(p[0] - q[0]) + abs(p[1] - q[1]) < 1e-7
+                       for q in uniq):
+                uniq.append(p)
+        if len(uniq) < 2:
+            continue
+        i, j = idx[k]
+        p1, p2 = uniq[0], uniq[1]
+        segs.append((x0[i] + p1[0] * h, y0[j] + p1[1] * h,
+                     x0[i] + p2[0] * h, y0[j] + p2[1] * h))
+    return np.asarray(segs).reshape(-1, 4)

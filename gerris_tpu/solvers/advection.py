@@ -81,7 +81,7 @@ def mac_cell_mean(u_face: list, grid: Grid) -> list:
 def advected_face_values(v: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
                          dt, par: AdvectionParams, uc_pad: list,
                          src: Optional[jnp.ndarray] = None,
-                         t: float = 0.0):
+                         t: float = 0.0, axes=None):
     """BCG-extrapolated face values of ``v`` at t+dt/2, per axis and side.
 
     ``uc_pad``: advecting velocity per component as 1-ghost padded cell
@@ -90,17 +90,23 @@ def advected_face_values(v: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
 
     Returns list over axes of (v_plus, v_minus): the value at each cell's
     positive-side / negative-side face, on the 1-ghost padded cell layout
-    (shape n+2 per axis) so boundary faces can be upwinded.
+    (shape n+2 per axis) so boundary faces can be upwinded.  ``axes``
+    restricts the computation to a subset of face axes (the velocity
+    predictor only needs component c's own axis, src/timestep.c:695) —
+    entries for skipped axes are None.
     Reference: src/advection.c:58-99.
     """
     dim = grid.dim
     h = grid.h
-    v2 = bcs.apply_bc(v, grid, fbc, 2, t=t)
+    v2 = bcs.apply_bc(v, grid, fbc, 2, t=t, corners=False)
     interior1 = tuple(slice(1, s - 1) for s in v2.shape)  # +1 ring
     v1 = v2[interior1]
 
     out = []
     for c in range(dim):
+        if axes is not None and c not in axes:
+            out.append(None)
+            continue
         idx = [slice(1, s - 1) for s in v2.shape]
         idx[c] = slice(None)
         g = _slope(v2[tuple(idx)], c, par.gradient)

@@ -56,7 +56,7 @@ def diffuse(v: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC, dt,
 
     rhs = rho_c * v
     if beta < 1.0:
-        v_pad = bcs.apply_bc(v, grid, fbc, 1, t=t)
+        v_pad = bcs.apply_bc(v, grid, fbc, 1, t=t, corners=False)
         rhs = rhs + (1.0 - beta) * dt * laplacian(v_pad, grid, alpha)
     if extra_rhs is not None:
         rhs = rhs + extra_rhs

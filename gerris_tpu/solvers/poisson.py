@@ -30,6 +30,7 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.grid import Grid
 from ..core import bc as bcs
@@ -52,6 +53,10 @@ class MultilevelParams:
     omega: float = 1.0
     # number of extra relax sweeps at the coarsest level (near-exact solve)
     coarsest_relax: int = 8
+    # pluggable linear solver (the reference's par->poisson_solve seam,
+    # src/poisson.h:32-51, swapped by the hypre/lis/agmg modules):
+    # "multigrid" (native MG) or "cg" (Jacobi-preconditioned CG)
+    solver: str = "multigrid"
 
 
 # -----------------------------------------------------------------------------
@@ -122,8 +127,12 @@ def residual(u: jnp.ndarray, rhs: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
         return residual_pallas(u, rhs, d, h2=grid.h * grid.h, signs=signs,
                                periodic=(fbc.is_periodic(0),
                                          fbc.is_periodic(1)))
-    u_pad = bcs.apply_bc(u, grid, fbc, 1, homogeneous=homogeneous, t=t)
-    num, den = _neighbor_sums(u_pad, alpha, grid.dim)
+    if homogeneous or _bc_values_static(fbc):
+        num, den = _neighbor_sums_shifted(u, alpha, grid, fbc, homogeneous,
+                                          t)
+    else:
+        u_pad = bcs.apply_bc(u, grid, fbc, 1, homogeneous=homogeneous, t=t)
+        num, den = _neighbor_sums(u_pad, alpha, grid.dim)
     h2 = grid.h * grid.h
     lap = (num - den * u) / h2
     d = 0.0 if dia is None else dia
@@ -157,6 +166,65 @@ def _pallas_relax_applicable(u, grid, fbc, alpha, dia, homogeneous):
         return False
 
 
+def _shifted_neighbor(u: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
+                      axis: int, lo: bool, homogeneous: bool,
+                      t: float = 0.0) -> jnp.ndarray:
+    """Neighbour values along ``axis`` as a same-shape array: roll + a
+    masked boundary-ghost formula.
+
+    SPMD-native alternative to concatenate-based ghost padding: under
+    GSPMD a concatenate along a sharded axis forces an all-gather of the
+    whole operand, while roll lowers to a halo collective-permute and the
+    boundary mask is local (measured on the level-8 dryrun: 27 half-domain
+    all-gathers per step from the padded path, zero from this one).
+    Constant BC values only (callables take the padded path)."""
+    per = fbc.is_periodic(axis)
+    v = jnp.roll(u, 1 if lo else -1, axis)
+    if per:
+        return v
+    bc = fbc.sides[axis][0 if lo else 1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, u.shape, axis)
+    m = (idx == 0) if lo else (idx == u.shape[axis] - 1)
+    if bc.kind == bcs.DIRICHLET:
+        b = 0.0 if (homogeneous or callable(bc.value)) else bc.value
+        ghost = 2.0 * b - u
+    else:
+        g = 0.0 if (homogeneous or callable(bc.value)) else bc.value
+        ghost = u - g * grid.h if lo else u + g * grid.h
+    return jnp.where(m, ghost, v)
+
+
+def _bc_values_static(fbc: bcs.FieldBC) -> bool:
+    return all(not callable(b.value) for ax in fbc.sides for b in ax)
+
+
+def _neighbor_sums_shifted(u, alpha, grid: Grid, fbc: bcs.FieldBC,
+                           homogeneous: bool, t: float = 0.0):
+    """(num, den) of the 2dim-point stencil via shift-with-masked-BCs —
+    same values as _neighbor_sums on apply_bc output, without the
+    concatenates (see _shifted_neighbor)."""
+    num = 0.0
+    den = 0.0
+    for axis in range(grid.dim):
+        u_lo = _shifted_neighbor(u, grid, fbc, axis, True, homogeneous, t)
+        u_hi = _shifted_neighbor(u, grid, fbc, axis, False, homogeneous, t)
+        if alpha is None:
+            num = num + u_lo + u_hi
+            den = den + 2.0
+        else:
+            a = alpha[axis]
+            n = a.shape[axis]
+            sl_lo = [slice(None)] * a.ndim
+            sl_lo[axis] = slice(0, n - 1)
+            sl_hi = [slice(None)] * a.ndim
+            sl_hi[axis] = slice(1, n)
+            a_lo = a[tuple(sl_lo)]
+            a_hi = a[tuple(sl_hi)]
+            num = num + a_lo * u_lo + a_hi * u_hi
+            den = den + a_lo + a_hi
+    return num, den
+
+
 def relax(u: jnp.ndarray, rhs: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
           nsweeps: int, alpha=None, dia=None, homogeneous: bool = True,
           omega: float = 1.0, t: float = 0.0) -> jnp.ndarray:
@@ -187,15 +255,24 @@ def relax(u: jnp.ndarray, rhs: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
                                 dia_cell=jnp.ndim(d) == 2)
     red = _checkerboard(u.shape)
     d = 0.0 if dia is None else dia
+    shifted = homogeneous or _bc_values_static(fbc)
 
     def half(u, mask):
-        u_pad = bcs.apply_bc(u, grid, fbc, 1, homogeneous=homogeneous, t=t)
-        num, den = _neighbor_sums(u_pad, alpha, grid.dim)
-        # fully-solid cells (all face fractions 0) stay untouched
+        if shifted:
+            num, den = _neighbor_sums_shifted(u, alpha, grid, fbc,
+                                              homogeneous, t)
+        else:
+            u_pad = bcs.apply_bc(u, grid, fbc, 1, homogeneous=homogeneous,
+                                 t=t)
+            num, den = _neighbor_sums(u_pad, alpha, grid.dim)
+        # fully-solid/disconnected cells (zero operator diagonal) stay
+        # untouched even under nonzero rhs
         # (reference: relax skips cells with zero diagonal, poisson.c:507)
-        new = (num - h2 * rhs) / jnp.maximum(den + d * h2, 1e-30)
+        dd = den + d * h2
+        new = (num - h2 * rhs) / jnp.maximum(dd, 1e-30)
         if omega != 1.0:
             new = (1.0 - omega) * u + omega * new
+        new = jnp.where(dd > 1e-20, new, u)
         return jnp.where(mask, new, u)
 
     for _ in range(nsweeps):
@@ -234,8 +311,20 @@ def prolong(c: jnp.ndarray, grid_c: Grid, fbc: bcs.FieldBC,
 
     Reference: src/poisson.c:1005-1042 get_from_above (parent value plus
     gradient correction == tensor-product linear interpolation)."""
-    a = bcs.apply_bc(c, grid_c, fbc, 1, homogeneous=homogeneous, t=t)
     dim = grid_c.dim
+    if homogeneous or _bc_values_static(fbc):
+        # SPMD-native: roll + masked ghosts, shapes stay evenly shardable
+        a = c
+        for axis in range(dim):
+            left = _shifted_neighbor(a, grid_c, fbc, axis, True,
+                                     homogeneous, t)
+            right = _shifted_neighbor(a, grid_c, fbc, axis, False,
+                                      homogeneous, t)
+            lo = 0.75 * a + 0.25 * left
+            hi = 0.75 * a + 0.25 * right
+            a = _interleave(lo, hi, axis)
+        return a
+    a = bcs.apply_bc(c, grid_c, fbc, 1, homogeneous=homogeneous, t=t)
     # successively upsample each axis; crop ghosts of axes not yet processed
     for axis in range(dim):
         n = a.shape[axis]
@@ -299,13 +388,75 @@ def _coeff_hierarchy(grid: Grid, minlevel: int, alpha, dia):
     return alphas, dias
 
 
+DENSE_COARSE_MAX = 1024   # max unknowns for the direct coarse solve
+
+
+@functools.lru_cache(maxsize=32)
+def _coarse_eig(grid: Grid, kinds: tuple):
+    """Eigendecomposition (w, Q) of the coarse homogeneous-BC Laplacian.
+
+    TPU-native replacement for deep chains of tiny smoother levels (the
+    reference descends to the root cell, src/poisson.c:1109): small grids
+    are latency-bound on the MXU-rich chip, so two exact matvecs beat five
+    levels of sequential sweeps — and make the coarse solve exact.  The
+    factorization also solves the Helmholtz systems (L - d I) du = r of
+    the implicit diffusion for any runtime scalar d via
+    du = Q diag(1/(w - d)) Q^T r; the zero-eigenvalue pure-Neumann/
+    periodic mode is projected out (the min-norm zero-mean solution)."""
+    shape = grid.shape
+    N = int(np.prod(shape))
+    strides = np.cumprod((1,) + tuple(reversed(shape[1:])))[::-1]
+
+    def idx(pos):
+        return int(sum(p * s for p, s in zip(pos, strides)))
+
+    A = np.zeros((N, N), np.float64)
+    for pos in np.ndindex(*shape):
+        k = idx(pos)
+        diag = 0.0
+        for axis in range(grid.dim):
+            for side, d in ((0, -1), (1, +1)):
+                nb = list(pos)
+                nb[axis] += d
+                if 0 <= nb[axis] < shape[axis]:
+                    A[k, idx(nb)] += 1.0
+                    diag -= 1.0
+                elif kinds[axis][side] == bcs.PERIODIC:
+                    nb[axis] %= shape[axis]
+                    A[k, idx(nb)] += 1.0
+                    diag -= 1.0
+                elif kinds[axis][side] == bcs.DIRICHLET:
+                    diag -= 2.0      # homogeneous ghost = -interior
+                # homogeneous Neumann: ghost = interior -> no net term
+        A[k, k] += diag
+    A /= grid.h * grid.h
+    w, Q = np.linalg.eigh(A)
+    return w, Q
+
+
+def _dense_coarse_eligible(g: Grid, alpha, dia) -> bool:
+    return (alpha is None and (dia is None or jnp.ndim(dia) == 0)
+            and int(np.prod(g.shape)) <= DENSE_COARSE_MAX)
+
+
 def correction(r: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
                params: MultilevelParams, alpha=None, dia=None) -> jnp.ndarray:
     """The correction phase of one sawtooth cycle: restrict the fine
-    residual to all levels, then prolong+relax upward with homogeneous BCs.
+    residual down the hierarchy, solve the coarsest level (exactly, with
+    the dense pseudo-inverse, when eligible), then prolong+relax upward
+    with homogeneous BCs.
     Reference: src/poisson.c:1109-1166 (get_from_below + relax_loop +
     get_from_above)."""
     minlevel = min(params.minlevel, grid.level)
+    # with unit face coefficients, stop descending once the dense direct
+    # solve takes over (two matvecs replace several latency-bound tiny
+    # levels); scalar dia (implicit diffusion) rides the same eigenbasis
+    if alpha is None and (dia is None or jnp.ndim(dia) == 0):
+        while minlevel < grid.level:
+            g = dataclasses.replace(grid, level=minlevel + 1)
+            if int(np.prod(g.shape)) > DENSE_COARSE_MAX:
+                break
+            minlevel += 1
     grids = _level_grids(grid, minlevel)
     alphas, dias = _coeff_hierarchy(grid, minlevel, alpha, dia)
 
@@ -314,10 +465,25 @@ def correction(r: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
         rs.append(restrict(rs[-1], grid.dim))
 
     nl = len(grids)
-    du = jnp.zeros_like(rs[-1])
-    nswp = params.nrelax * (params.erelax ** (nl - 1)) + params.coarsest_relax
-    du = relax(du, rs[-1], grids[-1], fbc, nswp, alphas[-1], dias[-1],
-               homogeneous=True, omega=params.omega)
+    if _dense_coarse_eligible(grids[-1], alphas[-1], dias[-1]):
+        kinds = tuple(tuple(b.kind for b in ax) for ax in fbc.sides)
+        w, Q = _coarse_eig(grids[-1], kinds)
+        rc = rs[-1]
+        wj = jnp.asarray(w, rc.dtype)
+        Qj = jnp.asarray(Q, rc.dtype)
+        d = 0.0 if dias[-1] is None else dias[-1]
+        # system is (L - d I) du = r in the residual convention above
+        denom = wj - d
+        z = Qj.T @ rc.reshape(-1)
+        z = jnp.where(jnp.abs(denom) > 1e-12 / (grids[-1].h ** 2),
+                      z / jnp.where(denom == 0, 1.0, denom), 0.0)
+        du = (Qj @ z).reshape(rc.shape)
+    else:
+        du = jnp.zeros_like(rs[-1])
+        nswp = params.nrelax * (params.erelax ** (nl - 1)) \
+            + params.coarsest_relax
+        du = relax(du, rs[-1], grids[-1], fbc, nswp, alphas[-1], dias[-1],
+                   homogeneous=True, omega=params.omega)
     for k in range(nl - 2, -1, -1):
         du = prolong(du, grids[k + 1], fbc, homogeneous=True)
         nswp = params.nrelax * (params.erelax ** k)
@@ -377,7 +543,77 @@ def _solve_adaptive(u, rhs, grid, fbc, params, alpha, dia, t, r0, tol):
         return u, r, i + 1
 
     u, r, niter = jax.lax.while_loop(cond, body, (u, r0, jnp.asarray(0)))
-    return u, niter, jnp.max(jnp.abs(r))
+    return u, niter, r
+
+
+def solve_cg(u: jnp.ndarray, rhs: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
+             params: MultilevelParams = MultilevelParams(), alpha=None,
+             dia=None, t: float = 0.0):
+    """Jacobi-preconditioned conjugate gradients on the same operator.
+
+    The alternative backend behind the pluggable-solver seam — the
+    reference swaps GfsMultilevelParams.poisson_solve for the hypre /
+    lis / agmg module solvers the same way (src/poisson.h:32-51,
+    modules/hypre.c).  Solves (L - d I) du = r0 for the correction with
+    homogeneous BCs (-(L - d I) is SPD), iteration cap = 20x nitermax
+    (a CG iteration is much cheaper than an MG cycle)."""
+    r0 = residual_jit(u, rhs, grid, fbc, alpha, dia, t=t)
+    res_before = norms(r0)
+    scale = jnp.maximum(jnp.max(jnp.abs(rhs)), 1e-300)
+    tol = params.tolerance * scale
+
+    dirichlet = any(b.kind == bcs.DIRICHLET for ax in fbc.sides for b in ax)
+
+    def Aop(v):       # = -(L - d I) v with homogeneous BCs: SPD
+        return residual(v, jnp.zeros_like(v), grid, fbc, alpha, dia,
+                        homogeneous=True, t=t)
+
+    # Jacobi preconditioner: diag(Aop) ~ (sum of face coefficients)/h^2 + d
+    ones = jnp.ones_like(u)
+    pad1 = jnp.pad(ones, [(1, 1)] * grid.dim)
+    _, den = _neighbor_sums(pad1, alpha, grid.dim)
+    d = 0.0 if dia is None else dia
+    diag = jnp.maximum(den / (grid.h * grid.h) + d, 1e-30)
+
+    b = -r0
+    if not dirichlet:
+        b = b - jnp.mean(b)
+
+    z0 = b / diag
+    state0 = (jnp.zeros_like(u), b, z0, z0, jnp.sum(b * z0), jnp.asarray(0))
+    itmax = 20 * params.nitermax
+
+    def cond(s):
+        du, r, z, p, rz, i = s
+        return (i < itmax) & (jnp.max(jnp.abs(r)) > tol)
+
+    def body(s):
+        du, r, z, p, rz, i = s
+        Ap = Aop(p)
+        denom = jnp.sum(p * Ap)
+        a = rz / jnp.where(denom == 0, 1.0, denom)
+        du = du + a * p
+        r = r - a * Ap
+        if not dirichlet:
+            r = r - jnp.mean(r)
+        z = r / diag
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.where(rz == 0, 1.0, rz)
+        return du, r, z, z + beta * p, rz_new, i + 1
+
+    du, r, _, _, _, niter = jax.lax.while_loop(cond, body, state0)
+    u = u + du
+    return u, SolveStats(niter=niter, residual_before=res_before,
+                         residual_after=norms(-r))
+
+
+# the reference's pluggable-solver seam (par->poisson_solve): register
+# additional backends under a name usable in MultilevelParams.solver
+SOLVER_REGISTRY = {"cg": solve_cg}
+
+
+def register_solver(name: str, fn):
+    SOLVER_REGISTRY[name] = fn
 
 
 def solve(u: jnp.ndarray, rhs: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
@@ -386,7 +622,11 @@ def solve(u: jnp.ndarray, rhs: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
     """Iterate cycles until residual.infty <= tolerance * max(|rhs|) or
     nitermax, at least nitermin (reference: src/poisson.c:1225-1269
     gfs_poisson_solve; tolerance semantics relative to the projection dt
-    scale there — here relative to the rhs infinity norm)."""
+    scale there — here relative to the rhs infinity norm).  Routes to the
+    registered backend when params.solver != 'multigrid'."""
+    if params.solver != "multigrid":
+        return SOLVER_REGISTRY[params.solver](u, rhs, grid, fbc, params,
+                                              alpha, dia, t)
     r0 = residual_jit(u, rhs, grid, fbc, alpha, dia, t=t)
     res_before = norms(r0)
     scale = jnp.maximum(jnp.max(jnp.abs(rhs)), 1e-300)
@@ -399,10 +639,10 @@ def solve(u: jnp.ndarray, rhs: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
         for _ in range(params.nitermax):
             u = cycle_jit(u, rhs, grid, fbc, params, alpha, dia, t=t)
         niter = jnp.asarray(params.nitermax)
+        r1 = residual_jit(u, rhs, grid, fbc, alpha, dia, t=t)
     else:
-        u, niter, _ = _solve_adaptive(u, rhs, grid, fbc, params, alpha, dia,
-                                      jnp.asarray(t, u.dtype), r0, tol)
-
-    r1 = residual_jit(u, rhs, grid, fbc, alpha, dia, t=t)
+        # the loop's last residual IS the final residual — no recompute
+        u, niter, r1 = _solve_adaptive(u, rhs, grid, fbc, params, alpha,
+                                       dia, jnp.asarray(t, u.dtype), r0, tol)
     return u, SolveStats(niter=niter, residual_before=res_before,
                          residual_after=norms(r1))

@@ -24,7 +24,7 @@ from . import poisson
 def face_gradients(p: jnp.ndarray, grid: Grid, p_bc: bcs.FieldBC,
                    alpha=None, t: float = 0.0) -> list:
     """alpha_face * grad_face p for every face, per axis (face shapes)."""
-    p_pad = bcs.apply_bc(p, grid, p_bc, 1, t=t)
+    p_pad = bcs.apply_bc(p, grid, p_bc, 1, t=t, corners=False)
     out = []
     for axis in range(grid.dim):
         idx = [slice(1, s - 1) for s in p_pad.shape]
@@ -81,6 +81,7 @@ def mac_projection(u_face: list, p: jnp.ndarray, grid: Grid,
     """
     if face_sources is not None:
         u_face = [u_face[c] + dt * face_sources[c] for c in range(grid.dim)]
+    conn = None
     if face_frac is None:
         div = divergence(u_face, grid) / dt
         alpha_solve = alpha
@@ -90,8 +91,25 @@ def mac_projection(u_face: list, p: jnp.ndarray, grid: Grid,
         alpha_solve = tuple(
             face_frac[c] * (1.0 if alpha is None else alpha[c])
             for c in range(grid.dim))
+        # operator connectivity: cells whose faces are all solid have no
+        # pressure dof — their rhs must stay zero or the system is
+        # inconsistent (the reference merges such cells away,
+        # src/advection.c gfs_set_merged)
+        conn = 0.0
+        for c in range(grid.dim):
+            f = face_frac[c]
+            n = f.shape[c]
+            lo = [slice(None)] * f.ndim
+            lo[c] = slice(0, n - 1)
+            hi = [slice(None)] * f.ndim
+            hi[c] = slice(1, n)
+            conn = conn + f[tuple(lo)] + f[tuple(hi)]
     if div_source is not None:
         div = div + div_source
+    if conn is not None:
+        div = jnp.where(conn > 1e-9, div, 0.0)
+        if vol_frac is not None:
+            vol_frac = jnp.where(conn > 1e-9, vol_frac, 0.0)
     # pure-Neumann/periodic compatibility: remove the mean (the reference
     # achieves this by construction; discretely we enforce it, cf.
     # GfsPoisson correct_div, src/simulation.c:2156-2186).  With embedded
@@ -125,7 +143,7 @@ def face_interpolated_velocity(u_cell: list, grid: Grid, u_bcs: list,
     gfs_domain_face_bc)."""
     out = []
     for c in range(grid.dim):
-        pad = bcs.apply_bc(u_cell[c], grid, u_bcs[c], 1, t=t)
+        pad = bcs.apply_bc(u_cell[c], grid, u_bcs[c], 1, t=t, corners=False)
         uf = face_average(pad, grid, c)
         uf = bcs.apply_face_bc(uf, grid, u_bcs[c], c, t=t)
         out.append(uf)

@@ -348,13 +348,53 @@ _SHAPES = {
 }
 
 
+def _csg_namespace():
+    """Shape constructors + CSG combinators over level-set callables.
+
+    Reference: src/spatial.h — shapes ellipse:41, sphere:47, cube:52 and
+    the CSG macros intersection/union/difference:27-29.  The reference's
+    sign convention is negative-inside; ours is positive-inside (fluid/
+    fraction = {phi > 0}), so MIN<->MAX swap: union=max, intersection=
+    min, difference(a,b)=min(a,-b)."""
+    import jax.numpy as jnp
+
+    def _lift(v):
+        return v if callable(v) else (lambda x, y, z=0.0, t=0.0: v)
+
+    ns = dict(_SHAPES)
+    ns["cube"] = lambda xc, yc, zc, h: (
+        lambda x, y, z=0.0, t=0.0: jnp.minimum(
+            jnp.minimum((h / 2) ** 2 - (x - xc) ** 2,
+                        (h / 2) ** 2 - (y - yc) ** 2),
+            (h / 2) ** 2 - (jnp.asarray(z) - zc) ** 2
+            if zc is not None else jnp.inf))
+    ns["union"] = lambda a, b: (
+        lambda x, y, z=0.0, t=0.0, a=_lift(a), b=_lift(b):
+        jnp.maximum(a(x, y, z, t), b(x, y, z, t)))
+    ns["intersection"] = lambda a, b: (
+        lambda x, y, z=0.0, t=0.0, a=_lift(a), b=_lift(b):
+        jnp.minimum(a(x, y, z, t), b(x, y, z, t)))
+    ns["difference"] = lambda a, b: (
+        lambda x, y, z=0.0, t=0.0, a=_lift(a), b=_lift(b):
+        jnp.minimum(a(x, y, z, t), -b(x, y, z, t)))
+    return ns
+
+
 def _maybe_shape(expr, defines):
-    m = re.match(r"\(\s*(ellipse|sphere)\s*\((.*)\)\s*\)$", expr.strip())
-    if not m:
+    """CSG shape expressions -> level-set callables, e.g.
+    ``(difference(ellipse(0,0,.25,.25), ellipse(0,0,.1,.1)))``."""
+    s = expr.strip()
+    if s.startswith("(") and s.endswith(")"):
+        s = s[1:-1].strip()
+    if not re.match(r"^(ellipse|sphere|cube|union|intersection|difference)"
+                    r"\s*\(", s):
         return None
-    args = [float(eval(a, {"__builtins__": {}}, dict(_FUNS, **(defines or {}))))
-            for a in m.group(2).split(",")]
-    return _SHAPES[m.group(1)](*args)
+    try:
+        val = eval(s, {"__builtins__": {}},
+                   dict(_FUNS, **_csg_namespace(), **(defines or {})))
+    except Exception:
+        return None
+    return val if callable(val) else None
 
 
 def _expand_func_macros(text: str, macros: dict) -> str:
@@ -859,6 +899,11 @@ def build_simulation(sim: ParsedSim):
                         relative=bool(int(float(
                             sblk.get("relative", "0")))),
                         file=fileish, **kw))
+            elif name == "OutputSolidForce" and fileish:
+                events.append(out.OutputSolidForce(file=fileish, **kw))
+            elif name == "OutputInterface" and fileish:
+                tr = sim.vof_tracers[0] if sim.vof_tracers else "T"
+                events.append(out.OutputInterface(tr, file=fileish, **kw))
             elif name == "OutputSimulation" and fileish:
                 events.append(out.OutputSimulation(
                     fileish if fileish.endswith(".npz")

@@ -101,3 +101,46 @@ def test_tolerance_loop():
     u, stats = poisson.solve(u, rhs, grid, fbc, params)
     assert float(stats.residual_after["infty"]) <= 1e-9 * float(jnp.max(jnp.abs(rhs)))
     assert int(stats.niter) < 15
+
+
+def test_cg_solver_seam():
+    """The pluggable-solver seam (reference: poisson.h:32-51
+    par->poisson_solve, swapped by modules/hypre.c): the CG backend
+    reaches the same solution as the native multigrid."""
+    import jax.numpy as jnp
+    from gerris_tpu.core.grid import Grid
+    from gerris_tpu.core import bc as bcs
+    from gerris_tpu.solvers import poisson
+
+    grid = Grid(level=6, dim=2)
+    x, y = grid.centers
+    exact = jnp.cos(jnp.pi * x) * jnp.cos(jnp.pi * y)
+    rhs = -2 * jnp.pi ** 2 * exact
+    fbc = bcs.FieldBC.uniform(bcs.Dirichlet(0.0), 2)
+    u_mg, st_mg = poisson.solve(
+        jnp.zeros(grid.shape), rhs, grid, fbc,
+        poisson.MultilevelParams(tolerance=1e-10, nitermax=40))
+    u_cg, st_cg = poisson.solve(
+        jnp.zeros(grid.shape), rhs, grid, fbc,
+        poisson.MultilevelParams(tolerance=1e-10, nitermax=40, solver="cg"))
+    assert float(st_cg.residual_after["infty"]) <= 1e-10 * float(
+        jnp.max(jnp.abs(rhs)))
+    assert float(jnp.max(jnp.abs(u_cg - u_mg))) < 1e-8
+    # variable-coefficient + pure Neumann (nullspace) path
+    a = 1.0 + 0.5 * jnp.cos(2 * jnp.pi * x) * jnp.cos(2 * jnp.pi * y)
+    import gerris_tpu.ops.stencils as st
+    pad = bcs.apply_bc(a, grid, bcs.default_scalar_bc(2), 1)
+    alpha = tuple(st.face_average(pad, grid, c) for c in range(2))
+    nbc = bcs.default_scalar_bc(2)
+    rhs2 = rhs - jnp.mean(rhs)
+    u2_mg, _ = poisson.solve(jnp.zeros(grid.shape), rhs2, grid, nbc,
+                             poisson.MultilevelParams(tolerance=1e-9,
+                                                      nitermax=60),
+                             alpha=alpha)
+    u2_cg, s2 = poisson.solve(jnp.zeros(grid.shape), rhs2, grid, nbc,
+                              poisson.MultilevelParams(tolerance=1e-9,
+                                                       nitermax=60,
+                                                       solver="cg"),
+                              alpha=alpha)
+    d = (u2_cg - jnp.mean(u2_cg)) - (u2_mg - jnp.mean(u2_mg))
+    assert float(jnp.max(jnp.abs(d))) < 1e-6, float(jnp.max(jnp.abs(d)))
