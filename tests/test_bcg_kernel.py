@@ -1,0 +1,113 @@
+"""Fused BCG advection kernel vs the jnp reference path.
+
+The kernel (ops/pallas/bcg.py, interpret mode on CPU) must reproduce
+solvers/advection.py's advected_face_values + upwind_face_value +
+flux_divergence and the gmac face correction of
+models/ns.velocity_advection_diffusion — everywhere except the 4 corner
+cells (the kernel's ghost corners are double-reflected; the jnp
+corners=False path leaves them edge-extended).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gerris_tpu.core.grid import Grid
+from gerris_tpu.core import bc as bcs
+from gerris_tpu.solvers import advection as adv
+from gerris_tpu.ops.pallas import bcg
+
+
+def _jnp_fv(v, uf, grid, fbc, dt, g=None, gbc=None, face_bc_axis=None,
+            t=0.0):
+    par = adv.AdvectionParams()
+    uc_pad = adv.mac_cell_mean(uf, grid)
+    fvals = adv.advected_face_values(v, grid, fbc, dt, par, uc_pad, t=t)
+    from gerris_tpu.ops.stencils import face_average
+    v_faces = []
+    for a in range(2):
+        vf = adv.upwind_face_value(fvals[a][0], fvals[a][1], uf[a], a)
+        if g is not None:
+            g_pad = bcs.apply_bc(g, grid, gbc, 1, t=t, corners=False)
+            vf = vf - face_average(g_pad, grid, a) * dt / 2.0
+        if face_bc_axis == a:
+            vf = bcs.apply_face_bc(vf, grid, fbc, a, t=t)
+        v_faces.append(vf)
+    return adv.flux_divergence(v_faces, uf, grid, dt)
+
+
+def _fields(grid, key=0):
+    k = jax.random.split(jax.random.PRNGKey(key), 3)
+    v = jax.random.normal(k[0], grid.shape)
+    ufx = jax.random.normal(k[1], grid.face_shape(0))
+    ufy = jax.random.normal(k[2], grid.face_shape(1))
+    return v, ufx, ufy
+
+
+def _mask_corners(arr, m=2):
+    a = np.array(arr)
+    a[:m, :m] = a[-m:, :m] = a[:m, -m:] = a[-m:, -m:] = 0.0
+    return a
+
+
+@pytest.mark.parametrize("level", [5, 6])
+def test_kernel_matches_jnp_dirichlet(level):
+    grid = Grid(level=level, dim=2)
+    v, ufx, ufy = _fields(grid, key=level)
+    dt = 0.3 * grid.h
+    # lid-like BCs: Dirichlet 0 except top Dirichlet 1
+    fbc = bcs.FieldBC.make(2, default=bcs.Dirichlet(0.0),
+                           top=bcs.Dirichlet(1.0))
+    ref = _jnp_fv(v, [ufx, ufy], grid, fbc, dt, face_bc_axis=0)
+    out = bcg.advect2d(v, ufx, ufy, jnp.asarray(dt), grid.h,
+                       sgn=(-1.0, -1.0, -1.0, -1.0),
+                       off=(0.0, 0.0, 0.0, 2.0),
+                       fb_x=(0.0, 0.0), interpret=True)
+    d = np.abs(_mask_corners(ref - out))
+    assert d.max() < 1e-5, d.max()
+
+
+@pytest.mark.parametrize("level", [5, 6])
+def test_kernel_matches_jnp_neumann_with_g(level):
+    grid = Grid(level=level, dim=2)
+    v, ufx, ufy = _fields(grid, key=10 + level)
+    g = jax.random.normal(jax.random.PRNGKey(99), grid.shape)
+    dt = 0.25 * grid.h
+    fbc = bcs.default_scalar_bc(2)
+    gbc = bcs.default_scalar_bc(2)
+    ref = _jnp_fv(v, [ufx, ufy], grid, fbc, dt, g=g, gbc=gbc)
+    out = bcg.advect2d(v, ufx, ufy, jnp.asarray(dt), grid.h, g,
+                       sgn=(1.0, 1.0, 1.0, 1.0),
+                       off=(0.0, 0.0, 0.0, 0.0), interpret=True)
+    d = np.abs(_mask_corners(ref - out))
+    assert d.max() < 1e-5, d.max()
+
+
+def test_kernel_matches_jnp_periodic_y():
+    grid = Grid(level=6, dim=2)
+    v, ufx, ufy = _fields(grid, key=42)
+    dt = 0.2 * grid.h
+    fbc = bcs.FieldBC(((bcs.Dirichlet(0.0), bcs.Dirichlet(0.0)),
+                       (bcs.Periodic(), bcs.Periodic())))
+    ref = _jnp_fv(v, [ufx, ufy], grid, fbc, dt)
+    out = bcg.advect2d(v, ufx, ufy, jnp.asarray(dt), grid.h,
+                       sgn=(-1.0, -1.0, 1.0, 1.0),
+                       off=(0.0, 0.0, 0.0, 0.0), per_y=True,
+                       interpret=True)
+    d = np.abs(_mask_corners(ref - out))
+    assert d.max() < 1e-5, d.max()
+
+
+def test_strip_decomposition_invariance():
+    """Different strip sizes must give identical results."""
+    grid = Grid(level=6, dim=2)
+    v, ufx, ufy = _fields(grid, key=7)
+    dt = 0.3 * grid.h
+    outs = []
+    for S in (16, 32, 64):
+        outs.append(np.asarray(bcg.advect2d(
+            v, ufx, ufy, jnp.asarray(dt), grid.h,
+            sgn=(1.0, 1.0, -1.0, -1.0), off=(0.0, 0.0, 0.0, 0.0),
+            S=S, interpret=True)))
+    assert np.abs(outs[0] - outs[1]).max() < 1e-12
+    assert np.abs(outs[0] - outs[2]).max() < 1e-12
