@@ -96,7 +96,12 @@ class Grid:
         reference's FttVector component order (src/ftt.h:44-52).
         """
         axes = [np.asarray(self.axis_centers(a)) for a in range(self.dim)]
-        return tuple(jnp.asarray(c) for c in np.meshgrid(*axes, indexing="ij"))
+        # constants even when first touched inside a jit trace (the cache
+        # must never hold tracers — e.g. the moving-solid re-cut path)
+        import jax
+        with jax.ensure_compile_time_eval():
+            return tuple(jnp.asarray(c)
+                         for c in np.meshgrid(*axes, indexing="ij"))
 
     def face_centers(self, axis: int) -> tuple:
         """Meshgrid of face-centre coordinates for faces normal to ``axis``.

@@ -1,0 +1,169 @@
+"""GfsVariable* subclasses as state-updating events.
+
+TPU-native rebuild of the reference's derived-variable classes
+(reference: src/variable.c + src/tension.c:390-760 — the registry
+init.c:166-189: Average, Function, Position, Distance, Age, Residual,
+...).  In the reference these are GfsEvent subclasses owning one cell
+slot each; here each is an Event writing one entry of ``sim.state``
+after every step, so downstream outputs/adaptivity read them uniformly.
+
+GfsVariableAge has no class here: it is `cfg.tracers` entry
+("Age", bc, 0.0, 1.0) — a tracer with unit source
+(models/ns.advect_tracer).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .events import Event
+
+
+class VariableFunction(Event):
+    """state[name] = fn(sim) re-evaluated every step (reference:
+    GfsVariableFunction, src/variable.c — an always-on Init)."""
+
+    def __init__(self, name: str, fn, **kw):
+        kw.setdefault("istep", 1)
+        super().__init__(name=f"VariableFunction({name})", **kw)
+        self.var = name
+        self.fn = fn
+
+    def fire(self, sim, t, i):
+        super().fire(sim, t, i)
+        sim.state[self.var] = jnp.asarray(self.fn(sim))
+
+
+class VariableAverage(Event):
+    """Running time average <v> over the steps fired so far (reference:
+    GfsVariableAverage, src/variable.c: A_n = A_{n-1} + (v - A_{n-1})/n)."""
+
+    def __init__(self, name: str, of: str, **kw):
+        kw.setdefault("istep", 1)
+        super().__init__(name=f"VariableAverage({name})", **kw)
+        self.var = name
+        self.of = of
+        self.n = 0
+
+    def fire(self, sim, t, i):
+        super().fire(sim, t, i)
+        v = sim.state[self.of]
+        self.n += 1
+        prev = sim.state.get(self.var)
+        if prev is None or self.n == 1:
+            sim.state[self.var] = v
+        else:
+            sim.state[self.var] = prev + (v - prev) / self.n
+
+
+class VariablePosition(Event):
+    """Coordinate of the VOF interface centroid in interface cells, nodata
+    elsewhere (reference: GfsVariablePosition, src/tension.c:638-760)."""
+
+    NODATA = 1e30
+
+    def __init__(self, name: str, tracer: str, component: int, **kw):
+        kw.setdefault("istep", 1)
+        super().__init__(name=f"VariablePosition({name})", **kw)
+        self.var = name
+        self.tracer = tracer
+        self.component = component
+
+    def fire(self, sim, t, i):
+        super().fire(sim, t, i)
+        from ..physics import vof
+        grid = sim.cfg.grid
+        fbc = dict(sim.cfg.vof_tracers)[self.tracer]
+        T = sim.state[self.tracer]
+        mx, my = vof.normals(T, grid, fbc, t=sim.time.t)
+        alpha = vof.reconstruct_alpha(T, mx, my)
+        # PLIC centroid of the cut segment midpoint, cell-local [0,1]^2:
+        # intersection midpoint of {m.s = alpha} with the unit square
+        sx, sy = _segment_midpoint(mx, my, alpha)
+        x, y = grid.centers
+        pos = (x + (sx - 0.5) * grid.h) if self.component == 0 \
+            else (y + (sy - 0.5) * grid.h)
+        ifc = (T > vof.FULL_TOL) & (T < 1.0 - vof.FULL_TOL)
+        sim.state[self.var] = jnp.where(ifc, pos, self.NODATA)
+
+
+def _segment_midpoint(mx, my, alpha):
+    """Midpoint of {mx sx + my sy = alpha} clipped to the unit square
+    (vectorized; degenerate cells give the cell centre)."""
+    eps = 1e-30
+    cands = []
+    for x0 in (0.0, 1.0):
+        y0 = (alpha - mx * x0) / jnp.where(jnp.abs(my) < eps, eps, my)
+        ok = (y0 >= 0.0) & (y0 <= 1.0)
+        cands.append((jnp.full_like(y0, x0), y0, ok))
+    for y0 in (0.0, 1.0):
+        x0 = (alpha - my * y0) / jnp.where(jnp.abs(mx) < eps, eps, mx)
+        ok = (x0 >= 0.0) & (x0 <= 1.0)
+        cands.append((x0, jnp.full_like(x0, y0), ok))
+    sx = sy = w = 0.0
+    for cx, cy, ok in cands:
+        sx = sx + jnp.where(ok, cx, 0.0)
+        sy = sy + jnp.where(ok, cy, 0.0)
+        w = w + ok.astype(mx.dtype)
+    w = jnp.maximum(w, 1.0)
+    sx = sx / w
+    sy = sy / w
+    deg = w < 2.0
+    return jnp.where(deg, 0.5, sx), jnp.where(deg, 0.5, sy)
+
+
+class VariableDistance(Event):
+    """Signed distance to the VOF interface (reference:
+    GfsVariableDistance, src/variable.c / levelset.c): host-side
+    nearest-facet distance, sign from the local fraction."""
+
+    def __init__(self, name: str, tracer: str, **kw):
+        kw.setdefault("istep", 1)
+        super().__init__(name=f"VariableDistance({name})", **kw)
+        self.var = name
+        self.tracer = tracer
+
+    def fire(self, sim, t, i):
+        super().fire(sim, t, i)
+        from ..physics import vof
+        grid = sim.cfg.grid
+        fbc = dict(sim.cfg.vof_tracers)[self.tracer]
+        T = np.asarray(sim.state[self.tracer])
+        segs = vof.facets(sim.state[self.tracer], grid, fbc,
+                          t=sim.time.t)
+        x, y = [np.asarray(c) for c in grid.centers]
+        if segs.shape[0] == 0:
+            sim.state[self.var] = jnp.full(grid.shape, 1e30)
+            return
+        pts = np.concatenate([segs[:, :2], segs[:, 2:],
+                              0.5 * (segs[:, :2] + segs[:, 2:])], 0)
+        from scipy.spatial import cKDTree
+        d, _ = cKDTree(pts).query(
+            np.stack([x.ravel(), y.ravel()], -1))
+        d = d.reshape(grid.shape)
+        sign = np.where(T > 0.5, 1.0, -1.0)
+        sim.state[self.var] = jnp.asarray(sign * d)
+
+
+class VariableResidual(Event):
+    """Residual of the last approximate projection as a state field
+    (reference: GfsVariableResidual, src/variable.c; filled by
+    gfs_approximate_projection when present)."""
+
+    def __init__(self, name: str = "Res", **kw):
+        kw.setdefault("istep", 1)
+        super().__init__(name=f"VariableResidual({name})", **kw)
+        self.var = name
+
+    def fire(self, sim, t, i):
+        super().fire(sim, t, i)
+        from ..solvers import poisson
+        from ..solvers import projection as proj
+        cfg = sim.cfg
+        grid = cfg.grid
+        U = [sim.state[n] for n in ("U", "V", "W")[:grid.dim]]
+        uf = proj.face_interpolated_velocity(U, grid, list(cfg.u_bcs),
+                                             t=sim.time.t)
+        from ..ops.stencils import divergence
+        div = divergence(uf, grid)
+        sim.state[self.var] = div

@@ -82,6 +82,16 @@ class NSConfig:
     # src/timestep.c:1062-1229); None = free-slip/no solid
     solid_phi: object = None
     surface_u: tuple = None
+    # moving embedded solid (GfsSimulationMoving/GfsSolidMoving,
+    # src/moving.c): solid_phi takes (x, y, t) and the fractions are
+    # re-cut every step inside the trace; surface_u callables take
+    # (x, y, t).  First-order scheme (moving_order=1, the reference
+    # default): uncovered cells are filled with the solid surface
+    # velocity (init_new_cell_velocity_from_solid, moving.c:135-140) and
+    # the projections see the solid's volume displacement as divergence
+    # sources (divergence_mac_hook_order_1 moving.c:1053,
+    # divergence_approx_hook moving.c:1027).
+    moving_solid: bool = False
     # axisymmetric metric (GfsAxi, src/simulation.c + src/metric.c): y is
     # the radial coordinate; cell/face metric factors r enter the same
     # face-coefficient machinery as solid fractions (domain metric hooks,
@@ -90,6 +100,10 @@ class NSConfig:
     # constant/callable body force per component (GfsSource on velocity,
     # src/source.c; gravity etc.)
     body_force: tuple = None
+    # general orthogonal metric (core/metric.py: MetricStretch/LonLat/
+    # Cubed) — cell/face factors composed into the face coefficients
+    # exactly like axi (reference: domain metric hooks src/domain.h:94-110)
+    metric: object = None
 
     def __post_init__(self):
         if self.p_bc is None:
@@ -107,12 +121,13 @@ def velocity_names(dim):
 def predicted_face_velocities(U: list, grid: Grid, cfg: NSConfig, dt, t):
     """Reference: src/timestep.c:681-717 (use_centered_velocity=TRUE,
     CENTERED upwinding)."""
-    uc_pad = [bcs.apply_bc(U[c], grid, cfg.u_bcs[c], 1, t=t)
+    uc_pad = [bcs.apply_bc(U[c], grid, cfg.u_bcs[c], 1, t=t, corners=False)
               for c in range(grid.dim)]
     uf = []
     for c in range(grid.dim):
         vp, vm = adv.advected_face_values(
-            U[c], grid, cfg.u_bcs[c], dt, cfg.advection, uc_pad, t=t)[c]
+            U[c], grid, cfg.u_bcs[c], dt, cfg.advection, uc_pad, t=t,
+            axes=(c,))[c]
         # centred upwinding: un = face-interpolated centred velocity
         from ..ops.stencils import face_average
         un = face_average(uc_pad[c], grid, c)
@@ -134,14 +149,51 @@ def velocity_advection_diffusion(U: list, uf: list, gmac: list, g_prev,
     again after this returns (gfs_correct_centered_velocities with -dt,
     src/simulation.c:520-522)."""
     dim = grid.dim
-    uc_pad = adv.mac_cell_mean(uf, grid)
+    uc_pad = None
     gbc = grad_bc(cfg.u_bcs[0])
+    from ..ops.pallas import bcg
     out = []
     for c in range(dim):
+        # fused Pallas path (TPU f32, static BCs, no cut cells): one HBM
+        # pass replacing the whole face-value/upwind/flux chain below
+        spec = None
+        if solid is None and dim == 2 and bcg.applicable(U[c], grid,
+                                                         cfg.advection):
+            spec = bcg.kernel_spec(cfg.u_bcs[c], with_face_bc=True)
+            if spec is not None and spec["per_y"]:
+                spec = None           # per-y gmac ghosts differ: fallback
+        if spec is not None:
+            fv = bcg.advect2d(U[c], uf[0], uf[1], dt, grid.h, gmac[c],
+                              sgn=spec["sgn"], off=spec["off"],
+                              per_y=spec["per_y"],
+                              fb_x=spec["fb_x"] if c == 0 else None,
+                              fb_y=spec["fb_y"] if c == 1 else None)
+            if g_prev is not None:
+                fv = fv - dt * g_prev[c]
+            if sources is not None and sources[c] is not None:
+                fv = fv + dt * sources[c]
+            if cfg.body_force is not None and cfg.body_force[c] is not None:
+                bf = cfg.body_force[c]
+                fv = fv + dt * (bf(*grid.centers, t) if callable(bf)
+                                else bf)
+            if cfg.nu > 0.0:
+                rr = 1.0 if rho is None else rho
+                v_new, _ = diff.diffuse(U[c], grid, cfg.u_bcs[c], dt,
+                                        cfg.nu, rho=rr, beta=cfg.beta,
+                                        params=cfg.diffusion_params,
+                                        extra_rhs=(rr * fv
+                                                   if rho is not None
+                                                   else fv), t=t)
+            else:
+                v_new = U[c] + fv
+            out.append(v_new)
+            continue
+        if uc_pad is None:
+            uc_pad = adv.mac_cell_mean(uf, grid)
         fvals = adv.advected_face_values(U[c], grid, cfg.u_bcs[c], dt,
                                          cfg.advection, uc_pad, t=t)
         # face-interpolated gmac correction (reference: src/advection.c:419)
-        g_pad = bcs.apply_bc(gmac[c], grid, gbc, 1, t=t)
+        g_pad = bcs.apply_bc(gmac[c], grid, gbc, 1, t=t, corners=False)
         from ..ops.stencils import face_average
         v_faces = []
         for a in range(dim):
@@ -201,14 +253,30 @@ def velocity_advection_diffusion(U: list, uf: list, gmac: list, g_prev,
 
 def advect_tracer(T: jnp.ndarray, name_bc_D, uf: list, grid: Grid,
                   cfg: NSConfig, dt, t):
-    """Reference: gfs_tracer_advection_diffusion src/timestep.c:1028."""
-    name, fbc, D = name_bc_D
-    uc_pad = adv.mac_cell_mean(uf, grid)
-    fvals = adv.advected_face_values(T, grid, fbc, dt, cfg.advection,
-                                     uc_pad, t=t)
-    v_faces = [adv.upwind_face_value(fvals[a][0], fvals[a][1], uf[a], a)
-               for a in range(grid.dim)]
-    fv = adv.flux_divergence(v_faces, uf, grid, dt)
+    """Reference: gfs_tracer_advection_diffusion src/timestep.c:1028.
+    A 4th tuple element is a source term dT/dt (scalar or callable
+    (x.., t) — e.g. the unit source of GfsVariableAge,
+    src/variable.c age variables)."""
+    name, fbc, D = name_bc_D[:3]
+    src = name_bc_D[3] if len(name_bc_D) > 3 else None
+    from ..ops.pallas import bcg
+    spec = bcg.kernel_spec(fbc) if grid.dim == 2 \
+        and bcg.applicable(T, grid, cfg.advection) else None
+    if spec is not None:
+        fv = bcg.advect2d(T, uf[0], uf[1], dt, grid.h,
+                          sgn=spec["sgn"], off=spec["off"],
+                          per_y=spec["per_y"])
+    else:
+        uc_pad = adv.mac_cell_mean(uf, grid)
+        fvals = adv.advected_face_values(T, grid, fbc, dt, cfg.advection,
+                                         uc_pad, t=t)
+        v_faces = [adv.upwind_face_value(fvals[a][0], fvals[a][1],
+                                         uf[a], a)
+                   for a in range(grid.dim)]
+        fv = adv.flux_divergence(v_faces, uf, grid, dt)
+    if src is not None:
+        sv = src(*grid.centers, t) if callable(src) else src
+        fv = fv + dt * sv
     if D and D > 0.0:
         T_new, _ = diff.diffuse(T, grid, fbc, dt, D, beta=cfg.beta,
                                 params=cfg.diffusion_params,
@@ -320,7 +388,86 @@ def _weights(cfg: NSConfig):
         a = cm if a is None else a * cm
         a_cl = cm if a_cl is None else a_cl * cm
         s = fm if s is None else tuple(s[c] * fm[c] for c in range(2))
+    if cfg.metric is not None:
+        with jax.ensure_compile_time_eval():
+            cm, fm = cfg.metric.weights(grid)
+        a = cm if a is None else a * cm
+        a_cl = cm if a_cl is None else a_cl * cm
+        s = fm if s is None else tuple(s[c] * fm[c]
+                                       for c in range(grid.dim))
     return a, s, ds, a_cl
+
+
+def _eval_surface_u(us, x, y, t):
+    """Surface-velocity entry: scalar, f(x, y) or f(x, y, t)."""
+    if callable(us):
+        try:
+            return us(x, y, t)
+        except TypeError:
+            return us(x, y)
+    return us
+
+
+def _redistribute_small(src, a, s):
+    """Move the divergence source of small cut cells (a < 0.5, the
+    reference's GFS_SMALL merge threshold) into the neighbour across
+    their largest fluid face — the dense-array stand-in for the
+    reference's merged-cell divergence distribution
+    (moving_divergence_distribution, src/moving.c:1000-1025): tiny cells
+    cannot absorb a finite volume displacement (their operator row is
+    nearly zero), so the projection rhs must live in their well-connected
+    neighbours."""
+    sx, sy = s
+    fr = jnp.stack([sx[:-1, :], sx[1:, :], sy[:, :-1], sy[:, 1:]])
+    small = (a < 0.5) & (a > 0.0)
+    d = jnp.argmax(fr, axis=0)
+    moved = jnp.where(small, src, 0.0)
+    out = src - moved
+    # scatter into the chosen neighbour via opposite-direction shifts
+    for k, (axis, shift) in enumerate(((0, -1), (0, 1), (1, -1), (1, 1))):
+        m = jnp.where(d == k, moved, 0.0)
+        out = out + jnp.roll(m, shift, axis)
+    return out
+
+
+def _moving_solid_ctx(cfg: NSConfig, U: list, dt, t):
+    """Per-step re-cut moving-solid context (first-order scheme).
+
+    Returns (solid weights, filled velocities, MAC divergence source,
+    approximate-projection divergence source).  The solid is cut at its
+    t+dt position (reference: move_solids before the step,
+    src/moving.c:949-990,1155); cells uncovered since t — and the solid
+    interior — carry the solid surface velocity
+    (init_new_cell_velocity_from_solid, moving.c:135-140).  The
+    projections see the solid's volume displacement: the MAC hook uses
+    the geometric rate (a(t+dt)-a(t))/dt (divergence_mac_hook_order_1,
+    moving.c:1043-1068 with q.dt=-2dt), the approximate hook the surface
+    flux -u_s.(s_hi-s_lo)/h (moving_divergence_approx, moving.c:993-998;
+    note FTT direction 2c is the + face, so the reference's
+    s[2c+1]-s[2c] is lo-hi)."""
+    from ..physics.solid import solid_fractions, DirichletSurface
+
+    grid = cfg.grid
+    dim = grid.dim
+    a_old, _ = solid_fractions(grid,
+                               lambda x, y: cfg.solid_phi(x, y, t))
+    ds = DirichletSurface(grid, lambda x, y: cfg.solid_phi(x, y, t + dt))
+    a, s = ds.a, ds.s
+    a_cl = jnp.maximum(a, 0.25)
+    x, y = grid.centers
+    us = [_eval_surface_u(cfg.surface_u[c] if cfg.surface_u else 0.0,
+                          x, y, t + dt) for c in range(dim)]
+    U = [jnp.where((a > 0.0) & (a_old > 0.0), U[c],
+                   jnp.broadcast_to(jnp.asarray(us[c], U[c].dtype),
+                                    U[c].shape))
+         for c in range(dim)]
+    mac_div = _redistribute_small(2.0 * (a - a_old) / (dt * dt), a, s)
+    h = grid.h
+    approx_div = -(us[0] * (s[0][1:, :] - s[0][:-1, :]) +
+                   us[1] * (s[1][:, 1:] - s[1][:, :-1])) / (h * dt)
+    approx_div = _redistribute_small(jnp.where(a > 0.0, approx_div, 0.0),
+                                     a, s)
+    return (a, s, ds, a_cl), U, mac_div, approx_div
 
 
 @functools.lru_cache(maxsize=32)
@@ -392,7 +539,13 @@ def ns_step(state: dict, dt, t, cfg: NSConfig, cstart: int = 0,
     fs = tension_sources(state, cfg, t, alpha=alpha)
     solid = None
     sfrac = None
-    if cfg.solid_phi is not None or cfg.axi:
+    mac_div_src = approx_div_src = None
+    if cfg.moving_solid:
+        assert not cfg.axi, "moving solids + axi metric not composed"
+        solid, U, mac_div_src, approx_div_src = _moving_solid_ctx(
+            cfg, U, dt, t)
+        sfrac = solid[1]
+    elif cfg.solid_phi is not None or cfg.axi or cfg.metric is not None:
         solid = _weights(cfg)
         sfrac = solid[1]
 
@@ -405,7 +558,8 @@ def ns_step(state: dict, dt, t, cfg: NSConfig, cstart: int = 0,
     #    src/simulation.c:498-504)
     uf, pmac, gmac, _ = proj.mac_projection(
         uf, state["Pmac"], grid, cfg.p_bc, dt / 2.0, cfg.projection,
-        alpha=alpha, face_sources=fs, face_frac=sfrac,
+        alpha=alpha, div_source=mac_div_src, face_sources=fs,
+        face_frac=sfrac,
         vol_frac=None if solid is None else solid[0], t=t)
 
     # 3. centred advection + diffusion (momentum rhs includes -dt*g_prev);
@@ -431,7 +585,8 @@ def ns_step(state: dict, dt, t, cfg: NSConfig, cstart: int = 0,
         uf2 = [jnp.where(sfrac[c] > 0.0, uf2[c], 0.0) for c in range(dim)]
     uf2, p, g_cell, _ = proj.mac_projection(
         uf2, state["P"], grid, cfg.p_bc, dt, cfg.approx_projection,
-        alpha=alpha, face_sources=fs, face_frac=sfrac,
+        alpha=alpha, div_source=approx_div_src, face_sources=fs,
+        face_frac=sfrac,
         vol_frac=None if solid is None else solid[0], t=t)
     U = [U[c] - dt * g_cell[c] for c in range(dim)]
     if solid is not None:
@@ -470,7 +625,11 @@ def initial_projection(state: dict, dt, t, cfg: NSConfig) -> dict:
     U = [state[n] for n in names]
     rho_c, alpha = density_fields(state, cfg, t)
     sfrac = vfrac = None
-    if cfg.solid_phi is not None or cfg.axi:
+    if cfg.moving_solid:
+        from ..physics.solid import solid_fractions
+        vfrac, sfrac = solid_fractions(
+            cfg.grid, lambda x, y: cfg.solid_phi(x, y, t))
+    elif cfg.solid_phi is not None or cfg.axi or cfg.metric is not None:
         ctx = _weights(cfg)
         sfrac, vfrac = ctx[1], ctx[0]
     U, _, p, g_cell, _ = _approx(U, state["P"], cfg, dt, t,

@@ -1,0 +1,121 @@
+"""Moving embedded solids (GfsSimulationMoving, reference: src/moving.c).
+
+1. A time-independent phi through the moving path must reproduce the
+   static-solid path (divergence sources vanish, fill = static zeroing).
+2. Galilean exactness: a disk translating at the free-stream velocity
+   through a co-moving uniform flow leaves the flow (nearly) uniform —
+   the divergence sources (moving.c:993-998, 1043-1068) are what makes
+   this hold; without them the projection would push fluid around the
+   "appearing" solid.
+3. An impulsively started disk drags fluid along (qualitative momentum
+   check) and everything stays finite.
+"""
+import jax.numpy as jnp
+import numpy as np
+
+from gerris_tpu.core.grid import Grid
+from gerris_tpu.core import bc as bcs
+from gerris_tpu.models import ns
+from gerris_tpu.solvers import poisson
+
+R = 0.15
+
+
+def _state(grid, u0=0.0):
+    z = jnp.zeros(grid.shape)
+    return {"U": z + u0, "V": z, "P": z, "Pmac": z, "Gx": z, "Gy": z}
+
+
+def _cfg(grid, phi, moving, surface_u=None, **kw):
+    return ns.NSConfig(
+        grid=grid,
+        u_bcs=(bcs.velocity_bc(0, 2), bcs.velocity_bc(1, 2)),
+        nu=0.0, solid_phi=phi, moving_solid=moving, surface_u=surface_u,
+        projection=poisson.MultilevelParams(tolerance=1e-9, nitermax=50),
+        approx_projection=poisson.MultilevelParams(tolerance=1e-9,
+                                                   nitermax=50), **kw)
+
+
+def test_static_equivalence():
+    grid = Grid(level=5, dim=2)
+    phi_s = lambda x, y: jnp.sqrt(x ** 2 + y ** 2) - R
+    phi_m = lambda x, y, t: jnp.sqrt(x ** 2 + y ** 2) - R
+    cfg_s = _cfg(grid, phi_s, False)
+    cfg_m = _cfg(grid, phi_m, True, surface_u=(0.0, 0.0))
+    x, y = grid.centers
+    s0 = _state(grid)
+    s0["U"] = jnp.where(jnp.sqrt(x ** 2 + y ** 2) > R + 0.05,
+                        0.1 * jnp.sin(2 * jnp.pi * y), 0.0)
+    dt = jnp.asarray(0.2 * grid.h)
+    a = ns.ns_step(dict(s0), dt, jnp.asarray(0.0), cfg_s)
+    b = ns.ns_step(dict(s0), dt, jnp.asarray(0.0), cfg_m)
+    for k in ("U", "V", "P"):
+        d = float(jnp.max(jnp.abs(a[k] - b[k])))
+        assert d < 1e-10, (k, d)
+
+
+def test_galilean_uniform_flow():
+    """Disk moving at (1,0) in a co-moving uniform stream, periodic x:
+    the flow stays uniform up to the first-order geometric error."""
+    grid = Grid(level=6, dim=2)
+    u_bc = bcs.FieldBC.make(2, default=bcs.Neumann(0.0))
+    per = bcs.FieldBC(((bcs.Periodic(), bcs.Periodic()),
+                       (bcs.Dirichlet(1.0), bcs.Dirichlet(1.0))))
+    uper = bcs.FieldBC(((bcs.Periodic(), bcs.Periodic()),
+                        (bcs.Neumann(), bcs.Neumann())))
+    vper = bcs.FieldBC(((bcs.Periodic(), bcs.Periodic()),
+                        (bcs.Dirichlet(0.0), bcs.Dirichlet(0.0))))
+    phi = lambda x, y, t: jnp.sqrt((jnp.remainder(x - t + 0.5, 1.0) - 0.5)
+                                   ** 2 + y ** 2) - R
+    cfg = ns.NSConfig(
+        grid=grid, u_bcs=(uper, vper), nu=0.0, solid_phi=phi,
+        moving_solid=True, surface_u=(1.0, 0.0),
+        projection=poisson.MultilevelParams(tolerance=1e-9, nitermax=50),
+        approx_projection=poisson.MultilevelParams(tolerance=1e-9,
+                                                   nitermax=50))
+    s = _state(grid, u0=1.0)
+    dt = 0.25 * grid.h   # CFL 0.25 on the unit solid velocity
+    t = 0.0
+    for i in range(8):
+        s = ns.ns_step(s, jnp.asarray(dt), jnp.asarray(t), cfg,
+                       first_step=(i == 0))
+        t += dt
+    from gerris_tpu.physics.solid import solid_fractions
+    a, _ = solid_fractions(grid, lambda x, y: phi(x, y, t))
+    fluid = np.asarray(a) > 0.99
+    U = np.asarray(s["U"])
+    V = np.asarray(s["V"])
+    assert np.isfinite(np.asarray(s["P"])).all()
+    # the first-order scheme sheds O(1) noise in the cut cells (the
+    # reference's moving tests damp it with viscosity + AMR); the gate is
+    # that the perturbation stays bounded and dipole-localized: small in
+    # the far field, no blow-up anywhere
+    x, y = [np.asarray(c) for c in grid.centers]
+    r = np.sqrt((np.remainder(x - t + 0.5, 1.0) - 0.5) ** 2 + y ** 2)
+    far = fluid & (r > 0.35)
+    assert np.abs(U - 1.0)[far].max() < 0.06, np.abs(U - 1.0)[far].max()
+    assert np.abs(V)[far].max() < 0.06, np.abs(V)[far].max()
+    assert np.abs(U - 1.0)[fluid].max() < 0.6
+    assert np.abs(V)[fluid].max() < 0.6
+
+
+def test_impulsive_drag():
+    """Impulsively started disk in quiescent fluid: fluid ahead of it
+    acquires forward velocity, behind it too (potential-flow dipole);
+    everything finite."""
+    grid = Grid(level=6, dim=2)
+    phi = lambda x, y, t: jnp.sqrt((x + 0.2 - 0.5 * t) ** 2 + y ** 2) - R
+    cfg = _cfg(grid, phi, True, surface_u=(0.5, 0.0))
+    s = _state(grid)
+    dt = 0.25 * grid.h
+    t = 0.0
+    for i in range(6):
+        s = ns.ns_step(s, jnp.asarray(dt), jnp.asarray(t), cfg,
+                       first_step=(i == 0))
+        t += dt
+    U = np.asarray(s["U"])
+    assert np.isfinite(U).all() and np.isfinite(np.asarray(s["P"])).all()
+    x, y = [np.asarray(c) for c in grid.centers]
+    ahead = (np.abs(y) < 0.05) & (x > -0.2 + 0.5 * t + R) \
+        & (x < -0.2 + 0.5 * t + R + 0.1)
+    assert U[ahead].mean() > 0.02, U[ahead].mean()

@@ -1,0 +1,125 @@
+"""GfsRiver (Saint-Venant) gates.
+
+1. Well-balanced lake at rest over non-trivial (partly emerging)
+   topography stays exactly still — the property the Audusse
+   hydrostatic reconstruction is built for (reference:
+   src/river.c:489-493 and Theorem 3.1 of Audusse et al. 2004).
+2. Sampson parabolic-container oscillations vs the analytic solution:
+   the reference's test/parabola/error.ref records time-averaged
+   |h|_1/h0 = 0.00219 at level 6 — we gate the same quantity.
+3. Dam break vs the Stoker solution (kinetic and hllc schemes).
+"""
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gerris_tpu.models import river
+
+
+def test_lake_at_rest():
+    n = 64
+    cfg = river.RiverConfig(shape=(n, n), L=1.0, g=9.81, dry=1e-6)
+    x = (np.arange(n) + 0.5) / n - 0.5
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    zb = 0.8 * np.exp(-((X / 0.15) ** 2 + (Y / 0.15) ** 2))  # emerges
+    eta0 = 0.5
+    P = np.maximum(0.0, eta0 - zb)
+    state = {"P": jnp.asarray(P), "U": jnp.zeros((n, n)),
+             "V": jnp.zeros((n, n)), "Zb": jnp.asarray(zb)}
+    dt = jnp.asarray(0.5 * cfg.dx / math.sqrt(9.81 * eta0))
+    for _ in range(20):
+        state = river.river_step(state, dt, cfg)
+    assert float(jnp.max(jnp.abs(state["U"]))) < 1e-12
+    assert float(jnp.max(jnp.abs(state["V"]))) < 1e-12
+    assert float(jnp.max(jnp.abs(state["P"] - P))) < 1e-12
+
+
+def _sampson(x, t, h0=10.0, a=3000.0, tau=1e-3, B=5.0, G=9.81):
+    """Analytic solution of the damped parabolic-container oscillation
+    (Sampson et al. 2006; reference: test/parabola/parabola.gfs Global)."""
+    p = math.sqrt(8.0 * G * h0) / a
+    s = math.sqrt(p * p - tau * tau) / 2.0
+    psi = (a * a * B * B * math.exp(-tau * t) / (8.0 * G * G * h0)
+           * (-s * tau * math.sin(2 * s * t)
+              + (tau * tau / 4.0 - s * s) * math.cos(2 * s * t))
+           - B * B * math.exp(-tau * t) / (4.0 * G)
+           - math.exp(-tau * t / 2.0) / G
+           * (B * s * math.cos(s * t) + tau * B / 2.0 * math.sin(s * t)) * x)
+    return h0 + psi
+
+
+def test_parabola_level6():
+    """test/parabola at LEVEL=6: time-averaged L1(P - Pt)/h0 must match
+    error.ref (6: 0.00219, 0.00418, max 0.0447) within slack."""
+    h0, a, tau, B, G, L = 10.0, 3000.0, 1e-3, 5.0, 9.81, 10000.0
+    n = 64
+    cfg = river.RiverConfig(shape=(n, 2), L=L, g=G, dry=1e-4, cfl=0.5,
+                            coriolis=(0.0, tau, 0.5))
+    x = ((np.arange(n) + 0.5) / n - 0.5) * L
+    zb = h0 * (x / a) ** 2
+    P0 = np.maximum(0.0, _sampson(x, 0.0) - zb)
+    shape = (n, 2)
+    state = {"P": jnp.asarray(np.broadcast_to(P0[:, None], shape)),
+             "U": jnp.zeros(shape), "V": jnp.zeros(shape),
+             "Zb": jnp.asarray(np.broadcast_to(zb[:, None], shape))}
+
+    errs = []
+    mx = 0.0
+
+    def on_step(s, t, i):
+        nonlocal mx
+        Pt = np.maximum(0.0, np.asarray(
+            [_sampson(xi, t) for xi in x]) - zb)
+        d = np.abs(np.asarray(s["P"][:, 0]) - Pt)
+        errs.append(d.mean())
+        mx = max(mx, d.max())
+
+    state, t, i = river.run(state, cfg, t_end=6000.0, on_step=on_step)
+    l1 = float(np.mean(errs)) / h0
+    assert l1 < 0.0033, l1          # ref: 0.00218884 (50% slack)
+    assert mx / h0 < 0.07, mx / h0  # ref: 0.04465
+    # 1D symmetry: the two y-rows must stay identical
+    assert float(jnp.max(jnp.abs(state["P"][:, 0] - state["P"][:, 1]))) == 0.0
+
+
+@pytest.mark.parametrize("scheme", ["kinetic", "hllc"])
+def test_dam_break_stoker(scheme):
+    """Flat-bottom dam break vs the Stoker similarity solution."""
+    g = 9.81
+    hl, hr = 1.0, 0.2
+    n = 256
+    L = 1.0
+    cfg = river.RiverConfig(shape=(n, 2), L=L, g=g, scheme=scheme,
+                            time_order=2)
+    x = ((np.arange(n) + 0.5) / n - 0.5) * L
+    P0 = np.where(x < 0.0, hl, hr)
+    shape = (n, 2)
+    state = {"P": jnp.asarray(np.broadcast_to(P0[:, None], shape)),
+             "U": jnp.zeros(shape), "V": jnp.zeros(shape),
+             "Zb": jnp.zeros(shape)}
+    t_end = 0.06
+    state, t, i = river.run(state, cfg, t_end=t_end)
+
+    # Stoker: solve for cm (middle-state celerity)
+    from scipy.optimize import brentq
+    cl, cr = math.sqrt(g * hl), math.sqrt(g * hr)
+
+    def f(cm):
+        # rarefaction invariant u_m = 2(c_l - c_m) matched against the
+        # Rankine-Hugoniot jump into still water of depth h_r
+        hm = cm * cm / g
+        return (2.0 * (cl - cm)
+                - (hm - hr) * math.sqrt(g * (hm + hr) / (2.0 * hm * hr)))
+
+    cm = brentq(f, cr * 1.0001, cl * 0.9999)
+    hm = cm * cm / g
+    um = 2.0 * (cl - cm)
+    S = hm * um / (hm - hr)
+    href = np.where(x < -cl * t_end, hl,
+                    np.where(x < (um - cm) * t_end,
+                             (2.0 * cl - x / t_end) ** 2 / (9.0 * g),
+                             np.where(x < S * t_end, hm, hr)))
+    err = np.abs(np.asarray(state["P"][:, 0]) - href).mean()
+    assert err < 6e-3, (scheme, err)
