@@ -43,12 +43,14 @@ CP = 128  # lane alignment for DMA destination columns
 
 
 def _dma(src, dst, dst_row0, start, nrows, sem):
+    """Issue one HBM->VMEM row-window copy (returned unwaited so all
+    windows stream concurrently)."""
     s = pl.multiple_of(start, GP)
     cp = pltpu.make_async_copy(
         src.at[pl.ds(s, nrows), :],
         dst.at[pl.ds(dst_row0, nrows), pl.ds(CP, src.shape[1])], sem)
     cp.start()
-    cp.wait()
+    return cp
 
 
 def _kernel(dt_ref, v_hbm, ux_hbm, uy_hbm, g_hbm, out_ref,
@@ -59,11 +61,13 @@ def _kernel(dt_ref, v_hbm, ux_hbm, uy_hbm, g_hbm, out_ref,
     dt_h = dt_ref[0, 0]               # dt / h
 
     rstart = pl.multiple_of(jnp.clip(s * S - H, 0, n0 - W), GP)
-    _dma(v_hbm, vb, 0, rstart, W, sem.at[0])
-    _dma(ux_hbm, uxb, 0, rstart, W + 2 * GP, sem.at[1])
-    _dma(uy_hbm, uyb, 0, rstart, W, sem.at[2])
+    cps = [_dma(v_hbm, vb, 0, rstart, W, sem.at[0]),
+           _dma(ux_hbm, uxb, 0, rstart, W + 2 * GP, sem.at[1]),
+           _dma(uy_hbm, uyb, 0, rstart, W, sem.at[2])]
     if use_g:
-        _dma(g_hbm, gb, 0, rstart, W, sem.at[3])
+        cps.append(_dma(g_hbm, gb, 0, rstart, W, sem.at[3]))
+    for cp in cps:
+        cp.wait()
 
     cl, ch = CP, CP + n1
 
@@ -247,7 +251,11 @@ def kernel_spec(fbc, with_face_bc: bool = False):
 
 
 def applicable(v, grid, par=None) -> bool:
-    """TPU f32 2D with the default advection parameters."""
+    """TPU f32 2D with the default advection parameters.
+    GERRIS_NO_BCG_KERNEL=1 disables the kernel (A/B benchmarking)."""
+    import os
+    if os.environ.get("GERRIS_NO_BCG_KERNEL"):
+        return False
     if grid.dim != 2 or v.dtype != jnp.float32:
         return False
     if v.shape[0] < 32 or v.shape[1] < 128:
@@ -282,6 +290,9 @@ def advect2d(v, ufx, ufy, dt, h, g=None, *, sgn, off, per_y=False,
     W = S + 2 * H
     nstrips = n0 // S
     uxp = jnp.pad(ufx, ((GP, 2 * GP - 1), (0, 0)))
+    # DMA source widths must be 128-lane aligned: pad ufy's n1+1 columns
+    ypad = (-(n1 + 1)) % CP
+    uyp = jnp.pad(ufy, ((0, 0), (0, ypad))) if ypad else ufy
     dt_arr = (jnp.asarray(dt, v.dtype) / h).reshape(1, 1)
     use_g = g is not None
     # in-kernel correction is dt_h * (1/2)(g_{f-1} + g_f): pre-scale by
@@ -306,10 +317,10 @@ def advect2d(v, ufx, ufy, dt, h, g=None, *, sgn, off, per_y=False,
         scratch_shapes=[
             pltpu.VMEM((W, CP + n1 + CP), v.dtype),           # v
             pltpu.VMEM((W + 2 * GP, CP + n1 + CP), v.dtype),  # ufx
-            pltpu.VMEM((W, CP + n1 + 1 + CP), v.dtype),       # ufy
+            pltpu.VMEM((W, CP + n1 + 1 + ypad + CP), v.dtype),  # ufy
             pltpu.VMEM((W if use_g else GP, CP + n1 + CP),
                        v.dtype),                              # g
             pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
-    )(dt_arr, v, uxp, ufy, g_in)
+    )(dt_arr, v, uxp, uyp, g_in)

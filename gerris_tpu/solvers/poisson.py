@@ -388,7 +388,8 @@ def _coeff_hierarchy(grid: Grid, minlevel: int, alpha, dia):
     return alphas, dias
 
 
-DENSE_COARSE_MAX = 1024   # max unknowns for the direct coarse solve
+DENSE_COARSE_MAX = int(__import__("os").environ.get(
+    "GERRIS_DENSE_COARSE_MAX", "1024"))  # max unknowns, 0 disables
 
 
 @functools.lru_cache(maxsize=32)

@@ -36,15 +36,16 @@ r0 = jax.random.normal(jax.random.PRNGKey(1), grid.shape, jnp.float32)
 
 
 def timeit(name, fn, mbytes, *args):
+    # a scalar pull closes the timing window (remote async runtime)
     t0 = time.time()
-    out = jax.block_until_ready(fn(*args))
+    chk = float(jnp.sum(fn(*args)))
     comp = time.time() - t0
     t0 = time.time()
-    out = jax.block_until_ready(fn(*args))
+    chk = float(jnp.sum(fn(*args)))
     run = (time.time() - t0) / ITERS
     print(f"{name:34s} {run * 1e3:8.3f} ms  "
           f"{mbytes / run / 1e3:8.1f} GB/s   (c {comp:.1f}s)", flush=True)
-    return out
+    return chk
 
 
 def loop(op):

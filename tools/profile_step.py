@@ -38,11 +38,14 @@ U0 = 0.01 * jax.random.normal(key, grid.shape, jnp.float32)
 
 
 def timeit(name, fn, *args):
+    # scalar pulls close the timing window (remote async runtime)
     t0 = time.time()
-    out = jax.block_until_ready(fn(*args))
+    out = fn(*args)
+    chk = float(jnp.sum(out[0]))
     compile_s = time.time() - t0
     t0 = time.time()
-    out = jax.block_until_ready(fn(*args))
+    out = fn(*args)
+    chk = float(jnp.sum(out[0]))
     run_s = time.time() - t0
     print(f"{name:28s} {run_s / STEPS * 1e3:8.2f} ms/iter   "
           f"(compile+1st {compile_s:.1f}s)", flush=True)
