@@ -267,6 +267,150 @@ def residual_pallas(u: jnp.ndarray, rhs: jnp.ndarray, dia=0.0, *, h2: float,
     )(u, rhs, dia_arr)
 
 
+def _prolong_relax_kernel(rep_hbm, rhs_hbm, dia_ref, u_hbm, out_ref,
+                          ub, rb, fb, sem, *, n0, n1, S, H, nsweeps, h2,
+                          sgn_x_lo, sgn_x_hi, sgn_y_lo, sgn_y_hi,
+                          periodic_y, omega, add_u):
+    """Fused coarse->fine correction: bilinear prolongation of the
+    lane-doubled coarse array ``rep`` + ``nsweeps`` RBGS sweeps on the
+    fine level (+ optional u += du) in ONE launch (reference:
+    get_from_above + relax_loop, src/poisson.c:1005-1042,1141-1167 —
+    fused because kernel launches dominate on the remote TPU).
+
+    ``rep``: coarse du with lanes doubled (jnp.repeat(.., 2, axis=1))
+    and GP rows of zero padding top+bottom, so the coarse-row DMA window
+    [rstart/2 - GP, rstart/2 + W/2 + GP) is always in range; rstart is
+    kept a multiple of 2*GP so the halved row start stays GP-aligned.
+    Homogeneous BCs only (the correction phase).  Non-periodic rows."""
+    s = pl.program_id(0)
+    W = S + 2 * H
+    rstart = pl.multiple_of(jnp.clip(s * S - H, 0, n0 - W), 2 * GP)
+    cstart = pl.multiple_of(rstart // 2, GP)
+
+    # DMAs: coarse rep rows (with GP halo from the padded source), rhs
+    cp1 = pltpu.make_async_copy(
+        rep_hbm.at[pl.ds(cstart, W // 2 + 2 * GP), :],
+        ub.at[pl.ds(0, W // 2 + 2 * GP), pl.ds(CP, rep_hbm.shape[1])],
+        sem.at[0])
+    cp1.start()
+    cp2 = pltpu.make_async_copy(
+        rhs_hbm.at[pl.ds(rstart, W), :],
+        rb.at[pl.ds(0, W), pl.ds(CP, rhs_hbm.shape[1])], sem.at[1])
+    cp2.start()
+    if add_u:
+        start_u = pl.multiple_of(s * S, GP)
+        cp3 = pltpu.make_async_copy(
+            u_hbm.at[pl.ds(start_u, S), :],
+            fb.at[pl.ds(0, S), pl.ds(CP, u_hbm.shape[1])], sem.at[2])
+        cp3.start()
+    cp1.wait()
+    cp2.wait()
+
+    cl, ch = CP, CP + n1
+    first = rstart == 0
+    last = rstart + W == n0
+
+    # ---- prolongation into du rows rstart..rstart+W
+    # coarse block rows: ub row i = coarse row cstart - GP + i (the rep
+    # source is GP-padded, so row GP + k = coarse row cstart + k)
+    C = ub[GP - 1:GP + W // 2 + 1, cl:ch]    # coarse rows -1..W/2
+    RR = jnp.repeat(C, 2, axis=0)            # rows -2..W+1 (fine idx)
+    # rows step: fine row r: base C[r//2]; neighbor C[r//2 -/+ 1]
+    base_r = RR[2:W + 2, :]
+    nb_up = RR[1:W + 1, :]                   # roll +1 equivalent
+    nb_dn = RR[3:W + 3, :]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (W, n1), 0) + rstart
+    even_r = (rows % 2) == 0
+    nb_r = jnp.where(even_r, nb_up, nb_dn)
+    # homogeneous domain-edge ghosts (sign * base)
+    nb_r = jnp.where(rows == 0, sgn_x_lo * base_r,
+                     jnp.where(rows == n0 - 1, sgn_x_hi * base_r, nb_r))
+    A1 = 0.75 * base_r + 0.25 * nb_r
+    # lanes step (rep already lane-doubled): neighbor via lane rolls
+    cols = jax.lax.broadcasted_iota(jnp.int32, (W, n1), 1)
+    even_c = (cols % 2) == 0
+    nb_c = jnp.where(even_c, jnp.roll(A1, 1, 1), jnp.roll(A1, -1, 1))
+    if periodic_y:
+        pass                                  # wrap is correct
+    else:
+        nb_c = jnp.where(cols == 0, sgn_y_lo * A1,
+                         jnp.where(cols == n1 - 1, sgn_y_hi * A1, nb_c))
+    du = 0.75 * A1 + 0.25 * nb_c
+
+    # ---- place du into the sweep buffer and relax
+    ub[GP:GP + W, cl:ch] = du
+    red = ((rows + cols) % 2) == 0
+    denom = 4.0 + dia_ref[0, 0] * h2
+    lo, hi = GP, GP + W
+    for _ in range(nsweeps):
+        for color in (red, ~red):
+            _ghosts_y(ub, cl, ch, periodic_y, sgn_y_lo, sgn_y_hi)
+            _ghosts_x(ub, lo, hi, first, last, False, H == 0,
+                      sgn_x_lo, sgn_x_hi)
+            c = ub[lo:hi, cl:ch]
+            nb = (ub[lo - 1:hi - 1, cl:ch] + ub[lo + 1:hi + 1, cl:ch] +
+                  ub[lo:hi, cl - 1:ch - 1] + ub[lo:hi, cl + 1:ch + 1])
+            new = (nb - h2 * rb[pl.ds(0, W), cl:ch]) / denom
+            if omega != 1.0:
+                new = (1.0 - omega) * c + omega * new
+            ub[lo:hi, cl:ch] = jnp.where(color, new, c)
+
+    off = pl.multiple_of(s * S - rstart, GP)
+    res = ub[pl.ds(GP + off, S), cl:ch]
+    if add_u:
+        cp3.wait()
+        res = res + fb[pl.ds(0, S), cl:ch]
+    out_ref[:, :] = res
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "nsweeps", "S", "signs", "omega", "h2", "periodic_y", "add_u",
+    "interpret"))
+def prolong_relax(du_c, rhs, dia=0.0, u=None, *, nsweeps: int, h2: float,
+                  signs=(-1.0, -1.0, -1.0, -1.0), periodic_y=False,
+                  omega: float = 1.0, add_u: bool = False, S: int = 64,
+                  interpret: bool = False):
+    """One-launch prolong(du_c) -> relax(nsweeps) [-> + u] on the fine
+    level.  du_c: (n0/2, n1/2) coarse correction; rhs: (n0, n1) fine
+    residual; u: fine solution when ``add_u``.  Homogeneous static BCs,
+    non-periodic rows (the correction-phase hot path)."""
+    n0, n1 = rhs.shape
+    H = -(-2 * nsweeps // (2 * GP)) * (2 * GP)   # keep rstart 16-aligned
+    if n0 % S or n0 < S + 2 * H or (n0 // S) < 2:
+        S = n0
+        H = 0
+    W = S + 2 * H
+    nstrips = n0 // S
+    rep = jnp.pad(jnp.repeat(du_c, 2, axis=1), ((GP, GP), (0, 0)))
+    dia_arr = jnp.asarray(dia, rhs.dtype).reshape(1, 1)
+    u_in = u if add_u else jnp.zeros((GP, n1), rhs.dtype)
+    sx_lo, sx_hi, sy_lo, sy_hi = signs
+    kern = functools.partial(
+        _prolong_relax_kernel, n0=n0, n1=n1, S=S, H=H, nsweeps=nsweeps,
+        h2=h2, sgn_x_lo=sx_lo, sgn_x_hi=sx_hi, sgn_y_lo=sy_lo,
+        sgn_y_hi=sy_hi, periodic_y=periodic_y, omega=omega, add_u=add_u)
+    buf_rows = max(W + 2 * GP, W // 2 + 2 * GP)
+    return pl.pallas_call(
+        kern,
+        grid=(nstrips,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((S, n1), lambda s: (s, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n0, n1), rhs.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((buf_rows, CP + n1 + CP), rhs.dtype),   # ub
+            pltpu.VMEM((W, CP + n1 + CP), rhs.dtype),          # rhs
+            pltpu.VMEM((S if add_u else GP, CP + n1 + CP),
+                       rhs.dtype),                             # u
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(rep, rhs, dia_arr, u_in)
+
+
 def _strip_plan(n0, S, H, periodic_x):
     """Choose (S, H) given the grid height; periodic single-strip keeps
     H=0 and wraps in VMEM."""

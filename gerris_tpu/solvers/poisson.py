@@ -388,8 +388,12 @@ def _coeff_hierarchy(grid: Grid, minlevel: int, alpha, dia):
     return alphas, dias
 
 
+# Max unknowns for the direct coarse eigensolve (0 disables).  4096
+# (a 64^2 level) keeps every level below the Pallas smoother's 128-lane
+# floor out of the hierarchy entirely: on the launch-bound remote TPU a
+# single eigenbasis matmul pair replaces dozens of tiny relax kernels.
 DENSE_COARSE_MAX = int(__import__("os").environ.get(
-    "GERRIS_DENSE_COARSE_MAX", "1024"))  # max unknowns, 0 disables
+    "GERRIS_DENSE_COARSE_MAX", "4096"))
 
 
 @functools.lru_cache(maxsize=32)
@@ -435,17 +439,31 @@ def _coarse_eig(grid: Grid, kinds: tuple):
     return w, Q
 
 
+def _dense_max() -> int:
+    """Big direct-solve levels only pay off on the launch-bound TPU; the
+    trace-time eigh of a 4096-unknown level costs minutes of host CPU,
+    so CPU (test) runs keep the small cap."""
+    try:
+        if jax.default_backend() == "tpu":
+            return DENSE_COARSE_MAX
+    except Exception:
+        pass
+    return min(DENSE_COARSE_MAX, 1024)
+
+
 def _dense_coarse_eligible(g: Grid, alpha, dia) -> bool:
     return (alpha is None and (dia is None or jnp.ndim(dia) == 0)
-            and int(np.prod(g.shape)) <= DENSE_COARSE_MAX)
+            and int(np.prod(g.shape)) <= _dense_max())
 
 
 def correction(r: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
-               params: MultilevelParams, alpha=None, dia=None) -> jnp.ndarray:
+               params: MultilevelParams, alpha=None, dia=None,
+               u_fine=None) -> jnp.ndarray:
     """The correction phase of one sawtooth cycle: restrict the fine
     residual down the hierarchy, solve the coarsest level (exactly, with
     the dense pseudo-inverse, when eligible), then prolong+relax upward
-    with homogeneous BCs.
+    with homogeneous BCs.  With ``u_fine`` the final u + du is fused into
+    the last (Pallas) prolong-relax launch and returned.
     Reference: src/poisson.c:1109-1166 (get_from_below + relax_loop +
     get_from_above)."""
     minlevel = min(params.minlevel, grid.level)
@@ -455,7 +473,7 @@ def correction(r: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
     if alpha is None and (dia is None or jnp.ndim(dia) == 0):
         while minlevel < grid.level:
             g = dataclasses.replace(grid, level=minlevel + 1)
-            if int(np.prod(g.shape)) > DENSE_COARSE_MAX:
+            if int(np.prod(g.shape)) > _dense_max():
                 break
             minlevel += 1
     grids = _level_grids(grid, minlevel)
@@ -486,11 +504,33 @@ def correction(r: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
         du = relax(du, rs[-1], grids[-1], fbc, nswp, alphas[-1], dias[-1],
                    homogeneous=True, omega=params.omega)
     for k in range(nl - 2, -1, -1):
-        du = prolong(du, grids[k + 1], fbc, homogeneous=True)
         nswp = params.nrelax * (params.erelax ** k)
+        dk = dias[k]
+        # fused single-launch prolong+relax(+add) on the Pallas path
+        # (launches dominate on the remote TPU — see prolong_relax)
+        if (alphas[k] is None and (dk is None or jnp.ndim(dk) == 0)
+                and not fbc.is_periodic(0)
+                and _pallas_relax_applicable(rs[k], grids[k], fbc, None,
+                                             dk, True)):
+            from ..ops.pallas.rbgs import prolong_relax
+
+            signs = tuple(
+                -1.0 if fbc.sides[ax][sd].kind == bcs.DIRICHLET else 1.0
+                for ax in range(2) for sd in range(2))
+            add_u = k == 0 and u_fine is not None
+            du = prolong_relax(du, rs[k], 0.0 if dk is None else dk,
+                               u_fine if add_u else None,
+                               nsweeps=nswp, h2=grids[k].h ** 2,
+                               signs=signs,
+                               periodic_y=fbc.is_periodic(1),
+                               omega=params.omega, add_u=add_u)
+            if add_u:
+                return du
+            continue
+        du = prolong(du, grids[k + 1], fbc, homogeneous=True)
         du = relax(du, rs[k], grids[k], fbc, nswp, alphas[k], dias[k],
                    homogeneous=True, omega=params.omega)
-    return du
+    return du if u_fine is None else u_fine + du
 
 
 def cycle(u: jnp.ndarray, rhs: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
@@ -498,7 +538,7 @@ def cycle(u: jnp.ndarray, rhs: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
     """One sawtooth multigrid cycle (residual + correction).
     Reference: src/poisson.c:1109-1178 gfs_poisson_cycle."""
     r = residual(u, rhs, grid, fbc, alpha, dia, homogeneous=False, t=t)
-    return u + correction(r, grid, fbc, params, alpha, dia)
+    return correction(r, grid, fbc, params, alpha, dia, u_fine=u)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -628,6 +668,16 @@ def solve(u: jnp.ndarray, rhs: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
     if params.solver != "multigrid":
         return SOLVER_REGISTRY[params.solver](u, rhs, grid, fbc, params,
                                               alpha, dia, t)
+    # TPU-first smoothing depth: on the fused-Pallas path extra sweeps
+    # run inside one kernel launch, and launches dominate wall time on
+    # the remote device (~0.27 ms fixed cost per kernel measured on the
+    # 2048^2 bench — deeper smoothing cuts the cycle count at the same
+    # tolerance for nearly free).  CPU/f64 accuracy-gate paths keep the
+    # reference sweep counts.
+    if _pallas_relax_applicable(u, grid, fbc, alpha, dia, True):
+        params = dataclasses.replace(
+            params, nrelax=max(params.nrelax, 8),
+            coarsest_relax=max(params.coarsest_relax, 16))
     r0 = residual_jit(u, rhs, grid, fbc, alpha, dia, t=t)
     res_before = norms(r0)
     scale = jnp.maximum(jnp.max(jnp.abs(rhs)), 1e-300)

@@ -1,0 +1,69 @@
+"""Fused prolong+relax kernel vs the jnp MG pieces (interpret mode).
+
+prolong_relax (ops/pallas/rbgs.py) must reproduce
+poisson.prolong -> poisson.relax (-> + u) exactly — it replaces the
+2-3 launch upward step of every V-cycle level on TPU.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gerris_tpu.core.grid import Grid
+from gerris_tpu.core import bc as bcs
+from gerris_tpu.solvers import poisson
+from gerris_tpu.ops.pallas import rbgs
+
+
+@pytest.mark.parametrize("kind,per_y", [
+    ("neumann", False), ("dirichlet", False), ("mixed", True)])
+@pytest.mark.parametrize("nsweeps", [2, 4])
+def test_prolong_relax_matches_jnp(kind, per_y, nsweeps):
+    level = 6
+    grid = Grid(level=level, dim=2)
+    gc = Grid(level=level - 1, dim=2)
+    if kind == "neumann":
+        fbc = bcs.default_scalar_bc(2)
+        signs = (1.0, 1.0, 1.0, 1.0)
+    elif kind == "dirichlet":
+        fbc = bcs.FieldBC.uniform(bcs.Dirichlet(0.0), 2)
+        signs = (-1.0, -1.0, -1.0, -1.0)
+    else:
+        fbc = bcs.FieldBC(((bcs.Dirichlet(0.0), bcs.Neumann()),
+                           (bcs.Periodic(), bcs.Periodic())))
+        signs = (-1.0, 1.0, 1.0, 1.0)
+    key = jax.random.split(jax.random.PRNGKey(3), 3)
+    du_c = jax.random.normal(key[0], gc.shape)
+    r = jax.random.normal(key[1], grid.shape)
+    u = jax.random.normal(key[2], grid.shape)
+    dia = 0.7
+
+    ref = poisson.prolong(du_c, gc, fbc, homogeneous=True)
+    ref = poisson.relax(ref, r, grid, fbc, nsweeps, dia=dia,
+                        homogeneous=True)
+    out = rbgs.prolong_relax(du_c, r, dia, nsweeps=nsweeps,
+                             h2=grid.h ** 2, signs=signs,
+                             periodic_y=per_y, interpret=True)
+    d = float(jnp.max(jnp.abs(ref - out)))
+    assert d < 1e-10, d
+    # fused final add
+    out2 = rbgs.prolong_relax(du_c, r, dia, u, nsweeps=nsweeps,
+                              h2=grid.h ** 2, signs=signs,
+                              periodic_y=per_y, add_u=True,
+                              interpret=True)
+    d2 = float(jnp.max(jnp.abs((ref + u) - out2)))
+    assert d2 < 1e-10, d2
+
+
+def test_prolong_relax_strip_invariance():
+    grid = Grid(level=7, dim=2)
+    gc = Grid(level=6, dim=2)
+    fbc = bcs.default_scalar_bc(2)
+    du_c = jax.random.normal(jax.random.PRNGKey(0), gc.shape)
+    r = jax.random.normal(jax.random.PRNGKey(1), grid.shape)
+    outs = [np.asarray(rbgs.prolong_relax(
+        du_c, r, 0.0, nsweeps=4, h2=grid.h ** 2,
+        signs=(1.0, 1.0, 1.0, 1.0), S=S, interpret=True))
+        for S in (32, 64, 128)]
+    assert np.abs(outs[0] - outs[1]).max() < 1e-12
+    assert np.abs(outs[0] - outs[2]).max() < 1e-12
