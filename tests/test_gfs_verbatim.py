@@ -90,9 +90,9 @@ def test_oscillation_gfs_verbatim(tmp_path):
     ref = 152.80       # test/oscillation/fit.ref level 5
     print(f"verbatim oscillation L{level}: c={c:.2f} ref={ref}")
     # the fitted frequency moved ~2.8% with the VM migration (host FMA
-        # rounding at f64 through ~1e4 nonlinear steps); the baseline commit
-        # reproduces the shift bit-for-bit, so gate with headroom
-        assert abs(c - ref) / ref < 0.04
+    # rounding at f64 through ~1e4 nonlinear steps); the baseline commit
+    # reproduces the shift bit-for-bit, so gate with headroom
+    assert abs(c - ref) / ref < 0.04
 
 
 @pytest.mark.skipif(not os.path.isdir(REFDIR), reason="reference not mounted")

@@ -95,6 +95,6 @@ def test_static_droplet_3d():
     # (Ca ~ 2e-3 at 16^3 measured r2)
     assert umax[-1] < 5e-2                 # capillary velocity scale ~ 10
     # 2.14e-2 measured identically at the round-1 baseline commit on this
-        # host: the margin moved with the VM migration (different FMA
-        # contraction), not with any solver change
-        assert shape_err < 2.5e-2
+    # host: the margin moved with the VM migration (different FMA
+    # contraction), not with any solver change
+    assert shape_err < 2.5e-2
