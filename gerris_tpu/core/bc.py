@@ -33,6 +33,7 @@ Value = Union[float, Callable]
 DIRICHLET = "dirichlet"
 NEUMANN = "neumann"
 PERIODIC = "periodic"
+NAVIER = "navier"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -54,6 +55,13 @@ def Neumann(grad: Value = 0.0) -> BC:
 
 def Periodic() -> BC:
     return BC(PERIODIC)
+
+
+def Navier(slip_length: float = 0.0) -> BC:
+    """Navier slip: du/dn = u/lambda at the wall (reference: GfsBcNavier,
+    src/boundary.c; lambda=0 is no-slip Dirichlet, lambda->inf free
+    slip).  Ghost = (2 lambda - h)/(2 lambda + h) * interior."""
+    return BC(NAVIER, slip_length)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -173,6 +181,10 @@ def apply_bc(field: jnp.ndarray, grid: Grid, fbc: FieldBC, width: int = 1,
                         lo_bc.value,
                         _boundary_coords(grid, axis, 0, width, k, tuple(pad_done_lo), tuple(pad_done_hi)), t)
                     g_lo = 2.0 * b - int_lo
+                elif lo_bc.kind == NAVIER:
+                    lam = float(lo_bc.value)
+                    g_lo = (2.0 * lam - grid.h) / (2.0 * lam + grid.h) \
+                        * int_lo
                 else:  # NEUMANN
                     g = 0.0 if homogeneous else _eval(
                         lo_bc.value,
@@ -183,6 +195,10 @@ def apply_bc(field: jnp.ndarray, grid: Grid, fbc: FieldBC, width: int = 1,
                         hi_bc.value,
                         _boundary_coords(grid, axis, 1, width, k, tuple(pad_done_lo), tuple(pad_done_hi)), t)
                     g_hi = 2.0 * b - int_hi
+                elif hi_bc.kind == NAVIER:
+                    lam = float(hi_bc.value)
+                    g_hi = (2.0 * lam - grid.h) / (2.0 * lam + grid.h) \
+                        * int_hi
                 else:
                     g = 0.0 if homogeneous else _eval(
                         hi_bc.value,
@@ -231,6 +247,10 @@ def _apply_bc_nocorner(field: jnp.ndarray, grid: Grid, fbc: FieldBC,
                         _boundary_coords(grid, axis, 0, width, k,
                                          (0,) * dim, (0,) * dim), t)
                     lo_slab = 2.0 * b - int_lo
+                elif lo_bc.kind == NAVIER:
+                    lam = float(lo_bc.value)
+                    lo_slab = (2.0 * lam - grid.h) / (2.0 * lam
+                                                      + grid.h) * int_lo
                 else:
                     gr = 0.0 if homogeneous else _eval(
                         lo_bc.value,
@@ -243,6 +263,10 @@ def _apply_bc_nocorner(field: jnp.ndarray, grid: Grid, fbc: FieldBC,
                         _boundary_coords(grid, axis, 1, width, k,
                                          (0,) * dim, (0,) * dim), t)
                     hi_slab = 2.0 * b - int_hi
+                elif hi_bc.kind == NAVIER:
+                    lam = float(hi_bc.value)
+                    hi_slab = (2.0 * lam - grid.h) / (2.0 * lam
+                                                      + grid.h) * int_hi
                 else:
                     gr = 0.0 if homogeneous else _eval(
                         hi_bc.value,

@@ -145,6 +145,144 @@ class VariableDistance(Event):
         sim.state[self.var] = jnp.asarray(sign * d)
 
 
+class EventSum(Event):
+    """Time integral of an expression into a state variable (reference:
+    GfsEventSum, src/event.c: sv += v * dt)."""
+
+    def __init__(self, name: str, of, **kw):
+        kw.setdefault("istep", 1)
+        super().__init__(name=f"EventSum({name})", **kw)
+        self.var = name
+        self.of = of
+        self._last_t = None
+
+    def fire(self, sim, t, i):
+        super().fire(sim, t, i)
+        v = self.of(sim) if callable(self.of) else sim.state[self.of]
+        dt = 0.0 if self._last_t is None else sim.time.t - self._last_t
+        self._last_t = sim.time.t
+        prev = sim.state.get(self.var)
+        sim.state[self.var] = (v * 0.0 if prev is None else prev) + v * dt
+
+
+class EventHarmonic(Event):
+    """Running harmonic decomposition of a field at given angular
+    frequencies: least-squares A_k, B_k of v ~ Z + sum A sin(w t) +
+    B cos(w t), accumulated online (reference: GfsEventHarmonic,
+    src/event.c — the M/rhs accumulation solved per fire)."""
+
+    def __init__(self, v: str, omegas, prefix: str = None, **kw):
+        kw.setdefault("istep", 1)
+        super().__init__(name=f"EventHarmonic({v})", **kw)
+        self.v = v
+        self.om = list(omegas)
+        self.prefix = prefix or v
+        self.M = None
+        self.rhs = None
+
+    def fire(self, sim, t, i):
+        super().fire(sim, t, i)
+        import numpy as np
+        tt = sim.time.t
+        basis = [1.0] + [f(w * tt) for w in self.om
+                         for f in (np.sin, np.cos)]
+        b = np.asarray(basis)
+        n = b.size
+        if self.M is None:
+            self.M = np.zeros((n, n))
+            self.rhs = [0.0] * n
+        self.M += np.outer(b, b)
+        v = sim.state[self.v]
+        for k in range(n):
+            self.rhs[k] = self.rhs[k] + b[k] * v
+        if np.linalg.matrix_rank(self.M) == n:
+            import numpy.linalg as la
+            Minv = la.inv(self.M)
+            names = [f"{self.prefix}Z"] + [
+                f"{self.prefix}{f}{k}" for k in range(len(self.om))
+                for f in ("A", "B")]
+            for r, nm in enumerate(names):
+                acc = 0.0
+                for c in range(n):
+                    acc = acc + Minv[r, c] * self.rhs[c]
+                sim.state[nm] = acc
+
+
+class EventScript(Event):
+    """Run a shell command at each firing; the simulation time/step are
+    exported as $GFS_T / $GFS_I (reference: GfsEventScript,
+    src/event.c)."""
+
+    def __init__(self, command: str, **kw):
+        super().__init__(name="EventScript", **kw)
+        self.command = command
+        self.returncodes = []
+
+    def fire(self, sim, t, i):
+        super().fire(sim, t, i)
+        import os
+        import subprocess
+        env = dict(os.environ, GFS_T=str(sim.time.t), GFS_I=str(sim.time.i))
+        self.returncodes.append(
+            subprocess.call(self.command, shell=True, env=env))
+
+
+class EventFilter(Event):
+    """Apply the (1,2,1)/4 tensor filter to a variable on schedule
+    (reference: GfsEventFilter, src/event.c + gfs_filter)."""
+
+    def __init__(self, v: str, scale: int = 1, **kw):
+        super().__init__(name=f"EventFilter({v})", **kw)
+        self.v = v
+        self.scale = scale
+
+    def fire(self, sim, t, i):
+        super().fire(sim, t, i)
+        from ..models.ns import filtered
+        from ..core import bc as bcs
+        fbc = bcs.default_scalar_bc(sim.cfg.grid.dim)
+        sim.state[self.v] = filtered(sim.state[self.v], sim.cfg.grid,
+                                     fbc, self.scale, t=sim.time.t)
+
+
+class RemoveDroplets(Event):
+    """Remove VOF droplets below a cell-count threshold (reference:
+    GfsRemoveDroplets, src/event.c via gfs_domain_remove_droplets,
+    src/domain.c:3727)."""
+
+    def __init__(self, tracer: str, min_cells: int, **kw):
+        kw.setdefault("istep", 1)
+        super().__init__(name=f"RemoveDroplets({tracer})", **kw)
+        self.tracer = tracer
+        self.min_cells = min_cells
+
+    def fire(self, sim, t, i):
+        super().fire(sim, t, i)
+        from ..physics.droplets import remove_droplets
+        sim.state[self.tracer] = remove_droplets(
+            sim.state[self.tracer], sim.cfg.grid, self.min_cells)
+
+
+def init_vorticity(omega, grid, u_bcs, params=None):
+    """(U, V) whose curl is ``omega`` via the stream function:
+    lap psi = -omega, u = dpsi/dy, v = -dpsi/dx (reference:
+    GfsInitVorticity, src/init.c / utils: stream-function solve)."""
+    import jax.numpy as jnp
+    from ..core import bc as bcs
+    from ..solvers import poisson
+
+    fbc = bcs.FieldBC.uniform(bcs.Dirichlet(0.0), grid.dim)
+    params = params or poisson.MultilevelParams(tolerance=1e-9,
+                                               nitermax=60)
+    psi, _ = poisson.solve(jnp.zeros(grid.shape, omega.dtype), -omega,
+                           grid, fbc, params)
+    pad = bcs.apply_bc(psi, grid, fbc, 1)
+    h = grid.h
+    U = (pad[1:-1, 2:] - pad[1:-1, :-2]) / (2 * h)
+    V = -(pad[2:, 1:-1] - pad[:-2, 1:-1]) / (2 * h)
+    return U, V
+
+
 class VariableResidual(Event):
     """Residual of the last approximate projection as a state field
     (reference: GfsVariableResidual, src/variable.c; filled by

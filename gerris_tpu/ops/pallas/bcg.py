@@ -234,7 +234,8 @@ def kernel_spec(fbc, with_face_bc: bool = False):
                     return None       # periodic rows: jnp fallback
                 per_y = True
                 continue
-            if callable(b.value):
+            if callable(b.value) or b.kind not in (bcs.DIRICHLET,
+                                                    bcs.NEUMANN):
                 return None
             val = float(b.value)
             if b.kind == bcs.DIRICHLET:

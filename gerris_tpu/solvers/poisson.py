@@ -147,6 +147,8 @@ def _pallas_relax_applicable(u, grid, fbc, alpha, dia, homogeneous):
     variable-density diffusion systems)."""
     if not homogeneous or grid.dim != 2:
         return False
+    if any(b.kind == bcs.NAVIER for ax in fbc.sides for b in ax):
+        return False
     if u.dtype not in (jnp.float32,):
         return False
     # lane/sublane floor: small coarse levels use the jnp path
@@ -195,7 +197,9 @@ def _shifted_neighbor(u: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
 
 
 def _bc_values_static(fbc: bcs.FieldBC) -> bool:
-    return all(not callable(b.value) for ax in fbc.sides for b in ax)
+    # Navier ghosts are not expressible as value+mirror: padded path only
+    return all(not callable(b.value) and b.kind != bcs.NAVIER
+               for ax in fbc.sides for b in ax)
 
 
 def _neighbor_sums_shifted(u, alpha, grid: Grid, fbc: bcs.FieldBC,
