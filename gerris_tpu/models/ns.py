@@ -121,6 +121,22 @@ def velocity_names(dim):
 def predicted_face_velocities(U: list, grid: Grid, cfg: NSConfig, dt, t):
     """Reference: src/timestep.c:681-717 (use_centered_velocity=TRUE,
     CENTERED upwinding)."""
+    from ..ops.pallas import bcg, predict
+    if grid.dim == 2 and bcg.applicable(U[0], grid, cfg.advection):
+        su = bcg.kernel_spec(cfg.u_bcs[0], with_face_bc=True)
+        sv = bcg.kernel_spec(cfg.u_bcs[1], with_face_bc=True)
+        if (su is not None and sv is not None
+                and su["per_y"] == sv["per_y"]
+                and None not in su["fb_x"]
+                and (sv["per_y"] or None not in sv["fb_y"])):
+            kw = dict(sgn_u=su["sgn"], off_u=su["off"],
+                      sgn_v=sv["sgn"], off_v=sv["off"],
+                      per_y=su["per_y"])
+            ufx = predict.predict_x(U[0], U[1], dt, grid.h,
+                                    fb=su["fb_x"], **kw)
+            ufy = predict.predict_y(U[0], U[1], dt, grid.h,
+                                    fb=sv["fb_y"] or (0.0, 0.0), **kw)
+            return [ufx, ufy]
     uc_pad = [bcs.apply_bc(U[c], grid, cfg.u_bcs[c], 1, t=t, corners=False)
               for c in range(grid.dim)]
     uf = []

@@ -46,18 +46,19 @@ def _copy_rows(src, dst, dst_row0, start, nrows, n_mod, sem):
     cp.wait()
 
 
-def _ghosts_y(ub, cl, ch, periodic_y, sgn_y_lo, sgn_y_hi):
-    """Ghost columns: domain y boundaries (wrap or reflect)."""
+def _ghosts_y(ub, cl, ch, periodic_y, sgn_y_lo, sgn_y_hi,
+              off_y_lo=0.0, off_y_hi=0.0):
+    """Ghost columns: domain y boundaries (wrap or sgn*mirror+off)."""
     if periodic_y:
         ub[:, cl - 1:cl] = ub[:, ch - 1:ch]
         ub[:, ch:ch + 1] = ub[:, cl:cl + 1]
     else:
-        ub[:, cl - 1:cl] = sgn_y_lo * ub[:, cl:cl + 1]
-        ub[:, ch:ch + 1] = sgn_y_hi * ub[:, ch - 1:ch]
+        ub[:, cl - 1:cl] = sgn_y_lo * ub[:, cl:cl + 1] + off_y_lo
+        ub[:, ch:ch + 1] = sgn_y_hi * ub[:, ch - 1:ch] + off_y_hi
 
 
 def _ghosts_x(ub, lo, hi, first, last, periodic_x, single_strip,
-              sgn_x_lo, sgn_x_hi):
+              sgn_x_lo, sgn_x_hi, off_x_lo=0.0, off_x_hi=0.0):
     """Ghost rows.  Non-periodic: reflect at the domain edges (harmless
     elsewhere — halo shrink keeps the strip interior exact).  Periodic
     with wrapped halos: nothing to do; periodic single-strip: wrap in
@@ -67,8 +68,10 @@ def _ghosts_x(ub, lo, hi, first, last, periodic_x, single_strip,
             ub[lo - 1:lo, :] = ub[hi - 1:hi, :]
             ub[hi:hi + 1, :] = ub[lo:lo + 1, :]
         return
-    ub[lo - 1:lo, :] = jnp.where(first, sgn_x_lo, 1.0) * ub[lo:lo + 1, :]
-    ub[hi:hi + 1, :] = jnp.where(last, sgn_x_hi, 1.0) * ub[hi - 1:hi, :]
+    ub[lo - 1:lo, :] = jnp.where(first, sgn_x_lo, 1.0) * ub[lo:lo + 1, :] \
+        + jnp.where(first, off_x_lo, 0.0)
+    ub[hi:hi + 1, :] = jnp.where(last, sgn_x_hi, 1.0) * ub[hi - 1:hi, :] \
+        + jnp.where(last, off_x_hi, 0.0)
 
 
 def _kernel(u_hbm, rhs_hbm, dia_ref, out_ref, ub, rb, sem, *, n0, n1, S, H,
@@ -192,7 +195,9 @@ def _kernel_alpha(u_hbm, rhs_hbm, ax_hbm, ay_hbm, dia_hbm, out_ref,
 
 def _residual_kernel(u_hbm, rhs_hbm, dia_ref, out_ref, ub, rb, sem, *, n0,
                      n1, S, h2, sgn_x_lo, sgn_x_hi, sgn_y_lo, sgn_y_hi,
-                     periodic_x, periodic_y):
+                     periodic_x, periodic_y,
+                     off_x_lo=0.0, off_x_hi=0.0,
+                     off_y_lo=0.0, off_y_hi=0.0):
     """r = rhs - (sum(neighbors) - 4 u)/h2 + dia*u, one strip pass.
     Reference: residual_set2D src/poisson.c:657."""
     s = pl.program_id(0)
@@ -217,16 +222,17 @@ def _residual_kernel(u_hbm, rhs_hbm, dia_ref, out_ref, ub, rb, sem, *, n0,
     def _():
         _copy_rows(u_hbm, ub, GP + W, start + W, GP, n0, sem.at[1])
 
-    _ghosts_y(ub, cl, ch, periodic_y, sgn_y_lo, sgn_y_hi)
+    _ghosts_y(ub, cl, ch, periodic_y, sgn_y_lo, sgn_y_hi,
+              off_y_lo, off_y_hi)
 
     if not periodic_x:
         @pl.when(first)
         def _():
-            ub[lo - 1:lo, :] = sgn_x_lo * ub[lo:lo + 1, :]
+            ub[lo - 1:lo, :] = sgn_x_lo * ub[lo:lo + 1, :] + off_x_lo
 
         @pl.when(last)
         def _():
-            ub[hi:hi + 1, :] = sgn_x_hi * ub[hi - 1:hi, :]
+            ub[hi:hi + 1, :] = sgn_x_hi * ub[hi - 1:hi, :] + off_x_hi
 
     c = ub[lo:hi, cl:ch]
     nb = (ub[lo - 1:hi - 1, cl:ch] + ub[lo + 1:hi + 1, cl:ch] +
@@ -235,11 +241,13 @@ def _residual_kernel(u_hbm, rhs_hbm, dia_ref, out_ref, ub, rb, sem, *, n0,
         + dia_ref[0, 0] * c
 
 
-@functools.partial(jax.jit, static_argnames=("S", "signs", "h2",
-                                             "periodic"))
+@functools.partial(jax.jit, static_argnames=("S", "signs", "offs", "h2",
+                                             "periodic", "interpret"))
 def residual_pallas(u: jnp.ndarray, rhs: jnp.ndarray, dia=0.0, *, h2: float,
                     signs=(-1.0, -1.0, -1.0, -1.0),
-                    periodic=(False, False), S: int = 256):
+                    offs=(0.0, 0.0, 0.0, 0.0),
+                    periodic=(False, False), S: int = 256,
+                    interpret: bool = False):
     n0, n1 = u.shape
     if n0 % S:
         S = n0
@@ -248,7 +256,9 @@ def residual_pallas(u: jnp.ndarray, rhs: jnp.ndarray, dia=0.0, *, h2: float,
     kern = functools.partial(
         _residual_kernel, n0=n0, n1=n1, S=S, h2=h2,
         sgn_x_lo=sx_lo, sgn_x_hi=sx_hi, sgn_y_lo=sy_lo, sgn_y_hi=sy_hi,
-        periodic_x=periodic[0], periodic_y=periodic[1])
+        periodic_x=periodic[0], periodic_y=periodic[1],
+        off_x_lo=offs[0], off_x_hi=offs[1],
+        off_y_lo=offs[2], off_y_hi=offs[3])
     dia_arr = jnp.asarray(dia, u.dtype).reshape(1, 1)
     return pl.pallas_call(
         kern,
@@ -264,6 +274,7 @@ def residual_pallas(u: jnp.ndarray, rhs: jnp.ndarray, dia=0.0, *, h2: float,
             pltpu.VMEM((S, n1), u.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        interpret=interpret,
     )(u, rhs, dia_arr)
 
 

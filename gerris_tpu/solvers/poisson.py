@@ -111,11 +111,11 @@ def residual(u: jnp.ndarray, rhs: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
     The Neumann-BC hot path (the pressure projections) dispatches to the
     single-pass Pallas kernel on TPU; zero-gradient Neumann residuals are
     identical whether or not the BC is 'homogeneous'."""
-    neumann0 = all(
-        b.kind in (bcs.NEUMANN, bcs.PERIODIC)
-        and (homogeneous or b.kind == bcs.PERIODIC or b.value == 0.0)
+    static_ok = all(
+        b.kind in (bcs.NEUMANN, bcs.PERIODIC, bcs.DIRICHLET)
+        and not callable(b.value)
         for ax in fbc.sides for b in ax)
-    if ((homogeneous or neumann0) and
+    if (static_ok and
             _pallas_relax_applicable(u, grid, fbc, alpha, dia, True)
             and alpha is None):
         from ..ops.pallas.rbgs import residual_pallas
@@ -123,8 +123,21 @@ def residual(u: jnp.ndarray, rhs: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
         signs = tuple(
             -1.0 if fbc.sides[ax][sd].kind == bcs.DIRICHLET else 1.0
             for ax in range(2) for sd in range(2))
+        # static ghost offsets: Dirichlet 2b, Neumann -/+ g h
+        offs = []
+        for ax in range(2):
+            for sd in range(2):
+                b = fbc.sides[ax][sd]
+                if homogeneous or b.kind == bcs.PERIODIC:
+                    offs.append(0.0)
+                elif b.kind == bcs.DIRICHLET:
+                    offs.append(2.0 * float(b.value))
+                else:
+                    offs.append((1.0 if sd else -1.0)
+                                * float(b.value) * grid.h)
         d = dia if dia is not None else 0.0
         return residual_pallas(u, rhs, d, h2=grid.h * grid.h, signs=signs,
+                               offs=tuple(offs),
                                periodic=(fbc.is_periodic(0),
                                          fbc.is_periodic(1)))
     if homogeneous or _bc_values_static(fbc):

@@ -67,3 +67,25 @@ def test_prolong_relax_strip_invariance():
         for S in (32, 64, 128)]
     assert np.abs(outs[0] - outs[1]).max() < 1e-12
     assert np.abs(outs[0] - outs[2]).max() < 1e-12
+
+
+def test_residual_pallas_inhomogeneous_offsets():
+    """residual_pallas with static ghost offsets (lid-style inhomogeneous
+    Dirichlet + Neumann gradients) vs the jnp residual."""
+    from gerris_tpu.solvers.poisson import _neighbor_sums
+    grid = Grid(level=6, dim=2)
+    fbc = bcs.FieldBC(((bcs.Dirichlet(0.3), bcs.Dirichlet(-0.2)),
+                       (bcs.Neumann(0.5), bcs.Dirichlet(1.0))))
+    u = jax.random.normal(jax.random.PRNGKey(0), grid.shape)
+    r = jax.random.normal(jax.random.PRNGKey(1), grid.shape)
+    dia = 0.3
+    u_pad = bcs.apply_bc(u, grid, fbc, 1)
+    num, den = _neighbor_sums(u_pad, None, 2)
+    h2 = grid.h ** 2
+    ref = r - ((num - den * u) / h2 - dia * u)
+    offs = (2 * 0.3, 2 * -0.2, -0.5 * grid.h, 2 * 1.0)
+    out = rbgs.residual_pallas(u, r, dia, h2=h2,
+                               signs=(-1.0, -1.0, 1.0, -1.0),
+                               offs=offs, interpret=True)
+    d = float(jnp.max(jnp.abs(ref - out)))
+    assert d < 1e-10, d

@@ -1,0 +1,63 @@
+"""Fused predictor kernels vs models/ns.predicted_face_velocities
+(interpret mode) — reference: gfs_predicted_face_velocities,
+src/timestep.c:681-717."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gerris_tpu.core.grid import Grid
+from gerris_tpu.core import bc as bcs
+from gerris_tpu.models import ns
+from gerris_tpu.ops.pallas import bcg, predict
+
+
+def _jnp_pred(U, grid, cfg, dt):
+    uc_pad = [bcs.apply_bc(U[c], grid, cfg.u_bcs[c], 1, corners=False)
+              for c in range(2)]
+    from gerris_tpu.solvers import advection as adv
+    from gerris_tpu.ops.stencils import face_average
+    uf = []
+    for c in range(2):
+        vp, vm = adv.advected_face_values(
+            U[c], grid, cfg.u_bcs[c], dt, cfg.advection, uc_pad,
+            axes=(c,))[c]
+        un = face_average(uc_pad[c], grid, c)
+        uf_c = adv.upwind_face_value(vp, vm, un, c)
+        uf.append(bcs.apply_face_bc(uf_c, grid, cfg.u_bcs[c], c))
+    return uf
+
+
+def _mask_corner_faces(a, axis, m=2):
+    a = np.array(a)
+    a[:m, :m] = a[-m:, :m] = a[:m, -m:] = a[-m:, -m:] = 0.0
+    return a
+
+
+@pytest.mark.parametrize("lid", [True, False])
+def test_predict_matches_jnp(lid):
+    grid = Grid(level=6, dim=2)
+    if lid:
+        u_bc = bcs.FieldBC.make(2, default=bcs.Dirichlet(0.0),
+                                top=bcs.Dirichlet(1.0))
+        v_bc = bcs.FieldBC.uniform(bcs.Dirichlet(0.0), 2)
+    else:
+        u_bc = bcs.velocity_bc(0, 2)
+        v_bc = bcs.velocity_bc(1, 2)
+    cfg = ns.NSConfig(grid=grid, u_bcs=(u_bc, v_bc), nu=0.0)
+    k = jax.random.split(jax.random.PRNGKey(5), 2)
+    U = [jax.random.normal(k[0], grid.shape),
+         jax.random.normal(k[1], grid.shape)]
+    dt = 0.3 * grid.h
+    ref = _jnp_pred(U, grid, cfg, dt)
+    su = bcg.kernel_spec(u_bc, with_face_bc=True)
+    sv = bcg.kernel_spec(v_bc, with_face_bc=True)
+    kw = dict(sgn_u=su["sgn"], off_u=su["off"], sgn_v=sv["sgn"],
+              off_v=sv["off"], per_y=False, interpret=True)
+    ufx = predict.predict_x(U[0], U[1], dt, grid.h, fb=su["fb_x"], **kw)
+    ufy = predict.predict_y(U[0], U[1], dt, grid.h,
+                            fb=sv["fb_y"] or (0.0, 0.0), **kw)
+    dx = np.abs(_mask_corner_faces(ref[0] - ufx, 0))
+    dy = np.abs(_mask_corner_faces(ref[1] - ufy, 1))
+    assert dx.max() < 1e-5, dx.max()
+    assert dy.max() < 1e-5, dy.max()
