@@ -1,0 +1,254 @@
+"""Single-launch projection auxiliaries.
+
+The MAC/approximate projections spend ~10 XLA kernels each on auxiliary
+chains around the multigrid solve (face interpolation, face gradients,
+velocity correction, cell-gradient averaging — reference:
+gfs_face_interpolated_normal_velocity src/advection.c:546-566,
+correct_normal_velocity + gfs_scale_gradients src/timestep.c:60-145).
+On the launch-bound remote TPU (~0.3 ms/kernel) these chains cost more
+than the solves' arithmetic; each becomes one Pallas launch here.
+
+Layout conventions as ops/pallas/bcg.py: 128-aligned DMA columns,
+GP-aligned dynamic row starts, static strip variants under pl.when.
+y-face arrays are column-padded to 128 multiples by the wrappers.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .bcg import GP, CP, _dma
+
+
+def _ghost_rows_cols(buf, W, cl, ch, sgn, off, per_y, first, last):
+    """1-deep ghost columns written in place; returns the row-extended
+    value array (cells -1..W)."""
+    if per_y:
+        buf[:, cl - 1:cl] = buf[:, ch - 1:ch]
+        buf[:, ch:ch + 1] = buf[:, cl:cl + 1]
+    else:
+        buf[:, cl - 1:cl] = sgn[2] * buf[:, cl:cl + 1] + off[2]
+        buf[:, ch:ch + 1] = sgn[3] * buf[:, ch - 1:ch] + off[3]
+    return jnp.concatenate([
+        (sgn[0] * buf[0:1, :] + off[0]) if first else buf[0:1, :],
+        buf[0:W, :],
+        (sgn[1] * buf[W - 1:W, :] + off[1]) if last else buf[W - 1:W, :],
+    ], axis=0)
+
+
+def _kern_interp(u_hbm, v_hbm, ox_ref, oy_ref, ubuf, vbuf, sem, *,
+                 n0, n1, n1p, S, H, nstrips, sgn_u, off_u, sgn_v, off_v,
+                 per_y, fbx_lo, fby):
+    """Face-interpolated MAC velocities for both components in one
+    launch: ox rows = x-faces s*S..s*S+S-1 (face n0 appended by the
+    wrapper); oy = y-faces 0..n1 (padded width n1p)."""
+    s = pl.program_id(0)
+    W = S + 2 * H
+    rstart = pl.multiple_of(jnp.clip(s * S - H, 0, n0 - W), GP)
+    cps = [_dma(u_hbm, ubuf, 0, rstart, W, sem.at[0]),
+           _dma(v_hbm, vbuf, 0, rstart, W, sem.at[1])]
+    for cp in cps:
+        cp.wait()
+    cl, ch = CP, CP + n1
+
+    def body(soff: int, first: bool, last: bool):
+        ue = _ghost_rows_cols(ubuf, W, cl, ch, sgn_u, off_u, per_y,
+                              first, last)
+        ve = _ghost_rows_cols(vbuf, W, cl, ch, sgn_v, off_v, per_y,
+                              first, last)
+        ua = ue[:, cl:ch]                 # u cells -1..W
+        # x-faces f = soff..soff+S-1: 0.5 (u[f-1] + u[f])
+        ux = 0.5 * (ua[soff:soff + S, :] + ua[soff + 1:soff + S + 1, :])
+        if first and fbx_lo is not None:
+            ux = jnp.concatenate(
+                [jnp.full_like(ux[0:1, :], fbx_lo), ux[1:, :]], 0)
+        ox_ref[:, :] = ux
+        # y-faces j = 0..n1: 0.5 (v[j-1] + v[j]) on strip rows
+        va = ve[soff + 1:soff + S + 1, cl - 1:ch + 1]   # cols -1..n1
+        vy = 0.5 * (va[:, 0:n1 + 1] + va[:, 1:n1 + 2])
+        if per_y:
+            pass
+        else:
+            cidx = jax.lax.broadcasted_iota(jnp.int32, vy.shape, 1)
+            if fby[0] is not None:
+                vy = jnp.where(cidx == 0, fby[0], vy)
+            if fby[1] is not None:
+                vy = jnp.where(cidx == n1, fby[1], vy)
+        oy_ref[:, :] = jnp.pad(vy, ((0, 0), (0, n1p - (n1 + 1))))
+
+    if nstrips == 1:
+        body(0, True, True)
+    else:
+        @pl.when(s == 0)
+        def _():
+            body(0, True, False)
+
+        if nstrips > 2:
+            @pl.when((s > 0) & (s < nstrips - 1))
+            def _():
+                body(H, False, False)
+
+        @pl.when(s == nstrips - 1)
+        def _():
+            body(2 * H, False, True)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sgn_u", "off_u", "sgn_v", "off_v", "per_y", "fbx", "fby", "S",
+    "interpret"))
+def interp_faces(U, V, *, sgn_u, off_u, sgn_v, off_v, per_y,
+                 fbx, fby, S=64, interpret=False):
+    """(ufx, ufy) face-interpolated MAC field from centred velocities
+    with the Dirichlet face BCs applied (face_interpolated_velocity,
+    solvers/projection.py)."""
+    n0, n1 = U.shape
+    H = GP
+    if n0 % S or n0 < S + 2 * H:
+        S, H = n0, 0
+    n1p = n1 + 1 + ((-(n1 + 1)) % CP)
+    kern = functools.partial(
+        _kern_interp, n0=n0, n1=n1, n1p=n1p, S=S, H=H, nstrips=n0 // S,
+        sgn_u=sgn_u, off_u=off_u, sgn_v=sgn_v, off_v=off_v, per_y=per_y,
+        fbx_lo=fbx[0], fby=fby)
+    W = S + 2 * H
+    ox, oy = pl.pallas_call(
+        kern,
+        grid=(n0 // S,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(pl.BlockSpec((S, n1), lambda s: (s, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((S, n1p), lambda s: (s, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((n0, n1), U.dtype),
+                   jax.ShapeDtypeStruct((n0, n1p), U.dtype)),
+        scratch_shapes=[
+            pltpu.VMEM((W, CP + n1 + CP), U.dtype),
+            pltpu.VMEM((W, CP + n1 + CP), U.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(U, V)
+    top = jnp.full((1, n1), 0.0 if fbx[1] is None else fbx[1], U.dtype)
+    ufx = jnp.concatenate([ox, top], axis=0) if fbx[1] is not None \
+        else jnp.concatenate([ox, ox[-1:, :]], axis=0)
+    return ufx, oy[:, :n1 + 1]
+
+
+def _kern_correct(dt_ref, p_hbm, ux_hbm, uy_hbm, oux, ouy, ogx, ogy,
+                  pbuf, uxb, uyb, sem, *,
+                  n0, n1, n1p, S, H, nstrips, sgn, off, per_y):
+    """Projection correction in one launch: face gradients of p,
+    uf -= dt * grad_f p, and the cell gradient (mean of the two faces).
+    ``ux`` input arrives GP-row-padded (face k at row k+GP) like bcg."""
+    s = pl.program_id(0)
+    W = S + 2 * H
+    dt_h = dt_ref[0, 0]               # dt / h
+    ih = dt_ref[0, 1]                 # 1 / h
+    rstart = pl.multiple_of(jnp.clip(s * S - H, 0, n0 - W), GP)
+    cps = [_dma(p_hbm, pbuf, 0, rstart, W, sem.at[0]),
+           _dma(ux_hbm, uxb, 0, rstart, W + 2 * GP, sem.at[1]),
+           _dma(uy_hbm, uyb, 0, rstart, W, sem.at[2])]
+    for cp in cps:
+        cp.wait()
+    cl, ch = CP, CP + n1
+
+    def body(soff: int, first: bool, last: bool):
+        pe = _ghost_rows_cols(pbuf, W, cl, ch, sgn, off, per_y,
+                              first, last)
+        pa = pe[:, cl:ch]             # p cells -1..W
+        # x-face gradients at faces soff..soff+S: (p[f] - p[f-1])/h
+        gfx = (pa[soff + 1:soff + S + 2, :]
+               - pa[soff:soff + S + 1, :]) * ih
+        ux = uxb[soff + GP:soff + GP + S + 1, cl:ch]
+        ux_new = ux - (dt_h / ih) * gfx     # = uf - dt * grad_f p
+        oux[:, :] = ux_new[0:S, :]
+        # last x-face of the strip -> gx needs both faces
+        ogx[:, :] = 0.5 * (gfx[0:S, :] + gfx[1:S + 1, :])
+        # y faces 0..n1 on strip rows
+        pr = pe[soff + 1:soff + S + 1, cl - 1:ch + 1]
+        gfy = (pr[:, 1:n1 + 2] - pr[:, 0:n1 + 1]) * ih
+        uy = uyb[soff:soff + S, CP:CP + n1 + 1]
+        uy_new = uy - (dt_h / ih) * gfy
+        ouy[:, :] = jnp.pad(uy_new, ((0, 0), (0, n1p - (n1 + 1))))
+        ogy[:, :] = 0.5 * (gfy[:, 0:n1] + gfy[:, 1:n1 + 1])
+
+    if nstrips == 1:
+        body(0, True, True)
+    else:
+        @pl.when(s == 0)
+        def _():
+            body(0, True, False)
+
+        if nstrips > 2:
+            @pl.when((s > 0) & (s < nstrips - 1))
+            def _():
+                body(H, False, False)
+
+        @pl.when(s == nstrips - 1)
+        def _():
+            body(2 * H, False, True)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sgn", "off", "per_y", "S", "interpret"))
+def correct_project(p, ufx, ufy, dt, h, *, sgn, off, per_y,
+                    S=64, interpret=False):
+    """(ufx', ufy', gx, gy): the post-solve correction of one projection
+    — face gradients of p with static-BC ghosts, uf -= dt grad p, and
+    the cell-centred gradient (face mean).  Unit alpha (fallback: jnp
+    path in solvers/projection.py).
+
+    Note the LAST x-face row (face n0) of ufx' comes from the strip that
+    owns face n0 via the appended tail (sgn/off ghosts make grad at the
+    boundary face consistent)."""
+    n0, n1 = p.shape
+    H = GP
+    if n0 % S or n0 < S + 2 * H:
+        S, H = n0, 0
+    n1p = n1 + 1 + ((-(n1 + 1)) % CP)
+    uxp = jnp.pad(ufx, ((GP, 2 * GP - 1), (0, 0)))
+    uyp = jnp.pad(ufy, ((0, 0), (0, n1p - (n1 + 1))))
+    dt_arr = jnp.stack([jnp.asarray(dt, p.dtype) / h,
+                        jnp.asarray(1.0, p.dtype) / h]).reshape(1, 2)
+    kern = functools.partial(
+        _kern_correct, n0=n0, n1=n1, n1p=n1p, S=S, H=H, nstrips=n0 // S,
+        sgn=sgn, off=off, per_y=per_y)
+    W = S + 2 * H
+    oux, ouy, ogx, ogy = pl.pallas_call(
+        kern,
+        grid=(n0 // S,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(pl.BlockSpec((S, n1), lambda s: (s, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((S, n1p), lambda s: (s, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((S, n1), lambda s: (s, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((S, n1), lambda s: (s, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((n0, n1), p.dtype),
+                   jax.ShapeDtypeStruct((n0, n1p), p.dtype),
+                   jax.ShapeDtypeStruct((n0, n1), p.dtype),
+                   jax.ShapeDtypeStruct((n0, n1), p.dtype)),
+        scratch_shapes=[
+            pltpu.VMEM((W, CP + n1 + CP), p.dtype),
+            pltpu.VMEM((W + 2 * GP, CP + n1 + CP), p.dtype),
+            pltpu.VMEM((W, CP + n1p + CP), p.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(dt_arr, p, uxp, uyp)
+    # face n0 of ufx: grad = (ghost - p[n0-1])/h with sgn/off ghosts
+    pg = sgn[1] * p[-1:, :] + off[1]
+    gtop = (pg - p[-1:, :]) / h
+    uftop = ufx[-1:, :] - dt * gtop
+    ufx_new = jnp.concatenate([oux, uftop], axis=0)
+    return ufx_new, ouy[:, :n1 + 1], ogx, ogy

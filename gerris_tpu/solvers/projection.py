@@ -123,6 +123,21 @@ def mac_projection(u_face: list, p: jnp.ndarray, grid: Grid,
                                     / jnp.maximum(jnp.sum(vol_frac), 1e-30))
     p, stats = poisson.solve(p, div, grid, p_bc, params, alpha=alpha_solve,
                              t=t)
+    # single-launch correction on the TPU fast path (launch-bound remote
+    # device): face gradients + uf correction + cell gradient in one
+    # Pallas kernel (ops/pallas/projops.correct_project)
+    if (alpha is None and face_frac is None and face_sources is None
+            and grid.dim == 2):
+        from ..ops.pallas import bcg as _bcg
+        from ..ops.pallas import projops as _projops
+        if _bcg.applicable(p, grid):
+            spec = _bcg.kernel_spec(p_bc)
+            if spec is not None:
+                ufx, ufy, gx, gy = _projops.correct_project(
+                    p, u_face[0], u_face[1], dt, grid.h,
+                    sgn=spec["sgn"], off=spec["off"],
+                    per_y=spec["per_y"])
+                return [ufx, ufy], p, [gx, gy], stats
     gf = face_gradients(p, grid, p_bc, alpha, t=t)
     if face_frac is not None:
         # no correction through zero-fraction (fully solid) faces
@@ -141,6 +156,22 @@ def face_interpolated_velocity(u_cell: list, grid: Grid, u_bcs: list,
     value imposed on boundary faces (reference:
     gfs_face_interpolated_normal_velocity src/advection.c:546-566 +
     gfs_domain_face_bc)."""
+    if grid.dim == 2:
+        from ..ops.pallas import bcg as _bcg
+        from ..ops.pallas import projops as _projops
+        if _bcg.applicable(u_cell[0], grid):
+            su = _bcg.kernel_spec(u_bcs[0], with_face_bc=True)
+            sv = _bcg.kernel_spec(u_bcs[1], with_face_bc=True)
+            if (su is not None and sv is not None
+                    and su["per_y"] == sv["per_y"]
+                    and None not in su["fb_x"]
+                    and (sv["per_y"] or None not in sv["fb_y"])):
+                ufx, ufy = _projops.interp_faces(
+                    u_cell[0], u_cell[1], sgn_u=su["sgn"],
+                    off_u=su["off"], sgn_v=sv["sgn"], off_v=sv["off"],
+                    per_y=su["per_y"], fbx=su["fb_x"],
+                    fby=sv["fb_y"] or (None, None))
+                return [ufx, ufy]
     out = []
     for c in range(grid.dim):
         pad = bcs.apply_bc(u_cell[c], grid, u_bcs[c], 1, t=t, corners=False)

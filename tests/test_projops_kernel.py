@@ -1,0 +1,63 @@
+"""Projection-auxiliary kernels vs the jnp path (interpret mode).
+
+interp_faces must match solvers/projection.face_interpolated_velocity;
+correct_project must match face_gradients + the uf correction +
+cell_gradient_from_faces (reference: src/advection.c:546-566 +
+src/timestep.c:60-145)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gerris_tpu.core.grid import Grid
+from gerris_tpu.core import bc as bcs
+from gerris_tpu.solvers import projection as proj
+from gerris_tpu.models import ns
+from gerris_tpu.ops.pallas import bcg, projops
+
+
+def _mask_corner(a, m=2):
+    a = np.array(a)
+    a[:m, :m] = a[-m:, :m] = a[:m, -m:] = a[-m:, -m:] = 0.0
+    return a
+
+
+def test_interp_faces_matches():
+    grid = Grid(level=6, dim=2)
+    u_bc = bcs.FieldBC.make(2, default=bcs.Dirichlet(0.0),
+                            top=bcs.Dirichlet(1.0))
+    v_bc = bcs.FieldBC.uniform(bcs.Dirichlet(0.0), 2)
+    k = jax.random.split(jax.random.PRNGKey(1), 2)
+    U = [jax.random.normal(k[0], grid.shape),
+         jax.random.normal(k[1], grid.shape)]
+    ref = proj.face_interpolated_velocity(U, grid, [u_bc, v_bc])
+    su = bcg.kernel_spec(u_bc, with_face_bc=True)
+    sv = bcg.kernel_spec(v_bc, with_face_bc=True)
+    ufx, ufy = projops.interp_faces(
+        U[0], U[1], sgn_u=su["sgn"], off_u=su["off"],
+        sgn_v=sv["sgn"], off_v=sv["off"], per_y=False,
+        fbx=su["fb_x"], fby=sv["fb_y"], interpret=True)
+    assert np.abs(_mask_corner(ref[0] - ufx)).max() < 1e-6
+    assert np.abs(_mask_corner(ref[1] - ufy)).max() < 1e-6
+
+
+def test_correct_project_matches():
+    grid = Grid(level=6, dim=2)
+    p_bc = ns.grad_bc(bcs.velocity_bc(0, 2))   # Neumann everywhere
+    k = jax.random.split(jax.random.PRNGKey(2), 3)
+    p = jax.random.normal(k[0], grid.shape)
+    ufx = jax.random.normal(k[1], grid.face_shape(0))
+    ufy = jax.random.normal(k[2], grid.face_shape(1))
+    dt = 0.01
+    gf = proj.face_gradients(p, grid, p_bc)
+    ref_ufx = ufx - dt * gf[0]
+    ref_ufy = ufy - dt * gf[1]
+    ref_g = proj.cell_gradient_from_faces(gf, grid)
+    spec = bcg.kernel_spec(p_bc)
+    oux, ouy, gx, gy = projops.correct_project(
+        p, ufx, ufy, jnp.asarray(dt), grid.h, sgn=spec["sgn"],
+        off=spec["off"], per_y=spec["per_y"], interpret=True)
+    assert np.abs(_mask_corner(ref_ufx - oux)).max() < 1e-6
+    assert np.abs(_mask_corner(ref_ufy - ouy)).max() < 1e-6
+    assert np.abs(_mask_corner(ref_g[0] - gx)).max() < 1e-6
+    assert np.abs(_mask_corner(ref_g[1] - gy)).max() < 1e-6
