@@ -422,6 +422,128 @@ def prolong_relax(du_c, rhs, dia=0.0, u=None, *, nsweeps: int, h2: float,
     )(rep, rhs, dia_arr, u_in)
 
 
+def _cv_relax(u, rhs, nsweeps, h2, dia, sgn, per_y):
+    """In-VMEM whole-array RBGS sweeps with roll+mask homogeneous ghosts
+    (the coarse-cascade smoother; rolls wrap = periodic, masks overwrite
+    the non-periodic edges)."""
+    n0, n1 = u.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)
+    red = ((rows + cols) % 2) == 0
+    denom = 4.0 + dia * h2
+    for _ in range(nsweeps):
+        for color in (red, ~red):
+            up = jnp.where(rows == 0, sgn[0] * u, jnp.roll(u, 1, 0))
+            dn = jnp.where(rows == n0 - 1, sgn[1] * u, jnp.roll(u, -1, 0))
+            if per_y:
+                lf = jnp.roll(u, 1, 1)
+                rt = jnp.roll(u, -1, 1)
+            else:
+                lf = jnp.where(cols == 0, sgn[2] * u, jnp.roll(u, 1, 1))
+                rt = jnp.where(cols == n1 - 1, sgn[3] * u,
+                               jnp.roll(u, -1, 1))
+            new = (up + dn + lf + rt - h2 * rhs) / denom
+            u = jnp.where(color, new, u)
+    return u
+
+
+def _cv_kernel(r_hbm, dia_ref, out_ref, rb, sem, *, n_top, h2_top,
+               nsweeps, coarsest, sgn, per_y, min_n):
+    """The whole below-``n_top`` V-cascade in ONE launch: restriction via
+    row reshape-pool + pair-mean matmul (Mosaic cannot reshape/stride on
+    lanes — a 0.5-selection matmul is the MXU-native lane pooling),
+    deep-sweep coarsest solve, then matmul lane-expansion + row-repeat
+    prolongation with relax at each level (reference: the
+    get_from_below/relax_loop/get_from_above ladder of
+    src/poisson.c:1044-1167, collapsed because kernel launches dominate
+    on the remote TPU)."""
+    cp = pltpu.make_async_copy(
+        r_hbm.at[:, :], rb.at[:, pl.ds(CP, n_top)], sem)
+    cp.start()
+    cp.wait()
+    dia = dia_ref[0, 0]
+    f32 = rb.dtype
+
+    def pool_mat(n):
+        # (n, n/2): P[k, j] = 0.5 * (k // 2 == j)
+        k = jax.lax.broadcasted_iota(jnp.int32, (n, n // 2), 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, (n, n // 2), 1)
+        return jnp.where(k // 2 == j, 0.5, 0.0).astype(f32)
+
+    def expand_mat(n):
+        # (n/2, n): E[j, k] = (k // 2 == j)
+        j = jax.lax.broadcasted_iota(jnp.int32, (n // 2, n), 0)
+        k = jax.lax.broadcasted_iota(jnp.int32, (n // 2, n), 1)
+        return jnp.where(k // 2 == j, 1.0, 0.0).astype(f32)
+
+    # restriction pyramid n_top -> min_n
+    rs = {n_top: rb[:, CP:CP + n_top]}
+    n = n_top
+    while n > min_n:
+        a = rs[n]
+        arow = a.reshape(n // 2, 2, n).mean(axis=1)
+        rs[n // 2] = jnp.dot(arow, pool_mat(n),
+                             preferred_element_type=f32)
+        n //= 2
+
+    # coarsest: deep sweeps from zero
+    h2 = h2_top * (n_top // min_n) ** 2
+    du = jnp.zeros((min_n, min_n), f32)
+    du = _cv_relax(du, rs[min_n], coarsest, h2, dia, sgn, per_y)
+
+    # upward: lane expand (matmul) + row repeat + bilinear + relax
+    n = min_n * 2
+    while n <= n_top:
+        rep = jnp.dot(du, expand_mat(n), preferred_element_type=f32)
+        RR = jnp.repeat(rep, 2, axis=0)            # (n, n)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        even_r = (rows % 2) == 0
+        nb_r = jnp.where(even_r, jnp.roll(RR, 2, 0), jnp.roll(RR, -2, 0))
+        nb_r = jnp.where(rows == 0, sgn[0] * RR,
+                         jnp.where(rows == n - 1, sgn[1] * RR, nb_r))
+        A1 = 0.75 * RR + 0.25 * nb_r
+        even_c = (cols % 2) == 0
+        nb_c = jnp.where(even_c, jnp.roll(A1, 2, 1), jnp.roll(A1, -2, 1))
+        if not per_y:
+            nb_c = jnp.where(cols == 0, sgn[2] * A1,
+                             jnp.where(cols == n - 1, sgn[3] * A1,
+                                       nb_c))
+        du = 0.75 * A1 + 0.25 * nb_c
+        h2 = h2_top * (n_top // n) ** 2
+        du = _cv_relax(du, rs[n], nsweeps, h2, dia, sgn, per_y)
+        n *= 2
+
+    out_ref[:, :] = du
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "nsweeps", "coarsest", "h2", "signs", "per_y", "min_n", "interpret"))
+def coarse_vcycle(r, dia=0.0, *, nsweeps: int, coarsest: int, h2: float,
+                  signs=(-1.0, -1.0, -1.0, -1.0), per_y=False,
+                  min_n: int = 32, interpret: bool = False):
+    """du for the sub-hierarchy at and below ``r``'s level, computed in a
+    single kernel launch (homogeneous static BCs, non-periodic rows).
+    ``h2`` is the cell size squared AT r's level."""
+    n = r.shape[0]
+    kern = functools.partial(
+        _cv_kernel, n_top=n, h2_top=h2, nsweeps=nsweeps,
+        coarsest=coarsest, sgn=signs, per_y=per_y, min_n=min(min_n, n))
+    dia_arr = jnp.asarray(dia, r.dtype).reshape(1, 1)
+    return pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, n), r.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n, CP + n + CP), r.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(r, dia_arr)
+
+
 def _strip_plan(n0, S, H, periodic_x):
     """Choose (S, H) given the grid height; periodic single-strip keeps
     H=0 and wraps in VMEM."""

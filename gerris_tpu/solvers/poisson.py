@@ -484,10 +484,20 @@ def correction(r: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
     Reference: src/poisson.c:1109-1166 (get_from_below + relax_loop +
     get_from_above)."""
     minlevel = min(params.minlevel, grid.level)
+    # single-launch coarse cascade: on the fused Pallas path every level
+    # at/below 512 collapses into ops/pallas/rbgs.coarse_vcycle (kernel
+    # launches dominate on the remote TPU)
+    fused_coarse = (
+        alpha is None and (dia is None or jnp.ndim(dia) == 0)
+        and grid.dim == 2 and not fbc.is_periodic(0)
+        and grid.shape[0] > 512
+        and _pallas_relax_applicable(r, grid, fbc, None, dia, True))
+    if fused_coarse:
+        minlevel = 9                  # the 512 level
     # with unit face coefficients, stop descending once the dense direct
     # solve takes over (two matvecs replace several latency-bound tiny
     # levels); scalar dia (implicit diffusion) rides the same eigenbasis
-    if alpha is None and (dia is None or jnp.ndim(dia) == 0):
+    elif alpha is None and (dia is None or jnp.ndim(dia) == 0):
         while minlevel < grid.level:
             g = dataclasses.replace(grid, level=minlevel + 1)
             if int(np.prod(g.shape)) > _dense_max():
@@ -501,7 +511,20 @@ def correction(r: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
         rs.append(restrict(rs[-1], grid.dim))
 
     nl = len(grids)
-    if _dense_coarse_eligible(grids[-1], alphas[-1], dias[-1]):
+    if fused_coarse:
+        from ..ops.pallas.rbgs import coarse_vcycle
+
+        signs = tuple(
+            -1.0 if fbc.sides[ax][sd].kind == bcs.DIRICHLET else 1.0
+            for ax in range(2) for sd in range(2))
+        dk = dias[-1]
+        du = coarse_vcycle(
+            rs[-1], 0.0 if dk is None else dk,
+            nsweeps=params.nrelax,
+            coarsest=max(params.coarsest_relax, 40),
+            h2=grids[-1].h ** 2, signs=signs,
+            per_y=fbc.is_periodic(1), min_n=16)
+    elif _dense_coarse_eligible(grids[-1], alphas[-1], dias[-1]):
         kinds = tuple(tuple(b.kind for b in ax) for ax in fbc.sides)
         w, Q = _coarse_eig(grids[-1], kinds)
         rc = rs[-1]
@@ -596,7 +619,7 @@ def _solve_adaptive(u, rhs, grid, fbc, params, alpha, dia, t, r0, tol):
 
     def body(state):
         u, r, i = state
-        u = u + correction(r, grid, fbc, params, alpha, dia)
+        u = correction(r, grid, fbc, params, alpha, dia, u_fine=u)
         r = residual(u, rhs, grid, fbc, alpha, dia, t=t)
         return u, r, i + 1
 

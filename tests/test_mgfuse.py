@@ -89,3 +89,47 @@ def test_residual_pallas_inhomogeneous_offsets():
                                offs=offs, interpret=True)
     d = float(jnp.max(jnp.abs(ref - out)))
     assert d < 1e-10, d
+
+
+@pytest.mark.parametrize("kind,per_y", [("neumann", False),
+                                        ("dirichlet", True)])
+def test_coarse_vcycle_matches_jnp(kind, per_y):
+    """The single-launch coarse cascade vs the equivalent jnp
+    restrict/relax/prolong ladder (identical sweep schedule)."""
+    level, min_n = 7, 16              # 128 -> 16
+    grid = Grid(level=level, dim=2)
+    if kind == "neumann":
+        fbc = bcs.default_scalar_bc(2)
+        signs = (1.0, 1.0, 1.0, 1.0)
+    else:
+        sides = ((bcs.Dirichlet(0.0), bcs.Dirichlet(0.0)),
+                 (bcs.Periodic(), bcs.Periodic()) if per_y else
+                 (bcs.Dirichlet(0.0), bcs.Dirichlet(0.0)))
+        fbc = bcs.FieldBC(sides)
+        signs = (-1.0, -1.0, -1.0, -1.0)
+    r = jax.random.normal(jax.random.PRNGKey(7), grid.shape)
+    dia = 0.4
+    nsweeps, coarsest = 4, 12
+
+    # jnp reference ladder
+    import dataclasses as dc
+    rs = [r]
+    g = grid
+    grids = [g]
+    while g.shape[0] > min_n:
+        rs.append(poisson.restrict(rs[-1], 2))
+        g = dc.replace(g, level=g.level - 1)
+        grids.append(g)
+    du = jnp.zeros_like(rs[-1])
+    du = poisson.relax(du, rs[-1], grids[-1], fbc, coarsest, dia=dia,
+                       homogeneous=True)
+    for k in range(len(grids) - 2, -1, -1):
+        du = poisson.prolong(du, grids[k + 1], fbc, homogeneous=True)
+        du = poisson.relax(du, rs[k], grids[k], fbc, nsweeps, dia=dia,
+                           homogeneous=True)
+
+    out = rbgs.coarse_vcycle(r, dia, nsweeps=nsweeps, coarsest=coarsest,
+                             h2=grid.h ** 2, signs=signs, per_y=per_y,
+                             min_n=min_n, interpret=True)
+    d = float(jnp.max(jnp.abs(du - out)))
+    assert d < 1e-10, d
