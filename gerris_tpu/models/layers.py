@@ -79,18 +79,16 @@ def _slopes(state, cfg: LayersConfig):
     for axis in range(2):
         d = {}
         wet1 = rv._pad1(state["P"], rcfg, axis) > cfg.dry
-        P2 = rv._pad1(rv._pad1(state["P"], rcfg, axis), rcfg, axis)
+        P2 = rv._pad1(state["P"], rcfg, axis, width=2)
         d["P"] = jnp.where(wet1, rv._limited_halfslope(P2, rcfg, axis),
                            0.0)
-        H2 = rv._pad1(rv._pad1(state["Zb"] + state["P"], rcfg, axis),
-                      rcfg, axis)
+        H2 = rv._pad1(state["Zb"] + state["P"], rcfg, axis, width=2)
         d["Zb"] = jnp.where(
             wet1, rv._limited_halfslope(H2, rcfg, axis) - d["P"], 0.0)
         for nm, odd_ax in (("U", 0), ("V", 1)):
             def one(v2d):
-                p2 = rv._pad1(rv._pad1(v2d, rcfg, axis,
-                                       odd=odd_ax == axis),
-                              rcfg, axis, odd=odd_ax == axis)
+                p2 = rv._pad1(v2d, rcfg, axis, odd=odd_ax == axis,
+                              width=2)
                 return rv._limited_halfslope(p2, rcfg, axis)
             d[nm] = jnp.where(wet1[None], jax.vmap(one)(state[nm]), 0.0)
         out.append(d)

@@ -59,10 +59,14 @@ class RiverConfig:
         return self.L / self.shape[0]
 
 
-def _pad1(v, cfg: RiverConfig, axis: int, odd: bool = False):
-    """One ghost cell on each side along ``axis``.
+def _pad1(v, cfg: RiverConfig, axis: int, odd: bool = False,
+          width: int = 1):
+    """``width`` ghost cells on each side along ``axis``.
 
-    symmetry: mirror (odd=True flips sign — wall-normal momentum);
+    symmetry: true mirror of the ``width`` interior cells (odd=True
+    flips sign — wall-normal momentum; the second ghost mirrors cell 1,
+    NOT the first ghost: reconstruction antisymmetry at walls — and with
+    it exact wall-flux cancellation/mass conservation — depends on it);
     outflow: edge replicate; periodic: wrap.
     Reference: the default GfsBoundary symmetry BCs (src/boundary.c) that
     river_run relies on, incl. the gradient evaluation in boundary cells
@@ -76,12 +80,18 @@ def _pad1(v, cfg: RiverConfig, axis: int, odd: bool = False):
 
     def ghost(kind, first):
         if kind == "periodic":
-            return take(slice(-1, None)) if first else take(slice(0, 1))
-        edge = take(slice(0, 1)) if first else take(slice(-1, None))
+            return take(slice(-width, None)) if first \
+                else take(slice(0, width))
         if kind == "symmetry":
-            return -edge if odd else edge
+            g = take(slice(0, width)) if first \
+                else take(slice(v.shape[axis] - width, None))
+            g = jnp.flip(g, axis)
+            return -g if odd else g
         if kind == "outflow":
-            return edge
+            edge = take(slice(0, 1)) if first else take(slice(-1, None))
+            reps = [1] * v.ndim
+            reps[axis] = width
+            return jnp.tile(edge, reps)
         raise ValueError(kind)
 
     return jnp.concatenate([ghost(lo, True), v, ghost(hi, False)], axis)
@@ -120,14 +130,13 @@ def _slopes(state: dict, cfg: RiverConfig):
     odd = {"U": 0, "V": 1}
     for axis in range(2):
         d = {}
-        P2 = _pad1(_pad1(state["P"], cfg, axis), cfg, axis)
+        P2 = _pad1(state["P"], cfg, axis, width=2)
         wet1 = _pad1(state["P"], cfg, axis) > cfg.dry
         for nm in names:
-            v2 = _pad1(_pad1(state[nm], cfg, axis,
-                             odd=odd.get(nm) == axis), cfg, axis,
-                       odd=odd.get(nm) == axis)
+            v2 = _pad1(state[nm], cfg, axis,
+                       odd=odd.get(nm) == axis, width=2)
             d[nm] = jnp.where(wet1, _limited_halfslope(v2, cfg, axis), 0.0)
-        H2 = _pad1(_pad1(state["Zb"] + state["P"], cfg, axis), cfg, axis)
+        H2 = _pad1(state["Zb"] + state["P"], cfg, axis, width=2)
         d["Zb"] = jnp.where(wet1,
                             _limited_halfslope(H2, cfg, axis) - d["P"], 0.0)
         out.append(d)
@@ -334,6 +343,50 @@ def timescale(state: dict, cfg: RiverConfig):
         ts = jnp.minimum(ts, jnp.min(
             jnp.where(wet, cfg.dx / (u + c + 1e-30), big)))
     return ts
+
+
+class RiverSimulation:
+    """Simulation-style driver for GfsRiver runs: CFL-limited stepping
+    with the shared Event machinery (events fire as ev.fire(sim, t, i)
+    and read sim.state / sim.time like the NS driver)."""
+
+    def __init__(self, cfg: RiverConfig, time=None, events=()):
+        from .simulation import Time
+        self.cfg = cfg
+        self.time = time or Time()
+        self.events = list(events)
+        z = jnp.zeros(cfg.shape)
+        self.state = {"P": z, "U": z, "V": z, "Zb": z}
+        self.dt = 0.0
+
+    def init(self, **fields):
+        for k, v in fields.items():
+            self.state[k] = jnp.asarray(v)
+        return self
+
+    def run(self, max_steps=None):
+        import math as _m
+        n = 0
+        while (self.time.t < self.time.end
+               and self.time.i < self.time.iend):
+            dt = float(self.cfg.cfl * timescale(self.state, self.cfg))
+            if _m.isfinite(self.time.dtmax):
+                dt = min(dt, self.time.dtmax)
+            dt = min(dt, self.time.end - self.time.t) \
+                if _m.isfinite(self.time.end) else dt
+            self.state = river_step(
+                self.state, jnp.asarray(dt, self.state["P"].dtype),
+                self.cfg)
+            self.time.t += dt
+            self.time.i += 1
+            self.dt = dt
+            for ev in self.events:
+                if ev.should_fire(self.time.t, self.time.i):
+                    ev.fire(self, self.time.t, self.time.i)
+            n += 1
+            if max_steps is not None and n >= max_steps:
+                break
+        return self
 
 
 def run(state: dict, cfg: RiverConfig, t_end: float, dtmax: float = None,

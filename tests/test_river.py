@@ -123,3 +123,27 @@ def test_dam_break_stoker(scheme):
                              np.where(x < S * t_end, hm, hr)))
     err = np.abs(np.asarray(state["P"][:, 0]) - href).mean()
     assert err < 6e-3, (scheme, err)
+
+
+def test_river_simulation_driver():
+    """RiverSimulation + the shared Event machinery (OutputScalarSum)."""
+    from gerris_tpu.models.simulation import Time
+    from gerris_tpu.events import outputs as out
+    n = 32
+    cfg = river.RiverConfig(shape=(n, n), g=1.0)
+    sums = []
+
+    class VolSum(out.Event):
+        def fire(self, sim, t, i):
+            super().fire(sim, t, i)
+            sums.append(float(jnp.sum(sim.state["P"])))
+
+    sim = river.RiverSimulation(
+        cfg, time=Time(end=0.2),
+        events=[VolSum(istep=1)]).init(
+            P=jnp.ones((n, n))
+            + 0.01 * jnp.sin(jnp.linspace(0, 6.28, n))[:, None])
+    sim.run()
+    assert sim.time.t >= 0.2 - 1e-9
+    assert len(sums) == sim.time.i
+    assert abs(sums[-1] - sums[0]) < 1e-10 * sums[0]   # mass conserved
