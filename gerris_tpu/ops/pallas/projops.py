@@ -139,6 +139,68 @@ def interp_faces(U, V, *, sgn_u, off_u, sgn_v, off_v, per_y,
     return ufx, oy[:, :n1 + 1]
 
 
+def _kern_div(sc_ref, ux_hbm, uy_hbm, odiv, osum, uxb, uyb, sem, *,
+              n0, n1, S, nstrips):
+    """MAC divergence / dt + per-strip partial sums in one launch
+    (gfs_normal_divergence + the pure-Neumann compatibility mean,
+    src/fluid.c:2310 + src/simulation.c:2156-2186)."""
+    s = pl.program_id(0)
+    start = pl.multiple_of(s * S, GP)
+    cps = [_dma(ux_hbm, uxb, 0, start, S + 2 * GP, sem.at[0]),
+           _dma(uy_hbm, uyb, 0, start, S, sem.at[1])]
+    for cp in cps:
+        cp.wait()
+    scale = sc_ref[0, 0]              # 1 / (h dt)
+    # ufx arrives GP-row-padded (face k at padded row k + GP); the DMA
+    # window starts at `start`, so buffer row i = face start + i - GP
+    # and cell r (global start + r) has faces at rows r + GP, r + GP + 1
+    ux = uxb[:, CP:CP + n1]
+    dux = ux[GP + 1:GP + S + 1, :] - ux[GP:GP + S, :]
+    uy = uyb[:, CP:CP + n1 + 1]
+    duy = uy[:, 1:n1 + 1] - uy[:, 0:n1]
+    div = (dux + duy[0:S, :]) * scale
+    odiv[:, :] = div
+    part = jnp.sum(div)
+    osum[:, :] = jnp.pad(part.reshape(1, 1), ((0, GP - 1), (0, CP - 1)))
+
+
+@functools.partial(jax.jit, static_argnames=("S", "interpret"))
+def divergence_mac(ufx, ufy, dt, h, *, S=256, interpret=False):
+    """(div, total): div = MAC divergence / dt and its global sum, in
+    one pass (the caller forms the compatibility mean as
+    total / ncells)."""
+    n0, n1 = ufx.shape[0] - 1, ufx.shape[1]
+    if n0 % S:
+        S = n0
+    nstrips = n0 // S
+    uxp = jnp.pad(ufx, ((GP, 2 * GP - 1), (0, 0)))
+    n1p = n1 + 1 + ((-(n1 + 1)) % CP)
+    uyp = jnp.pad(ufy, ((0, 0), (0, n1p - (n1 + 1))))
+    sc = (1.0 / (jnp.asarray(dt, ufx.dtype) * h)).reshape(1, 1)
+    kern = functools.partial(_kern_div, n0=n0, n1=n1, S=S,
+                             nstrips=nstrips)
+    div, parts = pl.pallas_call(
+        kern,
+        grid=(nstrips,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(pl.BlockSpec((S, n1), lambda s: (s, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((GP, CP), lambda s: (s, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((n0, n1), ufx.dtype),
+                   jax.ShapeDtypeStruct((nstrips * GP, CP), ufx.dtype)),
+        scratch_shapes=[
+            pltpu.VMEM((S + 2 * GP, CP + n1 + CP), ufx.dtype),
+            pltpu.VMEM((S, CP + n1p + CP), ufx.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(sc, uxp, uyp)
+    return div, jnp.sum(parts)
+
+
 def _kern_correct(dt_ref, p_hbm, ux_hbm, uy_hbm, oux, ouy, ogx, ogy,
                   pbuf, uxb, uyb, sem, *,
                   n0, n1, n1p, S, H, nstrips, sgn, off, per_y):

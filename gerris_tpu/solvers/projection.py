@@ -82,8 +82,15 @@ def mac_projection(u_face: list, p: jnp.ndarray, grid: Grid,
     if face_sources is not None:
         u_face = [u_face[c] + dt * face_sources[c] for c in range(grid.dim)]
     conn = None
+    div_total = None
     if face_frac is None:
-        div = divergence(u_face, grid) / dt
+        from ..ops.pallas import bcg as _bcg
+        if grid.dim == 2 and _bcg.applicable(p, grid):
+            from ..ops.pallas import projops as _projops
+            div, div_total = _projops.divergence_mac(
+                u_face[0], u_face[1], dt, grid.h)
+        else:
+            div = divergence(u_face, grid) / dt
         alpha_solve = alpha
     else:
         div = divergence([face_frac[c] * u_face[c]
@@ -117,7 +124,11 @@ def mac_projection(u_face: list, p: jnp.ndarray, grid: Grid,
     # operator diagonal) keep rhs = 0.
     if not any(side.kind == bcs.DIRICHLET for ax in p_bc.sides for side in ax):
         if vol_frac is None:
-            div = div - jnp.mean(div)
+            if div_total is not None:
+                # the fused divergence kernel already summed div
+                div = div - div_total / div.size
+            else:
+                div = div - jnp.mean(div)
         else:
             div = div - vol_frac * (jnp.sum(div)
                                     / jnp.maximum(jnp.sum(vol_frac), 1e-30))

@@ -61,3 +61,17 @@ def test_correct_project_matches():
     assert np.abs(_mask_corner(ref_ufy - ouy)).max() < 1e-6
     assert np.abs(_mask_corner(ref_g[0] - gx)).max() < 1e-6
     assert np.abs(_mask_corner(ref_g[1] - gy)).max() < 1e-6
+
+
+def test_divergence_mac_matches():
+    from gerris_tpu.ops.stencils import divergence
+    grid = Grid(level=6, dim=2)
+    k = jax.random.split(jax.random.PRNGKey(3), 2)
+    ufx = jax.random.normal(k[0], grid.face_shape(0))
+    ufy = jax.random.normal(k[1], grid.face_shape(1))
+    dt = 0.02
+    ref = divergence([ufx, ufy], grid) / dt
+    div, total = projops.divergence_mac(ufx, ufy, jnp.asarray(dt),
+                                        grid.h, interpret=True)
+    assert float(jnp.max(jnp.abs(ref - div))) < 1e-9
+    assert abs(float(total) - float(jnp.sum(ref))) < 1e-7
