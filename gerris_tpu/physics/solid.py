@@ -42,11 +42,46 @@ def _edge_fraction(p0, p1):
                                               jnp.clip(frac, 0.0, 1.0)))
 
 
-def solid_fractions(grid: Grid, phi):
-    """(volume_fraction a, (face fractions sx, sy)) for fluid {phi > 0}.
+def _face_fraction_2d(p00, p10, p01, p11):
+    """Fluid area fraction of a square face from its 4 corner level-set
+    values (the per-face linearization — the 2D cell machinery applied
+    to one 3D face; reference: the 3D cube-face marching of
+    src/solid.c:385-601)."""
+    gx = 0.5 * ((p10 + p11) - (p00 + p01))
+    gy = 0.5 * ((p01 + p11) - (p00 + p10))
+    pc = 0.25 * (p00 + p01 + p10 + p11)
+    mx, my = -gx, -gy
+    alpha = pc + 0.5 * (mx + my)
+    norm = jnp.abs(mx) + jnp.abs(my) + 1e-300
+    m1, m2, a = vof.positive_normal(mx / norm, my / norm, alpha / norm)
+    f = vof.line_area_positive(m1, m2, a)
+    allpos = (p00 > 0) & (p01 > 0) & (p10 > 0) & (p11 > 0)
+    allneg = (p00 <= 0) & (p01 <= 0) & (p10 <= 0) & (p11 <= 0)
+    return jnp.where(allpos, 1.0, jnp.where(allneg, 0.0,
+                                            jnp.clip(f, 0.0, 1.0)))
 
-    Reference: gfs_domain_init_solid_fractions (src/solid.c:970); face
-    fractions are the 1D cuts of cell faces (solid.c:213-272)."""
+
+def solid_fractions(grid: Grid, phi):
+    """(volume_fraction a, per-axis face fractions) for fluid {phi > 0}.
+
+    Reference: gfs_domain_init_solid_fractions (src/solid.c:970); 2D
+    face fractions are the 1D cuts of cell faces (solid.c:213-272), 3D
+    face fractions the 2D cuts of the square faces (solid.c:385-601)."""
+    if grid.dim == 3:
+        import numpy as np
+        ax = np.asarray(grid.axis_faces(0))
+        ay = np.asarray(grid.axis_faces(1))
+        az = np.asarray(grid.axis_faces(2))
+        X, Y, Z = np.meshgrid(ax, ay, az, indexing="ij")
+        pv = phi(jnp.asarray(X), jnp.asarray(Y), jnp.asarray(Z))
+        a = vof.fraction_from_levelset(grid, phi)
+        sx = _face_fraction_2d(pv[:, :-1, :-1], pv[:, 1:, :-1],
+                               pv[:, :-1, 1:], pv[:, 1:, 1:])
+        sy = _face_fraction_2d(pv[:-1, :, :-1], pv[1:, :, :-1],
+                               pv[:-1, :, 1:], pv[1:, :, 1:])
+        sz = _face_fraction_2d(pv[:-1, :-1, :], pv[1:, :-1, :],
+                               pv[:-1, 1:, :], pv[1:, 1:, :])
+        return a, (sx, sy, sz)
     assert grid.dim == 2
     pv = _vertex_values(grid, phi)
     a = vof.fraction_from_levelset(grid, phi)

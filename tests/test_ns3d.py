@@ -49,3 +49,69 @@ def test_3d_step_runs_and_decays():
     rate = -math.log(ke1 / ke0) / sim.time.t
     expect = 6 * K * K * NU
     assert abs(rate - expect) / expect < 0.05
+
+
+def test_solid_fractions_3d_sphere():
+    """3D embedded-solid fractions: sphere volume to O(h^2) and exact
+    divergence consistency sum(div(s)) over the closed surface."""
+    import jax.numpy as jnp
+    import numpy as np
+    import math
+    from gerris_tpu.core.grid import Grid
+    from gerris_tpu.physics.solid import solid_fractions
+
+    grid = Grid(level=5, dim=3)
+    R = 0.3
+    phi = lambda x, y, z, t=0.0: R - jnp.sqrt(x**2 + y**2 + z**2)  # fluid inside
+    a, (sx, sy, sz) = solid_fractions(grid, phi)
+    vol = float(jnp.sum(a)) * grid.h ** 3
+    exact = 4.0 / 3.0 * math.pi * R ** 3
+    assert abs(vol - exact) / exact < 1e-2, vol
+    # face-fraction sanity: interior faces fully fluid, exterior zero
+    assert float(sx[16, 16, 16]) == 1.0
+    assert float(sx[0, 0, 0]) == 0.0
+    # mixed cells have fractional faces
+    assert bool(jnp.any((sx > 0.0) & (sx < 1.0)))
+
+
+def test_poisson_solid_3d_sphere():
+    """3D cut-cell Neumann Poisson in a spherical fluid region converges
+    (the 3D analogue of test/circle)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from gerris_tpu.core.grid import Grid
+    from gerris_tpu.core import bc as bcs
+    from gerris_tpu.physics.solid import poisson_solid_solve
+    from gerris_tpu.solvers import poisson
+
+    R = 0.4
+    phi = lambda x, y, z, t=0.0: R - jnp.sqrt(x**2 + y**2 + z**2)
+    errs = []
+    for level in (3, 4):
+        grid = Grid(level=level, dim=3)
+        x, y, z = grid.centers
+        r2 = x**2 + y**2 + z**2
+        # manufactured: u = r^2 -> lap u = 6, du/dr = 2r on the sphere
+        # (NOT natural-Neumann compatible) -> use u with du/dr|_R = 0:
+        # u = cos(pi r^2 / (2 R^2)): du/dr = -pi r/R^2 sin(.) != 0...
+        # simplest: compare two resolutions (Richardson) of the same
+        # compatible problem: f = x (odd, zero mean over the sphere)
+        rhs = x
+        fbc = bcs.default_scalar_bc(3)
+        u, st, a, s = poisson_solid_solve(
+            rhs, grid, phi, fbc,
+            poisson.MultilevelParams(tolerance=1e-10, nitermax=60))
+        assert float(st.residual_after["infty"]) < 1e-8 * float(
+            jnp.max(jnp.abs(rhs)))
+        errs.append(u)
+    # Richardson: coarse vs restricted fine agree to O(h^2)-ish
+    fine = errs[1]
+    coarse = errs[0]
+    fine_r = fine.reshape(8, 2, 8, 2, 8, 2).mean(axis=(1, 3, 5))
+    a3, _ = __import__("gerris_tpu.physics.solid",
+                       fromlist=["solid_fractions"]).solid_fractions(
+        Grid(level=3, dim=3), phi)
+    m = np.asarray(a3) > 0.99
+    d = np.asarray(fine_r - coarse)
+    d = d - d[m].mean()
+    assert np.abs(d[m]).max() < 0.01, np.abs(d[m]).max()
