@@ -26,6 +26,7 @@ import re
 from dataclasses import dataclass, field, replace
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 
@@ -234,6 +235,27 @@ def _c_to_py(src: str) -> str:
     return "".join(out)
 
 
+def _mesh_gradient(a, coord, axis):
+    """Central-difference d(a)/d(coord) along ``axis``, edge one-sided;
+    returns 0 for scalars (reference: the dx()/dy() helpers of the
+    GfsFunction header, src/utils.c function.h)."""
+    if jnp.ndim(a) == 0 or jnp.ndim(coord) == 0 \
+            or a.shape[axis] < 2:
+        return jnp.zeros_like(a) if jnp.ndim(a) else 0.0
+    idx0 = [0] * jnp.ndim(coord)
+    idx1 = list(idx0)
+    idx1[axis] = 1
+    h = coord[tuple(idx1)] - coord[tuple(idx0)]
+    fwd = jnp.roll(a, -1, axis)
+    bwd = jnp.roll(a, 1, axis)
+    g = (fwd - bwd) / (2.0 * h)
+    n = a.shape[axis]
+    i = jax.lax.broadcasted_iota(jnp.int32, a.shape, axis)
+    g = jnp.where(i == 0, (fwd - a) / h, g)
+    g = jnp.where(i == n - 1, (a - bwd) / h, g)
+    return g
+
+
 def translate_expr(expr: str, defines: dict = None, variables=()):
     """C expression -> python callable(x, y[, z], t=0, **variables).
 
@@ -281,6 +303,13 @@ def translate_expr(expr: str, defines: dict = None, variables=()):
         ns = dict(_FUNS)
         ns.update({"x": x, "y": y, "z": z, "t": t,
                    "where": jnp.where})
+        # the reference's derivative helpers dx()/dy()/dz() (function.h
+        # injected into compiled GfsFunctions, src/utils.c): central
+        # differences of an already-evaluated grid expression, with the
+        # spacing taken from the coordinate mesh itself
+        ns["dx"] = lambda a: _mesh_gradient(a, x, 0)
+        ns["dy"] = lambda a: _mesh_gradient(a, y, 1)
+        ns["dz"] = lambda a: _mesh_gradient(a, z, 2)
         ns.update(vars)
         return eval(py, {"__builtins__": {}}, ns)
 

@@ -75,3 +75,18 @@ def test_expression_translation():
         "{ int k = 3, l = 3; return -M_PI*M_PI*(k*k + l*l)*sin (M_PI*k*x)*sin (M_PI*l*y); }")
     assert abs(float(fn2(0.5 / 3, 0.5 / 3)) -
                (-math.pi ** 2 * 18)) < 1e-9
+
+
+def test_translate_dx_dy():
+    """GfsFunction derivative helpers dx()/dy() (src/utils.c function.h
+    injected into compiled functions)."""
+    import jax.numpy as jnp
+    from gerris_tpu.utils.gfs_config import translate_expr
+    from gerris_tpu.core.grid import Grid
+    fn = translate_expr("dx(x*x) + dy(3.*y)")
+    grid = Grid(level=5, dim=2)
+    x, y = grid.centers
+    out = fn(x, y)
+    # d(x^2)/dx = 2x (exact for central diff of a parabola), d(3y)/dy = 3
+    err = jnp.abs(out - (2 * x + 3.0))
+    assert float(err[1:-1, 1:-1].max()) < 1e-10
