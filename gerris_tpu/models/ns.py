@@ -446,7 +446,7 @@ def _redistribute_small(src, a, s):
     return out
 
 
-def _moving_solid_ctx(cfg: NSConfig, U: list, dt, t):
+def _moving_solid_ctx(cfg: NSConfig, U: list, dt, t, solid_args=None):
     """Per-step re-cut moving-solid context (first-order scheme).
 
     Returns (solid weights, filled velocities, MAC divergence source,
@@ -465,14 +465,21 @@ def _moving_solid_ctx(cfg: NSConfig, U: list, dt, t):
 
     grid = cfg.grid
     dim = grid.dim
-    a_old, _ = solid_fractions(grid,
-                               lambda x, y: cfg.solid_phi(x, y, t))
-    ds = DirichletSurface(grid, lambda x, y: cfg.solid_phi(x, y, t + dt))
+    extra = tuple(solid_args) if solid_args is not None else ()
+    a_old, _ = solid_fractions(
+        grid, lambda x, y: cfg.solid_phi(x, y, t, *extra))
+    ds = DirichletSurface(
+        grid, lambda x, y: cfg.solid_phi(x, y, t + dt, *extra))
     a, s = ds.a, ds.s
     a_cl = jnp.maximum(a, 0.25)
     x, y = grid.centers
-    us = [_eval_surface_u(cfg.surface_u[c] if cfg.surface_u else 0.0,
-                          x, y, t + dt) for c in range(dim)]
+    if solid_args is not None and cfg.surface_u is not None:
+        us = [cfg.surface_u[c](x, y, t + dt, *extra)
+              if callable(cfg.surface_u[c]) else cfg.surface_u[c]
+              for c in range(dim)]
+    else:
+        us = [_eval_surface_u(cfg.surface_u[c] if cfg.surface_u else 0.0,
+                              x, y, t + dt) for c in range(dim)]
     U = [jnp.where((a > 0.0) & (a_old > 0.0), U[c],
                    jnp.broadcast_to(jnp.asarray(us[c], U[c].dtype),
                                     U[c].shape))
@@ -539,7 +546,8 @@ def solid_velocity_diffusion(v, ds, us_v, grid, fbc, dt, nu, a, s,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "cstart", "first_step"))
 def ns_step(state: dict, dt, t, cfg: NSConfig, cstart: int = 0,
-            first_step: bool = False, sources=None) -> dict:
+            first_step: bool = False, sources=None,
+            solid_args=None) -> dict:
     """One full time step.  ``state`` keys: U,V(,W), P, Pmac, Gx,Gy(,Gz),
     tracers, VOF tracers.  ``cstart``: rotating first sweep direction for
     VOF advection (reference: src/vof.c:1648,1721).  ``sources``: optional
@@ -559,7 +567,7 @@ def ns_step(state: dict, dt, t, cfg: NSConfig, cstart: int = 0,
     if cfg.moving_solid:
         assert not cfg.axi, "moving solids + axi metric not composed"
         solid, U, mac_div_src, approx_div_src = _moving_solid_ctx(
-            cfg, U, dt, t)
+            cfg, U, dt, t, solid_args)
         sfrac = solid[1]
     elif cfg.solid_phi is not None or cfg.axi or cfg.metric is not None:
         solid = _weights(cfg)
