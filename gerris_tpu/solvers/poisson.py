@@ -411,6 +411,12 @@ def _coeff_hierarchy(grid: Grid, minlevel: int, alpha, dia):
 # single eigenbasis matmul pair replaces dozens of tiny relax kernels.
 DENSE_COARSE_MAX = int(__import__("os").environ.get(
     "GERRIS_DENSE_COARSE_MAX", "4096"))
+# TPU-path smoothing depth per launch and the single-launch coarse
+# cascade's top level (tuning knobs; see solve() / correction())
+_NRELAX_BOOST = int(__import__("os").environ.get(
+    "GERRIS_NRELAX_BOOST", "8"))
+_COARSE_TOP = int(__import__("os").environ.get(
+    "GERRIS_COARSE_TOP", "512"))
 
 
 @functools.lru_cache(maxsize=32)
@@ -490,10 +496,10 @@ def correction(r: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
     fused_coarse = (
         alpha is None and (dia is None or jnp.ndim(dia) == 0)
         and grid.dim == 2 and not fbc.is_periodic(0)
-        and grid.shape[0] > 512
+        and grid.shape[0] > _COARSE_TOP
         and _pallas_relax_applicable(r, grid, fbc, None, dia, True))
     if fused_coarse:
-        minlevel = 9                  # the 512 level
+        minlevel = _COARSE_TOP.bit_length() - 1
     # with unit face coefficients, stop descending once the dense direct
     # solve takes over (two matvecs replace several latency-bound tiny
     # levels); scalar dia (implicit diffusion) rides the same eigenbasis
@@ -716,8 +722,8 @@ def solve(u: jnp.ndarray, rhs: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
     # reference sweep counts.
     if _pallas_relax_applicable(u, grid, fbc, alpha, dia, True):
         params = dataclasses.replace(
-            params, nrelax=max(params.nrelax, 8),
-            coarsest_relax=max(params.coarsest_relax, 16))
+            params, nrelax=max(params.nrelax, _NRELAX_BOOST),
+            coarsest_relax=max(params.coarsest_relax, 2 * _NRELAX_BOOST))
     r0 = residual_jit(u, rhs, grid, fbc, alpha, dia, t=t)
     res_before = norms(r0)
     scale = jnp.maximum(jnp.max(jnp.abs(rhs)), 1e-300)
