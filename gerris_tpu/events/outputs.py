@@ -141,6 +141,59 @@ class OutputErrorNorm(Event):
                         % (self.name, *row))
 
 
+class OutputCorrelation(Event):
+    """Weighted correlation of a field with a reference solution:
+    sum(v * ref) / sum(ref^2), optionally with the bias (mean of
+    v - ref) removed first.  Reference: src/output.c:3076
+    GfsOutputCorrelation (volume weights are uniform on our grids so
+    they cancel)."""
+
+    def __init__(self, v: str, solution: Callable, unbiased: bool = False,
+                 file=None, **kw):
+        super().__init__(name=f"OutputCorrelation({v})", **kw)
+        self.v = v
+        self.solution = solution
+        self.unbiased = unbiased
+        self.file = file
+        self.rows = []
+
+    def fire(self, sim, t, i):
+        super().fire(sim, t, i)
+        grid = sim.cfg.grid
+        ref = self.solution(*grid.centers, sim.time.t) \
+            if self.solution.__code__.co_argcount >= grid.dim + 1 \
+            else self.solution(*grid.centers)
+        v = sim_field(sim, self.v)
+        if self.unbiased:
+            v = v - jnp.mean(v - ref)
+        sumref = float(jnp.sum(ref * ref))
+        corr = float(jnp.sum(v * ref)) / sumref if sumref > 0.0 else 0.0
+        self.rows.append((sim.time.t, corr))
+        if self.file:
+            with open(self.file, "a") as f:
+                f.write("%s time: %g %10.3e\n"
+                        % (self.name, sim.time.t, corr))
+
+
+class OutputSquares(Event):
+    """OOGL dump of cells as colored squares (src/output.c:3181
+    GfsOutputSquares via gfs_write_squares, src/graphic.c)."""
+
+    def __init__(self, v: str, file, vmin=None, vmax=None, **kw):
+        super().__init__(name=f"OutputSquares({v})", **kw)
+        self.v = v
+        self.file = file
+        self.vmin = vmin
+        self.vmax = vmax
+
+    def fire(self, sim, t, i):
+        super().fire(sim, t, i)
+        from .graphics import write_oogl
+        write_oogl(format_filename(self.file, sim),
+                   sim.cfg.grid, sim_field(sim, self.v),
+                   vmin=self.vmin, vmax=self.vmax)
+
+
 class OutputTime(Event):
     """Reference: src/output.c OutputTime (t, i, wall-clock)."""
 

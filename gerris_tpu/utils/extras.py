@@ -81,6 +81,105 @@ def adaptive_cell_integral(fn, grid, tol: float = 1e-6,
 
 
 # ---------------------------------------------------------------------------
+# Cartesian grid reader (GfsCartesianGrid)
+# ---------------------------------------------------------------------------
+
+class CartesianGrid:
+    """Tabulated Cartesian data with multilinear interpolation
+    (reference: GfsCartesianGrid, src/cartesian.c:31-467 — the lookup
+    tables usable inside GfsFunctions).
+
+    File format (the reference's): first line = number of dims N, then
+    per dim 'n x0 x1 ... xn-1' coordinate lines, then the values in
+    C order.  Construct from a file or directly from (coords, values)."""
+
+    def __init__(self, coords, values):
+        self.coords = [jnp.asarray(c) for c in coords]
+        self.values = jnp.asarray(values)
+        assert self.values.shape == tuple(len(c) for c in self.coords)
+
+    @classmethod
+    def read(cls, path):
+        toks = open(path).read().split()
+        i = 0
+        ndim = int(toks[i]); i += 1
+        coords = []
+        for _ in range(ndim):
+            n = int(toks[i]); i += 1
+            coords.append([float(v) for v in toks[i:i + n]])
+            i += n
+        vals = np.asarray([float(v) for v in toks[i:]]).reshape(
+            [len(c) for c in coords])
+        return cls(coords, vals)
+
+    def __call__(self, *pts):
+        """Multilinear interpolation at point arrays (one per dim)."""
+        idxs = []
+        ws = []
+        for c, p in zip(self.coords, pts):
+            p = jnp.asarray(p)
+            i = jnp.clip(jnp.searchsorted(c, p) - 1, 0, c.size - 2)
+            w = (p - c[i]) / (c[i + 1] - c[i])
+            idxs.append(i)
+            ws.append(jnp.clip(w, 0.0, 1.0))
+        out = 0.0
+        nd = len(self.coords)
+        for corner in range(2 ** nd):
+            wgt = 1.0
+            ix = []
+            for d in range(nd):
+                hi = (corner >> d) & 1
+                wgt = wgt * (ws[d] if hi else (1.0 - ws[d]))
+                ix.append(idxs[d] + hi)
+            out = out + wgt * self.values[tuple(ix)]
+        return out
+
+
+# ---------------------------------------------------------------------------
+# wave physics source (the wavewatch seam)
+# ---------------------------------------------------------------------------
+
+def wave_source_physics(cfg, u10=0.0, wind_dir=0.0, cds=2.36e-5,
+                        sin_coeff=0.25, rho_ratio=1.2e-3):
+    """Deep-water wind input + whitecapping source for models/wave.run
+    (the reference couples WAVEWATCH III through wave->source,
+    modules/wavewatch.c; this is the classic Snyder-type exponential
+    wind input and a Komen-type dissipation — the standard first-
+    generation physics, giving the seam real content).
+
+    Returns source(F, dt) -> F: per-bin exponential growth
+    beta = max(0, sin_coeff (rho_a/rho_w) (u10 cos(theta-dir) c^-1 - 1))
+    omega and whitecapping -cds (k/k_mean-weighted) omega F."""
+    import numpy as np
+    from ..models import wave as wv
+
+    f = cfg.frequencies
+    th = cfg.thetas
+    g = cfg.g
+    omega = 2.0 * math.pi * f
+    cphase = g / omega                       # deep water
+    cosd = np.cos(th - wind_dir)
+    beta_in = np.maximum(
+        0.0, sin_coeff * rho_ratio
+        * (u10 * cosd[None, :] / cphase[:, None] - 1.0)) * omega[:, None]
+    beta = jnp.asarray(beta_in)[:, :, None, None]
+    om = jnp.asarray(omega)[:, None, None, None]
+
+    def source(F, dt):
+        Fin = F * jnp.exp(beta * dt)
+        # Komen-type whitecapping: relative to the mean steepness
+        E = wv.cell_E(Fin, cfg)
+        om_mean = jnp.sum(om[:, 0, 0, 0][:, None, None]
+                          * Fin.sum(axis=1), axis=0) \
+            / jnp.maximum(Fin.sum(axis=(0, 1)), 1e-30)
+        k_mean = om_mean ** 2 / g
+        steep = E * k_mean ** 2
+        gamma = cds * (steep / 3.02e-3) ** 2 * om_mean[None, None]
+        return Fin * jnp.exp(-gamma * dt)
+    return source
+
+
+# ---------------------------------------------------------------------------
 # tide
 # ---------------------------------------------------------------------------
 

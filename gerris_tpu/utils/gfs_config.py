@@ -941,11 +941,48 @@ def build_simulation(sim: ParsedSim):
                 v = blocks[0].get("v")
                 if v and fileish and re.match(r"^\w+$", v):
                     events.append(out.OutputPPM(v, fileish, **kw))
+            elif name == "OutputCorrelation" and len(blocks) >= 2:
+                # same block layout as OutputErrorNorm (src/output.c:3076
+                # GfsOutputCorrelation subclasses it)
+                vblk = next((b for b in blocks
+                             if "v" in b and "s" not in b), {})
+                sblk = next((b for b in blocks if "s" in b), {})
+                v = vblk.get("v")
+                sol = sblk.get("s")
+                if v and sol:
+                    for prev, prev_expr in sim.raw_inits.items():
+                        sol = re.sub(rf"\b{re.escape(prev)}\b",
+                                     f"({prev_expr})", sol)
+                    events.append(out.OutputCorrelation(
+                        v, translate_expr(sol, None),
+                        unbiased=bool(int(float(
+                            sblk.get("unbiased", "0")))),
+                        file=fileish, **kw))
+            elif name == "OutputSquares" and blocks and fileish:
+                v = blocks[0].get("v")
+                if v and re.match(r"^\w+$", v):
+                    vmin = blocks[0].get("min")
+                    vmax = blocks[0].get("max")
+                    events.append(out.OutputSquares(
+                        v, fileish,
+                        vmin=None if vmin is None else float(vmin),
+                        vmax=None if vmax is None else float(vmax), **kw))
+            elif name == "OutputLocation" and fileish and len(args) >= 3:
+                # OutputLocation file x y [z] (src/output.c:1714); every
+                # primary variable is probed, like the reference's
+                # all-variables line
+                pt = [float(a) for a in args[1:]]
+                from ..models.ns import velocity_names
+                dim = cfg.grid.dim
+                vs = list(velocity_names(dim)) + ["P"] \
+                    + list(sim.tracers) + list(sim.vof_tracers)
+                events.append(out.OutputLocation(
+                    vs, [pt[:dim]], file=fileish, **kw))
             elif name == "AdaptFunction" and blocks and args:
                 adapt_spec = _make_adapt_spec(sched, blocks[0], args[0],
                                               sim, cfg)
-            # OutputLocation / pipes / EventScript / GModule are
-            # intentionally skipped (shell sinks / module loading)
+            # EventScript / GModule are intentionally skipped (shell
+            # execution / module loading)
         except Exception as exc:  # surface, don't swallow (VERDICT r1)
             sim.errors.append(f"{name}: {exc!r}")
     if sim.errors:

@@ -63,3 +63,32 @@ def test_tidal_elevation():
     # spatial amplitude
     eta2 = extras.tidal_elevation({"M2": (lambda x, y: 2.0 + x, 0.0)})
     assert abs(float(eta2(0.5, 0.0, 0.0)) - 2.5) < 1e-12
+
+
+def test_cartesian_grid(tmp_path):
+    """GfsCartesianGrid text format + multilinear lookup
+    (src/cartesian.c:31-467)."""
+    p = tmp_path / "cg.dat"
+    p.write_text("2\n3 0 1 2\n2 0 10\n"
+                 "0 1\n2 3\n4 5\n")     # v[i,j] = 2i + j
+    g = extras.CartesianGrid.read(str(p))
+    assert abs(float(g(1.0, 0.0)) - 2.0) < 1e-12
+    assert abs(float(g(1.5, 5.0)) - (3.0 + 0.5)) < 1e-12
+    # clamped outside the table
+    assert abs(float(g(5.0, 20.0)) - 5.0) < 1e-12
+
+
+def test_wave_source_physics():
+    """Wind input grows downwind bins, whitecapping caps growth
+    (the wavewatch-seam physics)."""
+    from gerris_tpu.core.grid import Grid
+    from gerris_tpu.models import wave
+    cfg = wave.WaveConfig(grid=Grid(level=4, dim=2), nk=25, ntheta=8,
+                          g=9.81)
+    src = extras.wave_source_physics(cfg, u10=15.0, wind_dir=0.0)
+    F = jnp.full((cfg.nk, cfg.ntheta, 16, 16), 1e-4)
+    F1 = src(F, 10.0)
+    # downwind (theta=0) bins grow, upwind (theta=pi) bins only decay
+    assert float(jnp.sum(F1[:, 0])) > float(jnp.sum(F[:, 0]))
+    assert float(jnp.sum(F1[:, 4])) <= float(jnp.sum(F[:, 4])) + 1e-12
+    assert bool(jnp.all(jnp.isfinite(F1)))

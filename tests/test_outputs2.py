@@ -93,3 +93,59 @@ def test_interface_facets_circle():
     L = float(np.sum(np.hypot(segs[:, 2] - segs[:, 0],
                               segs[:, 3] - segs[:, 1])))
     assert abs(L - 2 * math.pi * R) / (2 * math.pi * R) < 0.02, L
+
+
+def test_correlation_and_squares(tmp_path):
+    """OutputCorrelation = sum(v ref)/sum(ref^2) incl. unbiased option
+    (src/output.c:3076); OutputSquares writes colored OOGL squares
+    (src/output.c:3181)."""
+    grid = Grid(level=5, dim=2)
+    u_bc = bcs.velocity_bc(0, 2)
+    v_bc = bcs.velocity_bc(1, 2)
+    cfg = ns.NSConfig(grid=grid, u_bcs=(u_bc, v_bc), nu=0.0)
+    sim = Simulation(cfg, time=Time(iend=0))
+    sim.init()
+    x, y = grid.centers
+    ref = jnp.cos(2 * jnp.pi * x)
+    sim.state["P"] = 0.7 * ref + 0.1           # scaled + biased copy
+    ev = out.OutputCorrelation("P", lambda x, y: jnp.cos(2 * jnp.pi * x))
+    ev.fire(sim, 0.0, 0)
+    assert abs(ev.rows[0][1] - 0.7) < 1e-6     # bias orthogonal to cos
+    ev2 = out.OutputCorrelation("P", lambda x, y: jnp.cos(2 * jnp.pi * x),
+                                unbiased=True)
+    ev2.fire(sim, 0.0, 0)
+    assert abs(ev2.rows[0][1] - 0.7) < 1e-6
+    p = tmp_path / "sq.oogl"
+    out.OutputSquares("P", str(p)).fire(sim, 0.0, 0)
+    txt = p.read_text()
+    assert txt.splitlines()[0].strip().startswith("LIST") or "QUAD" in txt
+
+
+def test_parser_wires_new_outputs(tmp_path):
+    """OutputCorrelation / OutputSquares / OutputLocation through the
+    .gfs parser."""
+    from gerris_tpu.utils import gfs_config as G
+    gfs = """1 0 GfsSimulation GfsBox GfsGEdge {} {
+  Time { iend = 0 }
+  VariableTracer T
+  Init {} { T = cos(2.*M_PI*y) }
+  OutputCorrelation { istep = 1 } %s { v = T } { s = cos(2.*M_PI*y) }
+  OutputSquares { istep = 1 } %s { v = T min = -1 max = 1 }
+  OutputLocation { istep = 1 } %s 0.25 0.25
+}
+GfsBox {}
+""" % (tmp_path / "corr.dat", tmp_path / "sq-%ld.oogl",
+       tmp_path / "loc.dat")
+    ps = G.parse_gfs(gfs, {})
+    sim = G.build_simulation(ps)
+    assert not ps.errors, ps.errors
+    kinds = {type(e).__name__ for e in sim.events}
+    assert {"OutputCorrelation", "OutputSquares",
+            "OutputLocation"} <= kinds, kinds
+    sim.run()
+    # the tracer is untouched at i=0, so the correlation is exactly 1
+    corr = (tmp_path / "corr.dat").read_text()
+    assert abs(float(corr.split()[-1]) - 1.0) < 1e-3, corr
+    assert (tmp_path / "sq-0.oogl").exists()
+    loc = (tmp_path / "loc.dat").read_text().strip().splitlines()
+    assert len(loc) >= 1 and len(loc[0].split()) >= 5, loc
