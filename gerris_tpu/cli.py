@@ -36,6 +36,8 @@ def main(argv=None):
                     help="print version/backend info")
     ap.add_argument("--dry-run", action="store_true",
                     help="parse + build only, print a summary, no steps")
+    ap.add_argument("-3", "--dim3", action="store_true", dest="dim3",
+                    help="run in 3D (the reference's gerris3D binary)")
     args = ap.parse_args(argv)
 
     if args.version:
@@ -62,7 +64,7 @@ def main(argv=None):
     with open(args.file) as f:
         text = f.read()
     parsed = gfs_config.parse_gfs(text, defines=defines)
-    sim = gfs_config.build_simulation(parsed)
+    sim = gfs_config.build_simulation(parsed, dim=3 if args.dim3 else 2)
     for e in getattr(sim, "errors", []):
         print(f"warning: {e}", file=sys.stderr)
 

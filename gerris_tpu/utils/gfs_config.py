@@ -710,7 +710,8 @@ def _num(v):
 def _parse_box(sim: ParsedSim, toks, defines):
     i = 0
     while i < len(toks):
-        if toks[i] in ("left", "right", "top", "bottom") and \
+        if toks[i] in ("left", "right", "top", "bottom",
+                       "back", "front") and \
                 i + 2 < len(toks) and toks[i + 1] == "=":
             side = toks[i]
             assert toks[i + 2] == "Boundary"
@@ -740,7 +741,7 @@ def _parse_box(sim: ParsedSim, toks, defines):
 # build an NSConfig + Simulation from the parsed description
 # ---------------------------------------------------------------------------
 
-def build_simulation(sim: ParsedSim):
+def build_simulation(sim: ParsedSim, dim: int = 2):
     """Instantiate the right simulation class from a parsed .gfs subset
     (the class registry dispatch, reference: src/init.c:121-314)."""
     from ..core.grid import Grid
@@ -751,11 +752,16 @@ def build_simulation(sim: ParsedSim):
     from ..solvers import poisson
     from ..physics import vof as vofm
 
-    dim = 2
     if sim.sim_class == "GfsPoisson":
         return _build_poisson(sim)
 
     def mk_grid(level):
+        if dim == 3:
+            # the reference's gerris3D on the same file (the .gfs format
+            # is dimension-agnostic, src/ftt.h FTT_DIMENSION)
+            assert sim.box_stack == (1, 1), \
+                "3D multi-box layouts not supported"
+            return Grid(level=level, dim=3)
         return Grid(level=level, dim=dim, extents=sim.box_stack
                     if sim.box_stack != (1, 1) else None,
                     origin=(-0.5, -0.5 * sim.box_stack[1])
@@ -779,7 +785,7 @@ def build_simulation(sim: ParsedSim):
 
     def side_bc(var, default):
         sides = []
-        names = (("left", "right"), ("bottom", "top"))
+        names = (("left", "right"), ("bottom", "top"), ("back", "front"))
         for ax in range(dim):
             pair = []
             for sd in range(2):
@@ -801,6 +807,14 @@ def build_simulation(sim: ParsedSim):
                 else bcs.Neumann())
         for c, v in enumerate(ns.velocity_names(dim)))
     tbc = bcs.default_scalar_bc(dim)
+
+    def tracer_bc(t):
+        """Explicit Boundary blocks apply to tracers too (BcDirichlet T,
+        src/boundary.c gfs_boundary_read); otherwise the plain mirror
+        default (which the parity gates were tuned against)."""
+        if any(t in d for d in sim.boundaries.values()):
+            return side_bc(t, lambda ax, sd: bcs.Neumann())
+        return tbc
 
     def mk_params(d):
         kw = {}
@@ -854,9 +868,9 @@ def build_simulation(sim: ParsedSim):
         grid=grid,
         u_bcs=u_bcs,
         nu=sim.nu,
-        vof_tracers=tuple((t, tbc) for t in sim.vof_tracers),
+        vof_tracers=tuple((t, tracer_bc(t)) for t in sim.vof_tracers),
         tension=tuple(sim.tension),
-        tracers=tuple((t, tbc, 0.0) for t in sim.tracers),
+        tracers=tuple((t, tracer_bc(t), 0.0) for t in sim.tracers),
         projection=mk_params(sim.projection),
         approx_projection=mk_params(sim.approx_projection),
         p_bc=side_bc("P", lambda ax, sd: bcs.Neumann()),
@@ -995,7 +1009,7 @@ def build_simulation(sim: ParsedSim):
     def init_fields(target_grid):
         fields = {}
         for var, fn in sim.inits.items():
-            fields[var] = lambda x, y, f=fn: f(x, y)
+            fields[var] = lambda *c, f=fn: f(*c)
         for tracer, phi in sim.init_fractions.items():
             fields[tracer] = vofm.fraction_from_levelset(target_grid, phi)
         return fields
