@@ -141,6 +141,97 @@ class OutputErrorNorm(Event):
                         % (self.name, *row))
 
 
+class OutputProgress(Event):
+    """Percentage progress toward Time end/iend with a wall-clock rate
+    estimate (src/output.c GfsOutputProgress)."""
+
+    def __init__(self, file=None, **kw):
+        super().__init__(name="OutputProgress", **kw)
+        self.file = file
+        self.t0 = _time.time()
+
+    def fire(self, sim, t, i):
+        super().fire(sim, t, i)
+        if math.isfinite(sim.time.end) and sim.time.end > 0:
+            frac = sim.time.t / sim.time.end
+        elif sim.time.iend < 2 ** 31 and sim.time.iend > 0:
+            frac = sim.time.i / sim.time.iend
+        else:
+            frac = 0.0
+        el = _time.time() - self.t0
+        eta = el * (1.0 - frac) / frac if frac > 0 else float("inf")
+        line = "%3.0f%% done, %.0f s elapsed, ETA %.0f s\n" \
+            % (100.0 * frac, el, eta)
+        if self.file:
+            with open(self.file, "a") as f:
+                f.write(line)
+        else:
+            sys.stderr.write(line)
+
+
+class OutputScalarMaxima(Event):
+    """The N largest cell values of a scalar with their coordinates
+    (src/output.c:2155 GfsOutputScalarMaxima; ours is the exact top-N
+    rather than the reference's greedy single-pass insertion)."""
+
+    def __init__(self, v: str, n: int = 1, file=None, **kw):
+        super().__init__(name=f"OutputScalarMaxima({v})", **kw)
+        self.v = v
+        self.n = n
+        self.file = file
+        self.rows = []
+
+    def fire(self, sim, t, i):
+        super().fire(sim, t, i)
+        grid = sim.cfg.grid
+        f = np.asarray(sim_field(sim, self.v))
+        cs = [np.asarray(c) for c in grid.centers]
+        flat = f.ravel()
+        idx = np.argsort(flat)[::-1][:self.n]
+        for k, j in enumerate(idx):
+            pos = [float(c.ravel()[j]) for c in cs] + [0.0] * (3 - grid.dim)
+            row = (sim.time.t, k, *pos, float(flat[j]))
+            self.rows.append(row)
+            if self.file:
+                with open(self.file, "a") as fp:
+                    fp.write("%s time: %g #: %d x: %g y: %g z: %g "
+                             "value: %g\n" % (self.name, *row))
+
+
+class OutputGrd(Event):
+    """ESRI ASCII raster of a 2D scalar (src/output.c:3404 GfsOutputGRD
+    via gfs_write_grd: ncols/nrows/xllcorner/.../NODATA_value header,
+    rows written north to south)."""
+
+    NODATA = -9999.0
+
+    def __init__(self, v: str, file, **kw):
+        super().__init__(name=f"OutputGrd({v})", **kw)
+        self.v = v
+        self.file = file
+
+    def fire(self, sim, t, i):
+        super().fire(sim, t, i)
+        grid = sim.cfg.grid
+        assert grid.dim == 2, "GRD output is 2D"
+        f = np.asarray(sim_field(sim, self.v), np.float64)
+        f = np.where(np.isfinite(f), f, self.NODATA)
+        nx, ny = f.shape
+        x0 = float(np.asarray(grid.axis_faces(0))[0])
+        y0 = float(np.asarray(grid.axis_faces(1))[0])
+        with open(format_filename(self.file, sim), "w") as fp:
+            fp.write("ncols          %d\n" % nx)
+            fp.write("nrows          %d\n" % ny)
+            fp.write("xllcorner      %g\n" % x0)
+            fp.write("yllcorner      %g\n" % y0)
+            fp.write("cellsize       %g\n" % grid.h)
+            fp.write("NODATA_value  %g\n" % self.NODATA)
+            # row 0 of the raster is the NORTHERN edge: j descending
+            for j in range(ny - 1, -1, -1):
+                fp.write(" ".join("%g" % f[ii, j]
+                                  for ii in range(nx)) + "\n")
+
+
 class OutputCorrelation(Event):
     """Weighted correlation of a field with a reference solution:
     sum(v * ref) / sum(ref^2), optionally with the bias (mean of

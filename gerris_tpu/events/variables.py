@@ -283,6 +283,68 @@ def init_vorticity(omega, grid, u_bcs, params=None):
     return U, V
 
 
+class VariableLaplacian(Event):
+    """state[name] = Laplacian of a field (or of fn(sim)), re-evaluated
+    every firing (reference: GfsVariableLaplacian,
+    src/variable.c:1278-1330 — ghost BCs applied, then the same
+    face-weighted operator as the Poisson solver)."""
+
+    def __init__(self, name: str, of, fbc=None, **kw):
+        kw.setdefault("istep", 1)
+        super().__init__(name=f"VariableLaplacian({name})", **kw)
+        self.var = name
+        self.of = of
+        self.fbc = fbc
+
+    def fire(self, sim, t, i):
+        super().fire(sim, t, i)
+        from ..core import bc as bcs
+        from ..ops.stencils import laplacian
+        grid = sim.cfg.grid
+        u = self.of(sim) if callable(self.of) else sim.state[self.of]
+        fbc = self.fbc or bcs.default_scalar_bc(grid.dim)
+        up = bcs.apply_bc(jnp.asarray(u), grid, fbc, t=sim.time.t)
+        sim.state[self.var] = laplacian(up, grid)
+
+
+class VariablePoisson(Event):
+    """state[name] solves lap(v) = rhs each firing (reference:
+    GfsVariablePoisson, src/variable.c:1127-1240 — the rhs function is
+    rescaled per cell and handed to par.poisson_solve).  Pure-Neumann
+    compatibility: the rhs mean is removed and the solution zero-meaned."""
+
+    def __init__(self, name: str, rhs, params=None, fbc=None, **kw):
+        kw.setdefault("istep", 1)
+        super().__init__(name=f"VariablePoisson({name})", **kw)
+        self.var = name
+        self.rhs = rhs
+        self.params = params
+        self.fbc = fbc
+        self.stats = None
+
+    def fire(self, sim, t, i):
+        super().fire(sim, t, i)
+        from ..core import bc as bcs
+        from ..solvers import poisson
+        grid = sim.cfg.grid
+        if callable(self.rhs):
+            r = self.rhs(sim)
+        else:
+            r = sim.state[self.rhs]
+        r = jnp.asarray(r) + jnp.zeros(grid.shape)
+        fbc = self.fbc or bcs.default_scalar_bc(grid.dim)
+        if all(b.kind != bcs.DIRICHLET for s in fbc.sides for b in s):
+            r = r - jnp.mean(r)
+        u0 = sim.state.get(self.var, jnp.zeros(grid.shape)) + \
+            jnp.zeros(grid.shape)
+        params = self.params or poisson.MultilevelParams()
+        sol, self.stats = poisson.solve(u0, r, grid, fbc, params,
+                                        t=sim.time.t)
+        if all(b.kind != bcs.DIRICHLET for s in fbc.sides for b in s):
+            sol = sol - jnp.mean(sol)
+        sim.state[self.var] = sol
+
+
 class VariableResidual(Event):
     """Residual of the last approximate projection as a state field
     (reference: GfsVariableResidual, src/variable.c; filled by

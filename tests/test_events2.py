@@ -130,3 +130,68 @@ def test_init_vorticity():
                                                  < 0.3)
     rel = float(jnp.max(jnp.where(interior, err, 0.0)))
     assert rel < 0.02 * float(jnp.max(om)), rel
+
+
+def test_variable_laplacian_and_poisson():
+    """VariableLaplacian / VariablePoisson round-trip: lap then solve
+    recovers the field (src/variable.c:1127-1330)."""
+    import jax.numpy as jnp
+    from gerris_tpu.core.grid import Grid
+    from gerris_tpu.core import bc as bcs
+    from gerris_tpu.events import variables as var
+    from gerris_tpu.models import ns
+    from gerris_tpu.models.simulation import Simulation, Time
+
+    grid = Grid(level=6, dim=2)
+    cfg = ns.NSConfig(grid=grid, u_bcs=(bcs.velocity_bc(0, 2),
+                                        bcs.velocity_bc(1, 2)), nu=0.0)
+    sim = Simulation(cfg, time=Time(iend=0)).init()
+    x, y = grid.centers
+    f = jnp.cos(2 * jnp.pi * x) * jnp.cos(2 * jnp.pi * y)
+    sim.state["F"] = f
+    var.VariableLaplacian("LapF", "F").fire(sim, 0.0, 0)
+    lap = sim.state["LapF"]
+    # interior: lap(f) = -8 pi^2 f to O(h^2)
+    e = lap[2:-2, 2:-2] / (-8 * jnp.pi ** 2) - f[2:-2, 2:-2]
+    assert float(jnp.max(jnp.abs(e))) < 2e-2
+    ev = var.VariablePoisson("Back", "LapF")
+    ev.fire(sim, 0.0, 0)
+    back = sim.state["Back"]
+    err = back - (f - jnp.mean(f))
+    assert float(jnp.max(jnp.abs(err))) < 5e-3, float(jnp.max(jnp.abs(err)))
+
+
+def test_output_maxima_progress_grd(tmp_path):
+    """OutputScalarMaxima top-N, OutputGrd ESRI raster, OutputProgress
+    (src/output.c:2155, 3404)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gerris_tpu.core.grid import Grid
+    from gerris_tpu.core import bc as bcs
+    from gerris_tpu.events import outputs as out
+    from gerris_tpu.models import ns
+    from gerris_tpu.models.simulation import Simulation, Time
+
+    grid = Grid(level=4, dim=2)
+    cfg = ns.NSConfig(grid=grid, u_bcs=(bcs.velocity_bc(0, 2),
+                                        bcs.velocity_bc(1, 2)), nu=0.0)
+    sim = Simulation(cfg, time=Time(iend=0, end=1.0)).init()
+    x, y = grid.centers
+    sim.state["P"] = jnp.exp(-20 * ((x - 0.2) ** 2 + y ** 2))
+    mx = out.OutputScalarMaxima("P", n=3, file=str(tmp_path / "max.dat"))
+    mx.fire(sim, 0.0, 0)
+    t_, k, px, py, pz, v = mx.rows[0]
+    assert abs(px - 0.2) < 2 * grid.h and abs(py) < 2 * grid.h
+    assert v == max(r[-1] for r in mx.rows)
+    g = out.OutputGrd("P", str(tmp_path / "p.grd"))
+    g.fire(sim, 0.0, 0)
+    lines = (tmp_path / "p.grd").read_text().splitlines()
+    assert lines[0].split() == ["ncols", "16"]
+    assert lines[4].split()[0] == "cellsize"
+    data = np.array([[float(c) for c in ln.split()] for ln in lines[6:]])
+    assert data.shape == (16, 16)
+    # northern row first: raster[r, c] = F[c, ny-1-r]
+    F = np.asarray(sim.state["P"])
+    assert np.allclose(data, F.T[::-1], atol=1e-5)   # %g file precision
+    out.OutputProgress(file=str(tmp_path / "prog.dat")).fire(sim, 0.0, 0)
+    assert "% done" in (tmp_path / "prog.dat").read_text()
