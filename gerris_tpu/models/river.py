@@ -39,7 +39,8 @@ class RiverConfig:
 
     Mirrors GfsRiver's defaults (reference: river_init src/river.c:1303):
     minmod gradient, cfl 0.5, kinetic scheme, dry 1e-6, 2nd-order time.
-    ``bcs``: per axis (lo, hi) of 'symmetry' | 'outflow' | 'periodic'.
+    ``bcs``: per axis (lo, hi) of 'symmetry' | 'outflow' | 'periodic' |
+    ("subcritical", hb) — imposed-depth open boundary (GfsBcSubcritical).
     ``coriolis``: (f, drag, beta) — Crank-Nicolson split as in
     gfs_source_coriolis_implicit (src/source.c:1902-1925, beta=0.5)."""
     shape: tuple
@@ -60,35 +61,51 @@ class RiverConfig:
 
 
 def _pad1(v, cfg: RiverConfig, axis: int, odd: bool = False,
-          width: int = 1):
+          width: int = 1, h=None):
     """``width`` ghost cells on each side along ``axis``.
 
     symmetry: true mirror of the ``width`` interior cells (odd=True
     flips sign — wall-normal momentum; the second ghost mirrors cell 1,
     NOT the first ghost: reconstruction antisymmetry at walls — and with
     it exact wall-flux cancellation/mass conservation — depends on it);
-    outflow: edge replicate; periodic: wrap.
+    outflow: edge replicate; periodic: wrap;
+    ("subcritical", hb): open boundary with imposed depth hb — the
+    wall-normal discharge ghost comes from the outgoing Riemann
+    invariant, q_g = q_i -/+ 2 h_i (sqrt(g h_i) - sqrt(g hb)) (lo/hi
+    side; reference: GfsBcSubcritical src/river.c:1495-1504), every
+    other field replicates.  ``h`` = the depth array for that formula
+    (pass it when padding the wall-normal momentum).
     Reference: the default GfsBoundary symmetry BCs (src/boundary.c) that
     river_run relies on, incl. the gradient evaluation in boundary cells
     (domain_traverse_all_leaves, src/river.c:859-874)."""
     lo, hi = cfg.bcs[axis]
 
-    def take(sl):
-        idx = [slice(None)] * v.ndim
+    def take(a, sl):
+        idx = [slice(None)] * a.ndim
         idx[axis] = sl
-        return v[tuple(idx)]
+        return a[tuple(idx)]
 
     def ghost(kind, first):
+        hb = None
+        if isinstance(kind, tuple):
+            kind, hb = kind
         if kind == "periodic":
-            return take(slice(-width, None)) if first \
-                else take(slice(0, width))
+            return take(v, slice(-width, None)) if first \
+                else take(v, slice(0, width))
         if kind == "symmetry":
-            g = take(slice(0, width)) if first \
-                else take(slice(v.shape[axis] - width, None))
+            g = take(v, slice(0, width)) if first \
+                else take(v, slice(v.shape[axis] - width, None))
             g = jnp.flip(g, axis)
             return -g if odd else g
-        if kind == "outflow":
-            edge = take(slice(0, 1)) if first else take(slice(-1, None))
+        if kind in ("outflow", "subcritical"):
+            edge = take(v, slice(0, 1)) if first else take(v, slice(-1, None))
+            if kind == "subcritical" and odd and h is not None:
+                hi_ = take(h, slice(0, 1)) if first \
+                    else take(h, slice(-1, None))
+                s = -1.0 if first else 1.0
+                edge = edge + s * 2.0 * hi_ * (
+                    jnp.sqrt(cfg.g * hi_)
+                    - jnp.sqrt(cfg.g * max(float(hb), 0.0)))
             reps = [1] * v.ndim
             reps[axis] = width
             return jnp.tile(edge, reps)
@@ -134,7 +151,7 @@ def _slopes(state: dict, cfg: RiverConfig):
         wet1 = _pad1(state["P"], cfg, axis) > cfg.dry
         for nm in names:
             v2 = _pad1(state[nm], cfg, axis,
-                       odd=odd.get(nm) == axis, width=2)
+                       odd=odd.get(nm) == axis, width=2, h=state["P"])
             d[nm] = jnp.where(wet1, _limited_halfslope(v2, cfg, axis), 0.0)
         H2 = _pad1(state["Zb"] + state["P"], cfg, axis, width=2)
         d["Zb"] = jnp.where(wet1,
@@ -217,7 +234,7 @@ def _advance(base: dict, recon: dict, slopes, dt, cfg: RiverConfig):
 
         P1 = _pad1(recon["P"], cfg, axis)
         Zb1 = _pad1(recon["Zb"], cfg, axis)
-        N1 = _pad1(recon[nrm], cfg, axis, odd=True)
+        N1 = _pad1(recon[nrm], cfg, axis, odd=True, h=recon["P"])
         T1 = _pad1(recon[tan], cfg, axis)
 
         PL, PR = faces(P1)

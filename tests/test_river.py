@@ -9,6 +9,7 @@
    |h|_1/h0 = 0.00219 at level 6 — we gate the same quantity.
 3. Dam break vs the Stoker solution (kinetic and hllc schemes).
 """
+import dataclasses
 import math
 
 import jax.numpy as jnp
@@ -147,3 +148,30 @@ def test_river_simulation_driver():
     assert sim.time.t >= 0.2 - 1e-9
     assert len(sums) == sim.time.i
     assert abs(sums[-1] - sums[0]) < 1e-10 * sums[0]   # mass conserved
+
+
+def test_subcritical_open_boundary():
+    """("subcritical", hb) open boundary (GfsBcSubcritical,
+    src/river.c:1495-1504): with hb equal to the rest depth nothing
+    moves; with hb below it the channel drains toward hb."""
+    cfg0 = river.RiverConfig(shape=(32, 4), g=1.0,
+                             bcs=((("symmetry", "symmetry")),
+                                  ("symmetry", "symmetry")))
+    cfg = dataclasses.replace(
+        cfg0, bcs=(("symmetry", ("subcritical", 1.0)),
+                   ("symmetry", "symmetry")))
+    z = jnp.zeros(cfg.shape)
+    state = {"P": 1.0 + z, "U": z, "V": z, "Zb": z}
+    s1, t, i = river.run(dict(state), cfg, t_end=1.0)
+    assert float(jnp.max(jnp.abs(s1["U"]))) < 1e-12      # exact rest
+    assert float(jnp.max(jnp.abs(s1["P"] - 1.0))) < 1e-12
+    cfg2 = dataclasses.replace(
+        cfg, bcs=(("symmetry", ("subcritical", 0.6)),
+                  ("symmetry", "symmetry")))
+    s2, t, i = river.run(dict(state), cfg2, t_end=2.0)
+    # outflow through the right boundary: mean depth drops,
+    # discharge is rightward, depth at the open end approaches hb
+    assert float(jnp.mean(s2["P"])) < 0.95
+    assert float(jnp.mean(s2["U"][-1])) > 0.0
+    assert abs(float(jnp.mean(s2["P"][-1])) - 0.6) < 0.15
+    assert bool(jnp.all(jnp.isfinite(s2["P"])))
