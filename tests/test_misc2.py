@@ -227,3 +227,38 @@ def test_ppmcombine(tmp_path):
                      str(tmp_path / "b.ppm")]) == 0
     c = read_ppm(str(out))
     assert (c[:4] == 200).all() and (c[4:] == 100).all()
+
+
+def test_debug_layer():
+    """catch_fpe traps NaN-producing ops; check_state flags the
+    reference's invariant violations (utils.c FPE traps +
+    solid.c:990-1169-style checks)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+    from gerris_tpu.utils import debug
+
+    with pytest.raises(FloatingPointError):
+        with debug.catch_fpe():
+            jax.jit(lambda x: x / x)(jnp.zeros(4)).block_until_ready()
+    assert not jax.config.jax_debug_nans      # restored
+    ok = {"U": jnp.ones((4, 4)), "T": jnp.full((4, 4), 0.5)}
+    assert debug.check_state(ok) == []
+    bad = {"U": jnp.full((4, 4), jnp.nan), "T": jnp.full((4, 4), 1.5)}
+    msgs = debug.check_state(bad)
+    assert len(msgs) == 2 and "non-finite" in msgs[0]
+    with pytest.raises(AssertionError):
+        debug.assert_consistent(bad)
+    # as an in-loop event on a real simulation
+    from gerris_tpu.core.grid import Grid
+    from gerris_tpu.core import bc as bcs
+    from gerris_tpu.models import ns
+    from gerris_tpu.models.simulation import Simulation, Time
+    sim = Simulation(ns.NSConfig(grid=Grid(level=4, dim=2),
+                     u_bcs=(bcs.velocity_bc(0, 2), bcs.velocity_bc(1, 2)),
+                     nu=1e-2), time=Time(iend=2, dtmax=0.05),
+                     events=[debug.CheckEvent()])
+    sim.init(U=lambda x, y: jnp.sin(2 * jnp.pi * y))
+    sim.run()
+    assert sim.time.i == 2
