@@ -141,6 +141,78 @@ class OutputErrorNorm(Event):
                         % (self.name, *row))
 
 
+class OutputAdaptStats(Event):
+    """Adaptive-mesh statistics: current/min/mean/max leaf counts and the
+    compression ratio vs the uniform finest grid (src/output.c:660
+    GfsOutputAdaptStats; cells created/removed become the leaf-count
+    deltas of our depth-map swaps)."""
+
+    def __init__(self, file=None, **kw):
+        super().__init__(name="OutputAdaptStats", **kw)
+        self.file = file
+        self.counts = []
+
+    def fire(self, sim, t, i):
+        super().fire(sim, t, i)
+        if not hasattr(sim, "n_leaves"):     # uniform simulation
+            n = int(np.prod(sim.cfg.grid.shape))
+            uniform = n
+        else:
+            n = sim.n_leaves()
+            topo = sim.topo
+            uniform = int(np.prod(topo.grid(topo.lmax).shape))
+        delta = n - self.counts[-1] if self.counts else 0
+        self.counts.append(n)
+        c = np.asarray(self.counts, float)
+        line = ("Adaptive mesh refinement statistics\n"
+                "  Cells changed: %10d\n"
+                "  Number of cells\n"
+                "    min: %10.0f avg: %10.3f max: %10.0f n: %10d\n"
+                "  Compression vs uniform: %.3f\n"
+                % (delta, c.min(), c.mean(), c.max(), len(c),
+                   n / uniform))
+        if self.file:
+            with open(self.file, "a") as f:
+                f.write(line)
+        else:
+            sys.stderr.write(line)
+
+
+class OutputBoundaries(Event):
+    """Gnuplot segments of the domain outline and embedded-solid
+    interface (src/output.c:1607 GfsOutputBoundaries via
+    gfs_draw_refined_boundaries/gfs_draw_solid_boundaries)."""
+
+    def __init__(self, file, **kw):
+        super().__init__(name="OutputBoundaries", **kw)
+        self.file = file
+
+    def fire(self, sim, t, i):
+        super().fire(sim, t, i)
+        grid = sim.cfg.grid
+        xf = np.asarray(grid.axis_faces(0))
+        yf = np.asarray(grid.axis_faces(1))
+        x0, x1, y0, y1 = xf[0], xf[-1], yf[0], yf[-1]
+        with open(format_filename(self.file, sim), "w") as f:
+            for (ax, ay), (bx, by) in (((x0, y0), (x1, y0)),
+                                       ((x1, y0), (x1, y1)),
+                                       ((x1, y1), (x0, y1)),
+                                       ((x0, y1), (x0, y0))):
+                f.write("%g %g\n%g %g\n\n" % (ax, ay, bx, by))
+            if getattr(sim.cfg, "solid_phi", None) is not None \
+                    and grid.dim == 2:
+                from ..physics import vof as vofm
+                from ..core import bc as bcs_m
+                phi = sim.cfg.solid_phi
+                T = vofm.fraction_from_levelset(
+                    grid, lambda x, y, z=0.0, tt=0.0:
+                    -phi(x, y, 0.0, sim.time.t))
+                segs = vofm.facets(T, grid,
+                                   bcs_m.default_scalar_bc(2))
+                for sx0, sy0, sx1, sy1 in np.asarray(segs):
+                    f.write("%g %g\n%g %g\n\n" % (sx0, sy0, sx1, sy1))
+
+
 class OutputProgress(Event):
     """Percentage progress toward Time end/iend with a wall-clock rate
     estimate (src/output.c GfsOutputProgress)."""

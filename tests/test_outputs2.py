@@ -149,3 +149,30 @@ GfsBox {}
     assert (tmp_path / "sq-0.oogl").exists()
     loc = (tmp_path / "loc.dat").read_text().strip().splitlines()
     assert len(loc) >= 1 and len(loc[0].split()) >= 5, loc
+
+
+def test_adapt_stats_and_boundaries(tmp_path):
+    """OutputAdaptStats leaf counts + OutputBoundaries outline/solid
+    segments (src/output.c:660, 1607)."""
+    import jax.numpy as jnp
+    grid = Grid(level=5, dim=2)
+    R = 0.25
+    phi = lambda x, y, z=0.0, t=0.0: jnp.sqrt(x ** 2 + y ** 2) - R
+    cfg = ns.NSConfig(grid=grid, u_bcs=(bcs.velocity_bc(0, 2),
+                                        bcs.velocity_bc(1, 2)),
+                      nu=0.0, solid_phi=phi)
+    sim = Simulation(cfg, time=Time(iend=0)).init()
+    st = out.OutputAdaptStats(file=str(tmp_path / "as.dat"))
+    st.fire(sim, 0.0, 0)
+    txt = (tmp_path / "as.dat").read_text()
+    assert "Number of cells" in txt and st.counts == [1024]
+    assert "Compression vs uniform: 1.000" in txt
+    ob = out.OutputBoundaries(str(tmp_path / "b.dat"))
+    ob.fire(sim, 0.0, 0)
+    segs = [ln.split() for ln in
+            (tmp_path / "b.dat").read_text().splitlines() if ln.strip()]
+    pts = np.array([[float(a), float(b)] for a, b in segs])
+    # 4 outline segments + circle facets; outline corners at +-0.5
+    assert pts[:8].min() == -0.5 and pts[:8].max() == 0.5
+    r = np.hypot(pts[8:, 0], pts[8:, 1])
+    assert len(r) > 50 and np.abs(r - R).max() < 2 * grid.h
