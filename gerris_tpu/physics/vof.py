@@ -469,16 +469,47 @@ def _face_flux_3d(f_pad, m_pads, un, axis):
 
 
 def advect(f: jnp.ndarray, u_face: list, grid: Grid, fbc: bcs.FieldBC,
-           dt, cstart: int = 0, t=0.0):
+           dt, cstart: int = 0, t=0.0, concentrations=None, cbc=None):
     """One full VOF advection step: direction-split sweeps starting at
     component ``cstart`` (rotated by the caller each step, reference:
     src/vof.c:1648,1721), with the dilation field dV carried across sweeps
     (initialize_dV/f_times_dV/f_over_dV, src/vof.c:1577-1640).
 
+    ``concentrations``: optional list of phase-intensive fields c (the
+    conserved quantity is c*f per cell): each is co-advected with the
+    geometric phase fluxes, c_face = donor-cell c (reference:
+    GfsVariableVOFConcentration, src/vof.c:962-1010 + the t[] fluxes in
+    vof_flux :1476-1577).  Returns (f, concentrations) when given.
+
     Requires per-sweep CFL = u dt/h <= 0.5 (reference: src/vof.c:1654).
     """
     dim = grid.dim
     dV = jnp.ones_like(f)
+    cq = None
+    if concentrations is not None:
+        cbc = cbc or fbc
+        cq = [jnp.asarray(c) * f for c in concentrations]
+
+    def _conc_sweep(cq, fcur, dV, flux, volflux, un, c, hi, lo):
+        """One sweep of every concentration amount cq = c*f (same dV
+        bookkeeping as f itself)."""
+        out = []
+        nfc_ = flux.shape[c]
+        lo_ = [slice(None)] * dim
+        lo_[c] = slice(0, nfc_)
+        hi_ = [slice(None)] * dim
+        hi_[c] = slice(1, nfc_ + 1)
+        for q in cq:
+            ccur = jnp.where(fcur > EPS, q / jnp.maximum(fcur, EPS), 0.0)
+            cp = bcs.apply_bc(ccur, grid, cbc, 1, t=t)
+            sl = [slice(1, -1)] * dim
+            sl[c] = slice(None)
+            cp = cp[tuple(sl)]
+            cdon = jnp.where(un > 0.0, cp[tuple(lo_)], cp[tuple(hi_)])
+            cflux = cdon * flux
+            cfv = -(cflux[tuple(hi)] - cflux[tuple(lo)])
+            out.append((q * dV + cfv) / jnp.maximum(dV + volflux, EPS))
+        return out
     for k in range(dim):
         c = (cstart + k) % dim
         f_pad = bcs.apply_bc(f, grid, fbc, 1, t=t)
@@ -494,6 +525,8 @@ def advect(f: jnp.ndarray, u_face: list, grid: Grid, fbc: bcs.FieldBC,
             lo3[c] = slice(0, nfc3 - 1)
             fv = -(flux[tuple(hi3)] - flux[tuple(lo3)])
             volflux = -(un[tuple(hi3)] - un[tuple(lo3)])
+            if cq is not None:
+                cq = _conc_sweep(cq, f, dV, flux, volflux, un, c, hi3, lo3)
             f = f * dV + fv
             dV = dV + volflux
             f = f / jnp.maximum(dV, EPS)
@@ -535,10 +568,15 @@ def advect(f: jnp.ndarray, u_face: list, grid: Grid, fbc: bcs.FieldBC,
         lo[c] = slice(0, n - 1)
         fv = -(flux[tuple(hi)] - flux[tuple(lo)])
         volflux = -(un[tuple(hi)] - un[tuple(lo)])
+        if cq is not None:
+            cq = _conc_sweep(cq, f, dV, flux, volflux, un, c, hi, lo)
         f = f * dV + fv
         dV = dV + volflux
         f = f / jnp.maximum(dV, EPS)
         f = jnp.where(f < FULL_TOL, 0.0, jnp.where(f > 1.0 - FULL_TOL, 1.0, f))
+    if cq is not None:
+        return f, [jnp.where(f > EPS, q / jnp.maximum(f, EPS), 0.0)
+                   for q in cq]
     return f
 
 

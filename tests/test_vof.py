@@ -162,3 +162,37 @@ def test_3d_sphere_fraction_and_advection():
     drift = abs(float(jnp.sum(f) - jnp.sum(f0))) / float(jnp.sum(f0))
     assert drift < 1e-10
     assert float(jnp.min(f)) >= 0.0 and float(jnp.max(f)) <= 1.0
+
+
+def test_concentration_coadvection():
+    """VOF concentration co-advection (GfsVariableVOFConcentration,
+    src/vof.c:962-1010, 1476-1577): a phase-intensive field rides the
+    geometric phase fluxes — conserved, bounded, confined to the phase."""
+    grid = Grid(level=6, dim=2)
+    fbc = bcs.periodic_bc(2)
+    x, y = grid.centers
+    f = vof.fraction_from_levelset(
+        grid, lambda X, Y, z=0.0, t=0.0: 0.15 - jnp.abs(X))
+    c = jnp.where(f > 0.5, 1.0 + jnp.cos(2 * jnp.pi * y), 0.0)
+    ux = jnp.ones((grid.shape[0] + 1, grid.shape[1]))
+    uy = jnp.zeros((grid.shape[0], grid.shape[1] + 1))
+    dt = 0.4 * grid.h
+    mass0 = float(jnp.sum(c * f))
+    f1, cs = f, [c]
+    for i in range(24):
+        f1, cs = vof.advect(f1, [ux, uy], grid, fbc, dt, cstart=i % 2,
+                            concentrations=cs)
+    c1 = cs[0]
+    mass1 = float(jnp.sum(c1 * f1))
+    assert abs(mass1 - mass0) / mass0 < 1e-10, (mass0, mass1)
+    # boundedness (no new extrema) and confinement to the phase
+    assert float(jnp.max(c1)) <= float(jnp.max(c)) + 1e-9
+    assert float(jnp.min(c1)) >= -1e-12
+    assert float(jnp.max(jnp.abs(jnp.where(f1 < 1e-9, c1, 0.0)))) < 1e-9
+    # the slab translated by 24*dt: its center moved accordingly
+    xc0 = float(jnp.sum(x * f) / jnp.sum(f))
+    xc1raw = float(jnp.sum(x * f1) / jnp.sum(f1))
+    expect = xc0 + 24 * dt
+    # periodic wrap-aware comparison
+    d = (xc1raw - expect + 0.5) % 1.0 - 0.5
+    assert abs(d) < 2 * grid.h, (xc0, xc1raw, expect)
