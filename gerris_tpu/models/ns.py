@@ -168,6 +168,39 @@ def velocity_advection_diffusion(U: list, uf: list, gmac: list, g_prev,
     uc_pad = None
     gbc = grad_bc(cfg.u_bcs[0])
     from ..ops.pallas import bcg
+
+    # batched U+V fast path: both components' BCG kernels + ONE batched
+    # implicit-diffusion launch chain (fixed-cycle schedules only)
+    if (solid is None and dim == 2 and rho is None and cfg.nu > 0.0
+            and cfg.diffusion_params is not None
+            and cfg.diffusion_params.ncycles > 0
+            and bcg.applicable(U[0], grid, cfg.advection)):
+        specs = [bcg.kernel_spec(cfg.u_bcs[c], with_face_bc=True)
+                 for c in range(dim)]
+        if all(sp is not None and not sp["per_y"] for sp in specs):
+            fvs = []
+            for c in range(dim):
+                spec = specs[c]
+                fv = bcg.advect2d(U[c], uf[0], uf[1], dt, grid.h,
+                                  gmac[c], sgn=spec["sgn"],
+                                  off=spec["off"], per_y=spec["per_y"],
+                                  fb_x=spec["fb_x"] if c == 0 else None,
+                                  fb_y=spec["fb_y"] if c == 1 else None)
+                if g_prev is not None:
+                    fv = fv - dt * g_prev[c]
+                if sources is not None and sources[c] is not None:
+                    fv = fv + dt * sources[c]
+                if (cfg.body_force is not None
+                        and cfg.body_force[c] is not None):
+                    bf = cfg.body_force[c]
+                    fv = fv + dt * (bf(*grid.centers, t) if callable(bf)
+                                    else bf)
+                fvs.append(fv)
+            out, _ = diff.diffuse_pair(U, grid, list(cfg.u_bcs), dt,
+                                       cfg.nu, cfg.beta,
+                                       cfg.diffusion_params, fvs, t=t)
+            return out
+
     out = []
     for c in range(dim):
         # fused Pallas path (TPU f32, static BCs, no cut cells): one HBM

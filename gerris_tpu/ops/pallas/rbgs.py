@@ -281,7 +281,7 @@ def residual_pallas(u: jnp.ndarray, rhs: jnp.ndarray, dia=0.0, *, h2: float,
 def _prolong_relax_kernel(rep_hbm, rhs_hbm, dia_ref, u_hbm, out_ref,
                           ub, rb, fb, sem, *, n0, n1, S, H, nsweeps, h2,
                           sgn_x_lo, sgn_x_hi, sgn_y_lo, sgn_y_hi,
-                          periodic_y, omega, add_u):
+                          periodic_y, omega, add_u, batched=False):
     """Fused coarse->fine correction: bilinear prolongation of the
     lane-doubled coarse array ``rep`` + ``nsweeps`` RBGS sweeps on the
     fine level (+ optional u += du) in ONE launch (reference:
@@ -293,7 +293,16 @@ def _prolong_relax_kernel(rep_hbm, rhs_hbm, dia_ref, u_hbm, out_ref,
     [rstart/2 - GP, rstart/2 + W/2 + GP) is always in range; rstart is
     kept a multiple of 2*GP so the halved row start stays GP-aligned.
     Homogeneous BCs only (the correction phase).  Non-periodic rows."""
-    s = pl.program_id(0)
+    if batched:
+        b = pl.program_id(0)
+        s = pl.program_id(1)
+        rep_hbm = rep_hbm.at[b]
+        rhs_hbm = rhs_hbm.at[b]
+        u_hbm = u_hbm.at[b]
+        dia = dia_ref[b, 0]
+    else:
+        s = pl.program_id(0)
+        dia = dia_ref[0, 0]
     W = S + 2 * H
     rstart = pl.multiple_of(jnp.clip(s * S - H, 0, n0 - W), 2 * GP)
     cstart = pl.multiple_of(rstart // 2, GP)
@@ -351,7 +360,7 @@ def _prolong_relax_kernel(rep_hbm, rhs_hbm, dia_ref, u_hbm, out_ref,
     # ---- place du into the sweep buffer and relax
     ub[GP:GP + W, cl:ch] = du
     red = ((rows + cols) % 2) == 0
-    denom = 4.0 + dia_ref[0, 0] * h2
+    denom = 4.0 + dia * h2
     lo, hi = GP, GP + W
     for _ in range(nsweeps):
         for color in (red, ~red):
@@ -371,20 +380,26 @@ def _prolong_relax_kernel(rep_hbm, rhs_hbm, dia_ref, u_hbm, out_ref,
     if add_u:
         cp3.wait()
         res = res + fb[pl.ds(0, S), cl:ch]
-    out_ref[:, :] = res
+    if batched:
+        out_ref[0, :, :] = res
+    else:
+        out_ref[:, :] = res
 
 
 @functools.partial(jax.jit, static_argnames=(
     "nsweeps", "S", "signs", "omega", "h2", "periodic_y", "add_u",
-    "interpret"))
+    "pre_rep", "interpret"))
 def prolong_relax(du_c, rhs, dia=0.0, u=None, *, nsweeps: int, h2: float,
                   signs=(-1.0, -1.0, -1.0, -1.0), periodic_y=False,
                   omega: float = 1.0, add_u: bool = False, S: int = 64,
-                  interpret: bool = False):
+                  pre_rep: bool = False, interpret: bool = False):
     """One-launch prolong(du_c) -> relax(nsweeps) [-> + u] on the fine
     level.  du_c: (n0/2, n1/2) coarse correction; rhs: (n0, n1) fine
     residual; u: fine solution when ``add_u``.  Homogeneous static BCs,
-    non-periodic rows (the correction-phase hot path)."""
+    non-periodic rows (the correction-phase hot path).
+    ``pre_rep``: du_c is already in rep layout (lane-doubled +
+    GP-row-padded, shape (n0/2 + 2*GP, n1), e.g. from
+    cascade_prolong_relax) — skips the host-side repeat/pad kernels."""
     n0, n1 = rhs.shape
     H = -(-2 * nsweeps // (2 * GP)) * (2 * GP)   # keep rstart 16-aligned
     if n0 % S or n0 < S + 2 * H or (n0 // S) < 2:
@@ -392,7 +407,8 @@ def prolong_relax(du_c, rhs, dia=0.0, u=None, *, nsweeps: int, h2: float,
         H = 0
     W = S + 2 * H
     nstrips = n0 // S
-    rep = jnp.pad(jnp.repeat(du_c, 2, axis=1), ((GP, GP), (0, 0)))
+    rep = du_c if pre_rep else \
+        jnp.pad(jnp.repeat(du_c, 2, axis=1), ((GP, GP), (0, 0)))
     dia_arr = jnp.asarray(dia, rhs.dtype).reshape(1, 1)
     u_in = u if add_u else jnp.zeros((GP, n1), rhs.dtype)
     sx_lo, sx_hi, sy_lo, sy_hi = signs
@@ -542,6 +558,499 @@ def coarse_vcycle(r, dia=0.0, *, nsweeps: int, coarsest: int, h2: float,
         ],
         interpret=interpret,
     )(r, dia_arr)
+
+
+def _pool_mat_f(n, dtype):
+    """(n, n//2) lane-pooling selection matrix P[k, j] = 0.5*(k//2 == j)
+    (Mosaic cannot reshape/stride lanes; pair-mean pooling is an MXU
+    matmul)."""
+    k = jax.lax.broadcasted_iota(jnp.int32, (n, n // 2), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n // 2), 1)
+    return jnp.where(k // 2 == j, 0.5, 0.0).astype(dtype)
+
+
+def _expand_mat_f(n, dtype):
+    """(n//2, n) lane-doubling matrix E[j, k] = (k//2 == j)."""
+    j = jax.lax.broadcasted_iota(jnp.int32, (n // 2, n), 0)
+    k = jax.lax.broadcasted_iota(jnp.int32, (n // 2, n), 1)
+    return jnp.where(k // 2 == j, 1.0, 0.0).astype(dtype)
+
+
+_LANE_CHUNK = 512   # cap the selection-matrix VMEM footprint (n x n/2 f32)
+
+
+def _lane_pool(x, chunk: int = _LANE_CHUNK):
+    """Pair-mean along lanes: (..., L) -> (..., L//2).  The selection
+    matrix is block-diagonal over 2:1-aligned chunks, so big L runs as
+    several small matmuls instead of one (L, L/2) matrix (8 MB at
+    L=2048 would blow the ~16 MB VMEM budget)."""
+    L = x.shape[-1]
+    c = min(chunk, L)
+    P = _pool_mat_f(c, x.dtype)
+    outs = [jnp.dot(x[..., i:i + c], P, preferred_element_type=x.dtype)
+            for i in range(0, L, c)]
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+
+
+def _lane_expand(x, chunk: int = _LANE_CHUNK):
+    """Lane doubling: (..., L) -> (..., 2L), x2[.., 2j] = x2[.., 2j+1]
+    = x[.., j]; chunked like _lane_pool."""
+    L = x.shape[-1]
+    c = min(chunk, L)
+    E = _expand_mat_f(2 * c, x.dtype)
+    outs = [jnp.dot(x[..., i:i + c], E, preferred_element_type=x.dtype)
+            for i in range(0, L, c)]
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+
+
+def _row_pool(x):
+    """Pair-mean along rows (sublane reshape is Mosaic-native)."""
+    m, n = x.shape
+    return x.reshape(m // 2, 2, n).mean(axis=1)
+
+
+def _resid_restrict_kernel(u_hbm, rhs_hbm, scal_ref, or0, or1, or2,
+                           ub, rb, sem, *, n0, n1, S, h2,
+                           sgn_x_lo, sgn_x_hi, sgn_y_lo, sgn_y_hi,
+                           periodic_x, periodic_y,
+                           off_x_lo, off_x_hi, off_y_lo, off_y_hi,
+                           batched=False):
+    """One launch per cycle start: r0 = (rhs - sub) - L(u) + dia*u with
+    real (static) BC ghosts, plus the two-level restriction pyramid
+    r1 = restrict(r0), r2 = restrict(r1) (reference: residual_set2D +
+    get_from_below, src/poisson.c:657,1044 — fused because kernel
+    launches dominate on the remote TPU).  ``sub`` folds the
+    pure-Neumann compatibility mean subtraction into the same pass.
+    ``batched``: leading batch grid dim (u: (B, n0, n1)); per-batch
+    scalars [dia, sub, off_x_lo, off_x_hi, off_y_lo, off_y_hi] in SMEM
+    replace the static offsets (the U+V diffusion pair)."""
+    if batched:
+        b = pl.program_id(0)
+        s = pl.program_id(1)
+        u_hbm = u_hbm.at[b]
+        rhs_hbm = rhs_hbm.at[b]
+        dia = scal_ref[b, 0]
+        sub = scal_ref[b, 1]
+        off_x_lo = scal_ref[b, 2]
+        off_x_hi = scal_ref[b, 3]
+        off_y_lo = scal_ref[b, 4]
+        off_y_hi = scal_ref[b, 5]
+    else:
+        s = pl.program_id(0)
+        dia = scal_ref[0]
+        sub = scal_ref[1]
+    start = pl.multiple_of(s * S, GP)
+    W = S
+    _copy_rows(u_hbm, ub, GP, start, W, n0, sem.at[0])
+    cp_r = pltpu.make_async_copy(
+        rhs_hbm.at[pl.ds(start, W), :], rb.at[pl.ds(0, W), :], sem.at[1])
+    cp_r.start()
+    cp_r.wait()
+    first = start == 0
+    last = start + W == n0
+    lo, hi = GP, GP + W
+    cl, ch = CP, CP + n1
+
+    @pl.when(jnp.logical_not(first) | periodic_x)
+    def _():
+        _copy_rows(u_hbm, ub, 0, start - GP, GP, n0, sem.at[0])
+
+    @pl.when(jnp.logical_not(last) | periodic_x)
+    def _():
+        _copy_rows(u_hbm, ub, GP + W, start + W, GP, n0, sem.at[1])
+
+    _ghosts_y(ub, cl, ch, periodic_y, sgn_y_lo, sgn_y_hi,
+              off_y_lo, off_y_hi)
+
+    if not periodic_x:
+        @pl.when(first)
+        def _():
+            ub[lo - 1:lo, :] = sgn_x_lo * ub[lo:lo + 1, :] + off_x_lo
+
+        @pl.when(last)
+        def _():
+            ub[hi:hi + 1, :] = sgn_x_hi * ub[hi - 1:hi, :] + off_x_hi
+
+    c = ub[lo:hi, cl:ch]
+    nb = (ub[lo - 1:hi - 1, cl:ch] + ub[lo + 1:hi + 1, cl:ch] +
+          ub[lo:hi, cl - 1:ch - 1] + ub[lo:hi, cl + 1:ch + 1])
+    r = rb[pl.ds(0, W), :] - sub - (nb - 4.0 * c) / h2 + dia * c
+    r1 = _lane_pool(_row_pool(r))
+    r2 = _lane_pool(_row_pool(r1))
+    if batched:
+        or0[0, :, :] = r
+        or1[0, :, :] = r1
+        or2[0, :, :] = r2
+    else:
+        or0[:, :] = r
+        or1[:, :] = r1
+        or2[:, :] = r2
+
+
+@functools.partial(jax.jit, static_argnames=("S", "signs", "offs", "h2",
+                                             "periodic", "interpret"))
+def residual_restrict(u, rhs, dia=0.0, sub=0.0, *, h2: float,
+                      signs=(-1.0, -1.0, -1.0, -1.0),
+                      offs=(0.0, 0.0, 0.0, 0.0),
+                      periodic=(False, False), S: int = 256,
+                      interpret: bool = False):
+    """(r0, r1, r2): residual of (L - dia)u = rhs - sub with static BC
+    ghosts, and its two mean-pool restrictions, in ONE launch.
+    Requires n1 % (2*_LANE_CHUNK) == 0 or n1 <= _LANE_CHUNK-compatible
+    power of two; S % 4 == 0."""
+    n0, n1 = u.shape
+    if n0 % S or S % 4:
+        S = n0
+    nstrips = n0 // S
+    sx_lo, sx_hi, sy_lo, sy_hi = signs
+    kern = functools.partial(
+        _resid_restrict_kernel, n0=n0, n1=n1, S=S, h2=h2,
+        sgn_x_lo=sx_lo, sgn_x_hi=sx_hi, sgn_y_lo=sy_lo, sgn_y_hi=sy_hi,
+        periodic_x=periodic[0], periodic_y=periodic[1],
+        off_x_lo=offs[0], off_x_hi=offs[1],
+        off_y_lo=offs[2], off_y_hi=offs[3])
+    scal = jnp.stack([jnp.asarray(dia, u.dtype),
+                      jnp.asarray(sub, u.dtype)])
+    return pl.pallas_call(
+        kern,
+        grid=(nstrips,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(pl.BlockSpec((S, n1), lambda s: (s, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((S // 2, n1 // 2), lambda s: (s, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((S // 4, n1 // 4), lambda s: (s, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((n0, n1), u.dtype),
+                   jax.ShapeDtypeStruct((n0 // 2, n1 // 2), u.dtype),
+                   jax.ShapeDtypeStruct((n0 // 4, n1 // 4), u.dtype)),
+        scratch_shapes=[
+            pltpu.VMEM((GP + S + GP, CP + n1 + CP), u.dtype),
+            pltpu.VMEM((S, n1), u.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(u, rhs, scal)
+
+
+def _cascade_prolong_kernel(r1_hbm, r2_hbm, dia_ref, orep_hbm,
+                            repsc, rb, stage, zb, sem, *,
+                            n_half, S, H, nsweeps, coarsest, h2_half,
+                            sgn, per_y, min_n, batched=False):
+    """Levels <= n_half of the correction phase in ONE launch: at strip 0
+    the whole sub-cascade on r2 (restriction pyramid -> deep coarsest
+    sweeps -> prolong+relax back to n_q = n_half/2, exactly
+    coarse_vcycle) lands in a persistent VMEM scratch in lane-doubled
+    'rep' form; every strip then bilinearly prolongs it to the half
+    level and relaxes ``nsweeps`` with halo shrink (exactly
+    prolong_relax), writing the result lane-doubled + GP-row-padded so
+    the fine-level prolong_relax consumes it with zero host reshaping.
+    Non-periodic rows, homogeneous BCs (the correction phase)."""
+    if batched:
+        b = pl.program_id(0)
+        s = pl.program_id(1)
+        r1_hbm = r1_hbm.at[b]
+        r2_hbm = r2_hbm.at[b]
+        orep_hbm = orep_hbm.at[b]
+        dia = dia_ref[b, 0]
+    else:
+        s = pl.program_id(0)
+        dia = dia_ref[0, 0]
+    n_q = n_half // 2
+    W = S + 2 * H
+    f32 = rb.dtype
+    cl, ch = CP, CP + n_half
+
+    @pl.when(s == 0)
+    def _():
+        cp = pltpu.make_async_copy(
+            r2_hbm.at[:, :], rb.at[pl.ds(0, n_q), pl.ds(CP, n_q)],
+            sem.at[0])
+        cp.start()
+        cp.wait()
+        # ---- coarse_vcycle on r2 (n_q -> min_n -> n_q)
+        rs = {n_q: rb[pl.ds(0, n_q), cl:cl + n_q]}
+        n = n_q
+        while n > min_n:
+            rs[n // 2] = _lane_pool(_row_pool(rs[n]))
+            n //= 2
+        h2c = h2_half * (2 * n_q // min_n) ** 2
+        du = jnp.zeros((min_n, min_n), f32)
+        du = _cv_relax(du, rs[min_n], coarsest, h2c, dia, sgn, per_y)
+        n = min_n * 2
+        while n <= n_q:
+            rep = _lane_expand(du)
+            RR = jnp.repeat(rep, 2, axis=0)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+            even_r = (rows % 2) == 0
+            nb_r = jnp.where(even_r, jnp.roll(RR, 2, 0),
+                             jnp.roll(RR, -2, 0))
+            nb_r = jnp.where(rows == 0, sgn[0] * RR,
+                             jnp.where(rows == n - 1, sgn[1] * RR, nb_r))
+            A1 = 0.75 * RR + 0.25 * nb_r
+            even_c = (cols % 2) == 0
+            nb_c = jnp.where(even_c, jnp.roll(A1, 2, 1),
+                             jnp.roll(A1, -2, 1))
+            if not per_y:
+                nb_c = jnp.where(cols == 0, sgn[2] * A1,
+                                 jnp.where(cols == n - 1, sgn[3] * A1,
+                                           nb_c))
+            du = 0.75 * A1 + 0.25 * nb_c
+            h2c = h2_half * (2 * n_q // n) ** 2
+            du = _cv_relax(du, rs[n], nsweeps, h2c, dia, sgn, per_y)
+            n *= 2
+        # stash lane-doubled du_q with GP row padding (rep layout)
+        repsc[0:GP, :] = jnp.zeros((GP, n_half), f32)
+        repsc[GP:GP + n_q, :] = _lane_expand(du)
+        repsc[GP + n_q:GP + n_q + GP, :] = jnp.zeros((GP, n_half), f32)
+
+    # ---- per-strip: prolong repsc -> half level + relax (homogeneous)
+    rstart = pl.multiple_of(jnp.clip(s * S - H, 0, n_half - W), 2 * GP)
+    cstart = pl.multiple_of(rstart // 2, GP)
+    cp2 = pltpu.make_async_copy(
+        r1_hbm.at[pl.ds(rstart, W), :],
+        rb.at[pl.ds(0, W), pl.ds(CP, n_half)], sem.at[1])
+    cp2.start()
+    cp2.wait()
+    first = rstart == 0
+    last = rstart + W == n_half
+
+    C = repsc[pl.ds(cstart, W // 2 + 2 * GP), :][GP - 1:GP + W // 2 + 1, :]
+    RR = jnp.repeat(C, 2, axis=0)
+    base_r = RR[2:W + 2, :]
+    nb_up = RR[1:W + 1, :]
+    nb_dn = RR[3:W + 3, :]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (W, n_half), 0) + rstart
+    even_r = (rows % 2) == 0
+    nb_r = jnp.where(even_r, nb_up, nb_dn)
+    nb_r = jnp.where(rows == 0, sgn[0] * base_r,
+                     jnp.where(rows == n_half - 1, sgn[1] * base_r, nb_r))
+    A1 = 0.75 * base_r + 0.25 * nb_r
+    cols = jax.lax.broadcasted_iota(jnp.int32, (W, n_half), 1)
+    even_c = (cols % 2) == 0
+    nb_c = jnp.where(even_c, jnp.roll(A1, 1, 1), jnp.roll(A1, -1, 1))
+    if not per_y:
+        nb_c = jnp.where(cols == 0, sgn[2] * A1,
+                         jnp.where(cols == n_half - 1, sgn[3] * A1, nb_c))
+    du = 0.75 * A1 + 0.25 * nb_c
+
+    # relax in the strip buffer (halo shrink keeps the interior exact)
+    ub = stage
+    ub[GP:GP + W, cl:ch] = du
+    red = ((rows + cols) % 2) == 0
+    denom = 4.0 + dia * h2_half
+    lo, hi = GP, GP + W
+    for _ in range(nsweeps):
+        for color in (red, ~red):
+            _ghosts_y(ub, cl, ch, per_y, sgn[2], sgn[3])
+            _ghosts_x(ub, lo, hi, first, last, False, H == 0,
+                      sgn[0], sgn[1])
+            c = ub[lo:hi, cl:ch]
+            nb = (ub[lo - 1:hi - 1, cl:ch] + ub[lo + 1:hi + 1, cl:ch] +
+                  ub[lo:hi, cl - 1:ch - 1] + ub[lo:hi, cl + 1:ch + 1])
+            new = (nb - h2_half * rb[pl.ds(0, W), cl:ch]) / denom
+            ub[lo:hi, cl:ch] = jnp.where(color, new, c)
+
+    off = pl.multiple_of(s * S - rstart, GP)
+    strip = ub[pl.ds(GP + off, S), cl:ch]
+    zb[pl.ds(0, S), :] = _lane_expand(strip)
+    cpo = pltpu.make_async_copy(
+        zb.at[pl.ds(0, S), :],
+        orep_hbm.at[pl.ds(pl.multiple_of(GP + s * S, GP), S), :],
+        sem.at[2])
+    cpo.start()
+    cpo.wait()
+
+    @pl.when(s == 0)
+    def _():
+        zb[pl.ds(0, GP), :] = jnp.zeros((GP, 2 * n_half), f32)
+        cpz = pltpu.make_async_copy(
+            zb.at[pl.ds(0, GP), :], orep_hbm.at[pl.ds(0, GP), :],
+            sem.at[2])
+        cpz.start()
+        cpz.wait()
+        cpz2 = pltpu.make_async_copy(
+            zb.at[pl.ds(0, GP), :],
+            orep_hbm.at[pl.ds(GP + n_half, GP), :], sem.at[2])
+        cpz2.start()
+        cpz2.wait()
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "nsweeps", "coarsest", "h2_half", "signs", "per_y", "min_n", "S",
+    "interpret"))
+def cascade_prolong_relax(r1, r2, dia=0.0, *, nsweeps: int, coarsest: int,
+                          h2_half: float, signs=(-1.0, -1.0, -1.0, -1.0),
+                          per_y=False, min_n: int = 16, S: int = 64,
+                          interpret: bool = False):
+    """All correction levels at/below n_half = r1.shape[0] in one
+    launch.  Returns the half-level correction in 'rep' layout
+    (lane-doubled, GP-row-padded, shape (n_half + 2*GP, 2*n_half)) for
+    prolong_relax(..., pre_rep=True).  Equivalent to
+    coarse_vcycle(r2) -> prolong+relax(r1) of the jnp ladder."""
+    n_half = r1.shape[0]
+    H = -(-2 * nsweeps // (2 * GP)) * (2 * GP)
+    if n_half % S or n_half < S + 2 * H or (n_half // S) < 2:
+        S = n_half
+        H = 0
+    W = S + 2 * H
+    kern = functools.partial(
+        _cascade_prolong_kernel, n_half=n_half, S=S, H=H,
+        nsweeps=nsweeps, coarsest=coarsest, h2_half=h2_half, sgn=signs,
+        per_y=per_y, min_n=min(min_n, n_half // 2))
+    dia_arr = jnp.asarray(dia, r1.dtype).reshape(1, 1)
+    buf_rows = max(W + 2 * GP, n_half // 2)
+    return pl.pallas_call(
+        kern,
+        grid=(n_half // S,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((n_half + 2 * GP, 2 * n_half),
+                                       r1.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((GP + n_half // 2 + GP, n_half), r1.dtype),  # rep
+            pltpu.VMEM((buf_rows, CP + n_half + CP), r1.dtype),     # rhs
+            pltpu.VMEM((GP + W + GP, CP + n_half + CP), r1.dtype),  # u
+            pltpu.VMEM((S, 2 * n_half), r1.dtype),                  # out
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(r1, r2, dia_arr)
+
+
+@functools.partial(jax.jit, static_argnames=("S", "signs", "h2",
+                                             "periodic_y", "interpret"))
+def residual_restrict_batched(u, rhs, scal, *, h2: float,
+                              signs=(-1.0, -1.0, -1.0, -1.0),
+                              periodic_y=False, S: int = 256,
+                              interpret: bool = False):
+    """Batched residual_restrict: u, rhs (B, n0, n1); scal (B, 6) rows
+    [dia, sub, off_x_lo, off_x_hi, off_y_lo, off_y_hi].  Shared signs
+    and periodicity (the U+V diffusion pair).  Non-periodic rows."""
+    B, n0, n1 = u.shape
+    if n0 % S or S % 4:
+        S = n0
+    nstrips = n0 // S
+    sx_lo, sx_hi, sy_lo, sy_hi = signs
+    kern = functools.partial(
+        _resid_restrict_kernel, n0=n0, n1=n1, S=S, h2=h2,
+        sgn_x_lo=sx_lo, sgn_x_hi=sx_hi, sgn_y_lo=sy_lo, sgn_y_hi=sy_hi,
+        periodic_x=False, periodic_y=periodic_y,
+        off_x_lo=0.0, off_x_hi=0.0, off_y_lo=0.0, off_y_hi=0.0,
+        batched=True)
+    return pl.pallas_call(
+        kern,
+        grid=(B, nstrips),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(pl.BlockSpec((1, S, n1), lambda b, s: (b, s, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, S // 2, n1 // 2),
+                                lambda b, s: (b, s, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, S // 4, n1 // 4),
+                                lambda b, s: (b, s, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((B, n0, n1), u.dtype),
+                   jax.ShapeDtypeStruct((B, n0 // 2, n1 // 2), u.dtype),
+                   jax.ShapeDtypeStruct((B, n0 // 4, n1 // 4), u.dtype)),
+        scratch_shapes=[
+            pltpu.VMEM((GP + S + GP, CP + n1 + CP), u.dtype),
+            pltpu.VMEM((S, n1), u.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(u, rhs, scal)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "nsweeps", "coarsest", "h2_half", "signs", "per_y", "min_n", "S",
+    "interpret"))
+def cascade_prolong_relax_batched(r1, r2, dia, *, nsweeps: int,
+                                  coarsest: int, h2_half: float,
+                                  signs=(-1.0, -1.0, -1.0, -1.0),
+                                  per_y=False, min_n: int = 16,
+                                  S: int = 64, interpret: bool = False):
+    """Batched cascade_prolong_relax: r1 (B, n, n'), r2 (B, n/2, n'/2),
+    dia (B,).  The sub-cascade re-runs at strip 0 of each batch."""
+    B, n_half = r1.shape[0], r1.shape[1]
+    H = -(-2 * nsweeps // (2 * GP)) * (2 * GP)
+    if n_half % S or n_half < S + 2 * H or (n_half // S) < 2:
+        S = n_half
+        H = 0
+    W = S + 2 * H
+    kern = functools.partial(
+        _cascade_prolong_kernel, n_half=n_half, S=S, H=H,
+        nsweeps=nsweeps, coarsest=coarsest, h2_half=h2_half, sgn=signs,
+        per_y=per_y, min_n=min(min_n, n_half // 2), batched=True)
+    dia_arr = jnp.asarray(dia, r1.dtype).reshape(B, 1)
+    buf_rows = max(W + 2 * GP, n_half // 2)
+    return pl.pallas_call(
+        kern,
+        grid=(B, n_half // S),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((B, n_half + 2 * GP, 2 * n_half),
+                                       r1.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((GP + n_half // 2 + GP, n_half), r1.dtype),
+            pltpu.VMEM((buf_rows, CP + n_half + CP), r1.dtype),
+            pltpu.VMEM((GP + W + GP, CP + n_half + CP), r1.dtype),
+            pltpu.VMEM((S, 2 * n_half), r1.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(r1, r2, dia_arr)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "nsweeps", "S", "signs", "omega", "h2", "periodic_y", "interpret"))
+def prolong_relax_batched(rep, rhs, dia, u, *, nsweeps: int, h2: float,
+                          signs=(-1.0, -1.0, -1.0, -1.0),
+                          periodic_y=False, omega: float = 1.0,
+                          S: int = 64, interpret: bool = False):
+    """Batched prolong_relax with pre_rep + add_u: rep (B, n0/2+2GP, n1),
+    rhs/u (B, n0, n1), dia (B,)."""
+    B, n0, n1 = rhs.shape
+    H = -(-2 * nsweeps // (2 * GP)) * (2 * GP)
+    if n0 % S or n0 < S + 2 * H or (n0 // S) < 2:
+        S = n0
+        H = 0
+    W = S + 2 * H
+    sx_lo, sx_hi, sy_lo, sy_hi = signs
+    kern = functools.partial(
+        _prolong_relax_kernel, n0=n0, n1=n1, S=S, H=H, nsweeps=nsweeps,
+        h2=h2, sgn_x_lo=sx_lo, sgn_x_hi=sx_hi, sgn_y_lo=sy_lo,
+        sgn_y_hi=sy_hi, periodic_y=periodic_y, omega=omega, add_u=True,
+        batched=True)
+    dia_arr = jnp.asarray(dia, rhs.dtype).reshape(B, 1)
+    buf_rows = max(W + 2 * GP, W // 2 + 2 * GP)
+    return pl.pallas_call(
+        kern,
+        grid=(B, n0 // S),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, S, n1), lambda b, s: (b, s, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n0, n1), rhs.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((buf_rows, CP + n1 + CP), rhs.dtype),
+            pltpu.VMEM((W, CP + n1 + CP), rhs.dtype),
+            pltpu.VMEM((S, CP + n1 + CP), rhs.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(rep, rhs, dia_arr, u)
 
 
 def _strip_plan(n0, S, H, periodic_x):

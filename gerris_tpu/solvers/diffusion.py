@@ -73,3 +73,31 @@ def diffuse(v: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC, dt,
     v_new, stats = poisson.solve(v, -rhs, grid, fbc, params,
                                  alpha=alpha_imp, dia=rho_c, t=t)
     return v_new, stats
+
+
+def diffuse_pair(vs, grid: Grid, fbcs, dt, D, beta: float,
+                 params: poisson.MultilevelParams, extra_rhss,
+                 t: float = 0.0):
+    """The U+V scalar implicit-diffusion systems solved together.
+
+    On the fixed-cycle TPU path both Helmholtz systems ride ONE batched
+    fused-cycle launch chain (3 kernels/cycle total instead of 3 per
+    component); otherwise falls back to two sequential ``diffuse``
+    calls.  Scalar D, unit rho (the constant-density velocity pair).
+    Returns ([v_new...], stats)."""
+    scale = beta * dt * D
+    dia = 1.0 / scale
+    if (params is not None and params.ncycles > 0
+            and poisson.batched_fixed_eligible(vs, grid, fbcs,
+                                               [dia] * len(vs))):
+        rhss = [-(vs[c] + extra_rhss[c]) * dia for c in range(len(vs))]
+        return poisson.solve_fixed_batched(vs, rhss, grid, fbcs, params,
+                                           [dia] * len(vs))
+    outs = []
+    stats = None
+    for c in range(len(vs)):
+        v_new, stats = diffuse(vs[c], grid, fbcs[c], dt, D, beta=beta,
+                               params=params, extra_rhs=extra_rhss[c],
+                               t=t)
+        outs.append(v_new)
+    return outs, stats

@@ -57,6 +57,12 @@ class MultilevelParams:
     # src/poisson.h:32-51, swapped by the hypre/lis/agmg modules):
     # "multigrid" (native MG) or "cg" (Jacobi-preconditioned CG)
     solver: str = "multigrid"
+    # fixed cycle schedule: > 0 runs exactly this many sawtooth cycles
+    # with NO residual/tolerance checks (the launch-count-optimal TPU
+    # production path; on the fused-Pallas path each cycle is 3 kernel
+    # launches).  0 = adaptive tolerance loop (the default; the
+    # reference's nitermin/nitermax semantics).
+    ncycles: int = 0
 
 
 # -----------------------------------------------------------------------------
@@ -587,6 +593,131 @@ def cycle(u: jnp.ndarray, rhs: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
     return correction(r, grid, fbc, params, alpha, dia, u_fine=u)
 
 
+def _signs_offs(grid: Grid, fbc: bcs.FieldBC, homogeneous: bool):
+    """(signs, offs) ghost encodings for the fused kernels (ghost =
+    sign * mirror + off per side)."""
+    signs = tuple(
+        -1.0 if fbc.sides[ax][sd].kind == bcs.DIRICHLET else 1.0
+        for ax in range(2) for sd in range(2))
+    offs = []
+    for ax in range(2):
+        for sd in range(2):
+            b = fbc.sides[ax][sd]
+            if homogeneous or b.kind == bcs.PERIODIC:
+                offs.append(0.0)
+            elif b.kind == bcs.DIRICHLET:
+                offs.append(2.0 * float(b.value))
+            else:
+                offs.append((1.0 if sd else -1.0)
+                            * float(b.value) * grid.h)
+    return signs, tuple(offs)
+
+
+def _fused_cycle_eligible(u, grid: Grid, fbc: bcs.FieldBC, alpha, dia):
+    """The 3-launch fixed cycle (residual_restrict -> cascade_prolong ->
+    prolong_relax): 2D f32 TPU, unit alpha, scalar dia, static BC
+    values, non-periodic rows, power-of-two >= 512 shapes."""
+    n0, n1 = u.shape if u.ndim == 2 else (0, 0)
+    return (grid.dim == 2 and alpha is None
+            and (dia is None or jnp.ndim(dia) == 0)
+            and not fbc.is_periodic(0)
+            and n0 >= 512 and n1 >= 512
+            and (n0 & (n0 - 1)) == 0 and (n1 & (n1 - 1)) == 0
+            and _bc_values_static(fbc)
+            and _pallas_relax_applicable(u, grid, fbc, None, dia, True))
+
+
+def fused_cycle(u, rhs, grid: Grid, fbc: bcs.FieldBC,
+                params: MultilevelParams, dia=None, rhs_sub=0.0):
+    """One sawtooth cycle in 3 kernel launches (the launch-bound remote
+    TPU costs ~0.3 ms per launch regardless of size):
+      1. residual_restrict: r0 = (rhs - rhs_sub) - L(u), r1, r2;
+      2. cascade_prolong_relax: every level at/below n/2 (the whole
+         sub-cascade + half-level prolong+relax) -> rep layout;
+      3. prolong_relax(pre_rep): fine prolong + relax + u += du.
+    Sweep schedule identical to the adaptive correction() fused path.
+    Returns (u_new, r0)."""
+    from ..ops.pallas.rbgs import (residual_restrict, cascade_prolong_relax,
+                                   prolong_relax)
+
+    signs, offs = _signs_offs(grid, fbc, homogeneous=False)
+    d = dia if dia is not None else 0.0
+    r0, r1, r2 = residual_restrict(
+        u, rhs, d, rhs_sub, h2=grid.h * grid.h, signs=signs, offs=offs,
+        periodic=(False, fbc.is_periodic(1)))
+    nrelax = params.nrelax
+    rep = cascade_prolong_relax(
+        r1, r2, d, nsweeps=nrelax,
+        coarsest=max(params.coarsest_relax, 40),
+        h2_half=4.0 * grid.h * grid.h, signs=signs,
+        per_y=fbc.is_periodic(1), min_n=16)
+    u = prolong_relax(rep, r0, d, u, nsweeps=nrelax,
+                      h2=grid.h * grid.h, signs=signs,
+                      periodic_y=fbc.is_periodic(1), add_u=True,
+                      pre_rep=True)
+    return u, r0
+
+
+def batched_fixed_eligible(us, grid: Grid, fbcs, dias) -> bool:
+    """Can the component systems share one batched fused-cycle launch
+    chain?  Same signs/periodicity across the batch, scalar dias, and
+    the single-system fused-cycle constraints."""
+    if not all(_fused_cycle_eligible(u, grid, f, None, d)
+               for u, f, d in zip(us, fbcs, dias)):
+        return False
+    sp = [(_signs_offs(grid, f, False)[0], f.is_periodic(1))
+          for f in fbcs]
+    return all(x == sp[0] for x in sp[1:])
+
+
+def solve_fixed_batched(us, rhss, grid: Grid, fbcs,
+                        params: MultilevelParams, dias, subs=None):
+    """ncycles fixed sawtooth cycles on B independent scalar-dia systems
+    in 3 batched launches per cycle (the U+V implicit diffusion pair of
+    the NS step — CLAUDE.md round-3 candidate (a)).  Caller must check
+    batched_fixed_eligible."""
+    from ..ops.pallas.rbgs import (residual_restrict_batched,
+                                   cascade_prolong_relax_batched,
+                                   prolong_relax_batched)
+
+    B = len(us)
+    if _pallas_relax_applicable(us[0], grid, fbcs[0], None, None, True):
+        params = dataclasses.replace(
+            params, nrelax=max(params.nrelax, _NRELAX_BOOST),
+            coarsest_relax=max(params.coarsest_relax, 2 * _NRELAX_BOOST))
+    signs, _ = _signs_offs(grid, fbcs[0], False)
+    per_y = fbcs[0].is_periodic(1)
+    dt_ = us[0].dtype
+    rows = []
+    for b in range(B):
+        _, offs = _signs_offs(grid, fbcs[b], False)
+        d = jnp.asarray(0.0 if dias[b] is None else dias[b], dt_)
+        sb = jnp.asarray(0.0 if subs is None or subs[b] is None
+                         else subs[b], dt_)
+        rows.append(jnp.stack([d, sb] + [jnp.asarray(o, dt_)
+                                         for o in offs]))
+    scal = jnp.stack(rows)
+    dia_vec = scal[:, 0]
+    U = jnp.stack(us)
+    R = jnp.stack(rhss)
+    h2 = grid.h * grid.h
+    r0 = None
+    for _ in range(params.ncycles):
+        r0, r1, r2 = residual_restrict_batched(
+            U, R, scal, h2=h2, signs=signs, periodic_y=per_y)
+        rep = cascade_prolong_relax_batched(
+            r1, r2, dia_vec, nsweeps=params.nrelax,
+            coarsest=max(params.coarsest_relax, 40),
+            h2_half=4.0 * h2, signs=signs, per_y=per_y, min_n=16)
+        U = prolong_relax_batched(rep, r0, dia_vec, U,
+                                  nsweeps=params.nrelax, h2=h2,
+                                  signs=signs, periodic_y=per_y)
+    stats = SolveStats(niter=jnp.asarray(params.ncycles),
+                       residual_before=norms(r0),
+                       residual_after=norms(r0))
+    return [U[b] for b in range(B)], stats
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class SolveStats:
@@ -705,12 +836,44 @@ def register_solver(name: str, fn):
 
 def solve(u: jnp.ndarray, rhs: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
           params: MultilevelParams = MultilevelParams(), alpha=None, dia=None,
-          t: float = 0.0):
+          t: float = 0.0, rhs_sub=None):
     """Iterate cycles until residual.infty <= tolerance * max(|rhs|) or
     nitermax, at least nitermin (reference: src/poisson.c:1225-1269
     gfs_poisson_solve; tolerance semantics relative to the projection dt
     scale there — here relative to the rhs infinity norm).  Routes to the
-    registered backend when params.solver != 'multigrid'."""
+    registered backend when params.solver != 'multigrid'.
+
+    ``rhs_sub``: optional scalar subtracted from rhs (the pure-Neumann
+    compatibility mean) — folded into the fused residual kernel on the
+    fixed-cycle TPU path instead of costing an elementwise launch.
+    ``params.ncycles > 0``: fixed cycle schedule, no tolerance checks;
+    stats report the residual entering the last cycle (the final
+    residual is one reduction factor smaller)."""
+    if params.ncycles > 0 and params.solver == "multigrid":
+        if _pallas_relax_applicable(u, grid, fbc, alpha, dia, True):
+            params = dataclasses.replace(
+                params, nrelax=max(params.nrelax, _NRELAX_BOOST),
+                coarsest_relax=max(params.coarsest_relax,
+                                   2 * _NRELAX_BOOST))
+        if _fused_cycle_eligible(u, grid, fbc, alpha, dia):
+            sub = 0.0 if rhs_sub is None else rhs_sub
+            r0 = None
+            for _ in range(params.ncycles):
+                u, r0 = fused_cycle(u, rhs, grid, fbc, params, dia, sub)
+            return u, SolveStats(niter=jnp.asarray(params.ncycles),
+                                 residual_before=norms(r0),
+                                 residual_after=norms(r0))
+        if rhs_sub is not None:
+            rhs = rhs - rhs_sub
+        r0 = residual_jit(u, rhs, grid, fbc, alpha, dia, t=t)
+        for _ in range(params.ncycles):
+            u = cycle_jit(u, rhs, grid, fbc, params, alpha, dia, t=t)
+        return u, SolveStats(niter=jnp.asarray(params.ncycles),
+                             residual_before=norms(r0),
+                             residual_after=norms(residual_jit(
+                                 u, rhs, grid, fbc, alpha, dia, t=t)))
+    if rhs_sub is not None:
+        rhs = rhs - rhs_sub
     if params.solver != "multigrid":
         return SOLVER_REGISTRY[params.solver](u, rhs, grid, fbc, params,
                                               alpha, dia, t)

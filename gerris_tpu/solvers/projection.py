@@ -122,18 +122,20 @@ def mac_projection(u_face: list, p: jnp.ndarray, grid: Grid,
     # GfsPoisson correct_div, src/simulation.c:2156-2186).  With embedded
     # solids the mean is fluid-volume weighted so fully-solid cells (zero
     # operator diagonal) keep rhs = 0.
+    rhs_sub = None
     if not any(side.kind == bcs.DIRICHLET for ax in p_bc.sides for side in ax):
         if vol_frac is None:
             if div_total is not None:
-                # the fused divergence kernel already summed div
-                div = div - div_total / div.size
+                # the fused divergence kernel already summed div; the
+                # subtraction folds into the solver's residual kernel
+                rhs_sub = div_total / div.size
             else:
                 div = div - jnp.mean(div)
         else:
             div = div - vol_frac * (jnp.sum(div)
                                     / jnp.maximum(jnp.sum(vol_frac), 1e-30))
     p, stats = poisson.solve(p, div, grid, p_bc, params, alpha=alpha_solve,
-                             t=t)
+                             t=t, rhs_sub=rhs_sub)
     # single-launch correction on the TPU fast path (launch-bound remote
     # device): face gradients + uf correction + cell gradient in one
     # Pallas kernel (ops/pallas/projops.correct_project)

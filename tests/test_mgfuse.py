@@ -133,3 +133,158 @@ def test_coarse_vcycle_matches_jnp(kind, per_y):
                              min_n=min_n, interpret=True)
     d = float(jnp.max(jnp.abs(du - out)))
     assert d < 1e-10, d
+
+
+def _ladder_cycle(u, rhs, grid, fbc, dia, nsweeps, coarsest, min_n=16):
+    """jnp reference for one fused_cycle: residual + 2 restricts +
+    coarse cascade + prolong/relax at n/2 and n (identical schedule)."""
+    import dataclasses as dc
+    r0 = poisson.residual(u, rhs, grid, fbc, dia=dia, homogeneous=False)
+    r1 = poisson.restrict(r0, 2)
+    r2 = poisson.restrict(r1, 2)
+    gh = dc.replace(grid, level=grid.level - 1)
+    gq = dc.replace(grid, level=grid.level - 2)
+    # cascade on r2 down to min_n
+    rs = [r2]
+    grids = [gq]
+    g = gq
+    while g.shape[0] > min_n:
+        rs.append(poisson.restrict(rs[-1], 2))
+        g = dc.replace(g, level=g.level - 1)
+        grids.append(g)
+    du = jnp.zeros_like(rs[-1])
+    du = poisson.relax(du, rs[-1], grids[-1], fbc, coarsest, dia=dia,
+                       homogeneous=True)
+    for k in range(len(grids) - 2, -1, -1):
+        du = poisson.prolong(du, grids[k + 1], fbc, homogeneous=True)
+        du = poisson.relax(du, rs[k], grids[k], fbc, nsweeps, dia=dia,
+                           homogeneous=True)
+    du = poisson.prolong(du, gq, fbc, homogeneous=True)
+    du = poisson.relax(du, r1, gh, fbc, nsweeps, dia=dia, homogeneous=True)
+    du = poisson.prolong(du, gh, fbc, homogeneous=True)
+    du = poisson.relax(du, r0, grid, fbc, nsweeps, dia=dia,
+                       homogeneous=True)
+    return u + du, r0
+
+
+@pytest.mark.parametrize("kind,per_y", [
+    ("neumann", False), ("dirichlet", False), ("mixed", True)])
+def test_residual_restrict_matches_jnp(kind, per_y):
+    grid = Grid(level=8, dim=2)
+    if kind == "neumann":
+        fbc = bcs.FieldBC(((bcs.Neumann(0.25), bcs.Neumann(-0.5)),
+                           (bcs.Neumann(), bcs.Neumann(0.75))))
+        signs = (1.0, 1.0, 1.0, 1.0)
+        offs = (-0.25 * grid.h, -0.5 * grid.h, -0.0, 0.75 * grid.h)
+    elif kind == "dirichlet":
+        fbc = bcs.FieldBC(((bcs.Dirichlet(0.3), bcs.Dirichlet(-0.2)),
+                           (bcs.Dirichlet(0.0), bcs.Dirichlet(1.0))))
+        signs = (-1.0, -1.0, -1.0, -1.0)
+        offs = (0.6, -0.4, 0.0, 2.0)
+    else:
+        fbc = bcs.FieldBC(((bcs.Dirichlet(0.0), bcs.Neumann()),
+                           (bcs.Periodic(), bcs.Periodic())))
+        signs = (-1.0, 1.0, 1.0, 1.0)
+        offs = (0.0, 0.0, 0.0, 0.0)
+    u = jax.random.normal(jax.random.PRNGKey(0), grid.shape)
+    rhs = jax.random.normal(jax.random.PRNGKey(1), grid.shape)
+    dia, sub = 0.4, 0.37
+    ref0 = poisson.residual(u, rhs - sub, grid, fbc, dia=dia,
+                            homogeneous=False)
+    ref1 = poisson.restrict(ref0, 2)
+    ref2 = poisson.restrict(ref1, 2)
+    r0, r1, r2 = rbgs.residual_restrict(
+        u, rhs, dia, sub, h2=grid.h ** 2, signs=signs, offs=offs,
+        periodic=(False, per_y), interpret=True)
+    assert float(jnp.max(jnp.abs(ref0 - r0))) < 1e-9
+    assert float(jnp.max(jnp.abs(ref1 - r1))) < 1e-9
+    assert float(jnp.max(jnp.abs(ref2 - r2))) < 1e-9
+
+
+@pytest.mark.parametrize("kind,per_y", [("neumann", False),
+                                        ("dirichlet", False),
+                                        ("dirichlet", True)])
+def test_fused_cycle_matches_ladder(kind, per_y):
+    """The 3-launch fixed cycle == the jnp restrict/cascade/prolong
+    ladder with the identical sweep schedule."""
+    grid = Grid(level=8, dim=2)
+    if kind == "neumann":
+        fbc = bcs.default_scalar_bc(2)
+    else:
+        sides = ((bcs.Dirichlet(0.0), bcs.Dirichlet(0.0)),
+                 (bcs.Periodic(), bcs.Periodic()) if per_y else
+                 (bcs.Dirichlet(0.0), bcs.Dirichlet(0.0)))
+        fbc = bcs.FieldBC(sides)
+    u = jax.random.normal(jax.random.PRNGKey(2), grid.shape)
+    rhs = jax.random.normal(jax.random.PRNGKey(3), grid.shape)
+    dia = 0.25
+    nsweeps, coarsest = 4, 40
+    signs, offs = poisson._signs_offs(grid, fbc, homogeneous=False)
+
+    ref_u, ref_r0 = _ladder_cycle(u, rhs, grid, fbc, dia, nsweeps,
+                                  coarsest)
+    r0, r1, r2 = rbgs.residual_restrict(
+        u, rhs, dia, 0.0, h2=grid.h ** 2, signs=signs, offs=offs,
+        periodic=(False, per_y), interpret=True)
+    rep = rbgs.cascade_prolong_relax(
+        r1, r2, dia, nsweeps=nsweeps, coarsest=coarsest,
+        h2_half=4.0 * grid.h ** 2, signs=signs, per_y=per_y,
+        min_n=16, interpret=True)
+    out = rbgs.prolong_relax(rep, r0, dia, u, nsweeps=nsweeps,
+                             h2=grid.h ** 2, signs=signs,
+                             periodic_y=per_y, add_u=True, pre_rep=True,
+                             interpret=True)
+    d = float(jnp.max(jnp.abs(ref_u - out)))
+    assert d < 1e-8, d
+
+
+def test_batched_fused_cycle_matches_unbatched():
+    """The batched (B=2) kernel chain == per-system unbatched chain,
+    with different BC offsets and subs per system."""
+    grid = Grid(level=8, dim=2)
+    fbc_u = bcs.FieldBC(((bcs.Dirichlet(0.0), bcs.Dirichlet(0.0)),
+                         (bcs.Dirichlet(0.0), bcs.Dirichlet(1.0))))
+    fbc_v = bcs.FieldBC.uniform(bcs.Dirichlet(0.0), 2)
+    signs = (-1.0, -1.0, -1.0, -1.0)
+    nsweeps, coarsest = 4, 40
+    h2 = grid.h ** 2
+    dia = 3.7
+    ks = jax.random.split(jax.random.PRNGKey(5), 4)
+    us = [jax.random.normal(ks[i], grid.shape) for i in range(2)]
+    rs = [jax.random.normal(ks[2 + i], grid.shape) for i in range(2)]
+    subs = [0.0, 0.1]
+
+    refs = []
+    for b, fbc in enumerate((fbc_u, fbc_v)):
+        _, offs = poisson._signs_offs(grid, fbc, homogeneous=False)
+        r0, r1, r2 = rbgs.residual_restrict(
+            us[b], rs[b], dia, subs[b], h2=h2, signs=signs, offs=offs,
+            periodic=(False, False), interpret=True)
+        rep = rbgs.cascade_prolong_relax(
+            r1, r2, dia, nsweeps=nsweeps, coarsest=coarsest,
+            h2_half=4 * h2, signs=signs, per_y=False, min_n=16,
+            interpret=True)
+        refs.append(rbgs.prolong_relax(
+            rep, r0, dia, us[b], nsweeps=nsweeps, h2=h2, signs=signs,
+            periodic_y=False, add_u=True, pre_rep=True, interpret=True))
+
+    rows = []
+    for b, fbc in enumerate((fbc_u, fbc_v)):
+        _, offs = poisson._signs_offs(grid, fbc, homogeneous=False)
+        rows.append([dia, subs[b]] + list(offs))
+    scal = jnp.asarray(rows, jnp.float32)
+    U = jnp.stack([u.astype(jnp.float32) for u in us])
+    R = jnp.stack([r.astype(jnp.float32) for r in rs])
+    r0b, r1b, r2b = rbgs.residual_restrict_batched(
+        U, R, scal, h2=h2, signs=signs, periodic_y=False, interpret=True)
+    repb = rbgs.cascade_prolong_relax_batched(
+        r1b, r2b, jnp.asarray([dia, dia], jnp.float32),
+        nsweeps=nsweeps, coarsest=coarsest, h2_half=4 * h2, signs=signs,
+        per_y=False, min_n=16, interpret=True)
+    outb = rbgs.prolong_relax_batched(
+        repb, r0b, jnp.asarray([dia, dia], jnp.float32), U,
+        nsweeps=nsweeps, h2=h2, signs=signs, periodic_y=False,
+        interpret=True)
+    for b in range(2):
+        d = float(jnp.max(jnp.abs(outb[b] - refs[b])))
+        assert d < 1e-4, (b, d)
