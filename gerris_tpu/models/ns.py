@@ -129,13 +129,10 @@ def predicted_face_velocities(U: list, grid: Grid, cfg: NSConfig, dt, t):
                 and su["per_y"] == sv["per_y"]
                 and None not in su["fb_x"]
                 and (sv["per_y"] or None not in sv["fb_y"])):
-            kw = dict(sgn_u=su["sgn"], off_u=su["off"],
-                      sgn_v=sv["sgn"], off_v=sv["off"],
-                      per_y=su["per_y"])
-            ufx = predict.predict_x(U[0], U[1], dt, grid.h,
-                                    fb=su["fb_x"], **kw)
-            ufy = predict.predict_y(U[0], U[1], dt, grid.h,
-                                    fb=sv["fb_y"] or (0.0, 0.0), **kw)
+            ufx, ufy = predict.predict_xy(
+                U[0], U[1], dt, grid.h, sgn_u=su["sgn"], off_u=su["off"],
+                sgn_v=sv["sgn"], off_v=sv["off"], per_y=su["per_y"],
+                fb_x=su["fb_x"], fb_y=sv["fb_y"] or (0.0, 0.0))
             return [ufx, ufy]
     uc_pad = [bcs.apply_bc(U[c], grid, cfg.u_bcs[c], 1, t=t, corners=False)
               for c in range(grid.dim)]

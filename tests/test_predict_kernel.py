@@ -61,3 +61,38 @@ def test_predict_matches_jnp(lid):
     dy = np.abs(_mask_corner_faces(ref[1] - ufy, 1))
     assert dx.max() < 1e-5, dx.max()
     assert dy.max() < 1e-5, dy.max()
+
+
+@pytest.mark.parametrize("lid", [True, False])
+def test_predict_xy_matches_separate(lid):
+    """The single-launch two-component predictor == predict_x +
+    predict_y exactly."""
+    grid = Grid(level=6, dim=2)
+    if lid:
+        u_bc = bcs.FieldBC.make(2, default=bcs.Dirichlet(0.0),
+                                top=bcs.Dirichlet(1.0))
+        v_bc = bcs.FieldBC.uniform(bcs.Dirichlet(0.0), 2)
+        per_y = False
+    else:
+        u_bc = bcs.FieldBC(((bcs.Dirichlet(0.0), bcs.Dirichlet(0.0)),
+                            (bcs.Periodic(), bcs.Periodic())))
+        v_bc = u_bc
+        per_y = True
+    su = bcg.kernel_spec(u_bc, with_face_bc=True)
+    sv = bcg.kernel_spec(v_bc, with_face_bc=True)
+    ks = jax.random.split(jax.random.PRNGKey(1), 2)
+    U = jax.random.normal(ks[0], grid.shape, jnp.float32)
+    V = jax.random.normal(ks[1], grid.shape, jnp.float32)
+    dt = 0.4 * grid.h
+    kw = dict(sgn_u=su["sgn"], off_u=su["off"], sgn_v=sv["sgn"],
+              off_v=sv["off"], per_y=per_y)
+    rx = predict.predict_x(U, V, dt, grid.h, fb=su["fb_x"],
+                           interpret=True, **kw)
+    ry = predict.predict_y(U, V, dt, grid.h,
+                           fb=sv["fb_y"] or (0.0, 0.0),
+                           interpret=True, **kw)
+    ox, oy = predict.predict_xy(U, V, dt, grid.h, fb_x=su["fb_x"],
+                                fb_y=sv["fb_y"] or (0.0, 0.0),
+                                interpret=True, **kw)
+    assert float(jnp.max(jnp.abs(ox - rx))) == 0.0
+    assert float(jnp.max(jnp.abs(oy - ry))) == 0.0
