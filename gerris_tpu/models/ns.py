@@ -175,27 +175,37 @@ def velocity_advection_diffusion(U: list, uf: list, gmac: list, g_prev,
         specs = [bcg.kernel_spec(cfg.u_bcs[c], with_face_bc=True)
                  for c in range(dim)]
         if all(sp is not None and not sp["per_y"] for sp in specs):
-            fvs = []
+            # when no extra per-cell sources, the whole momentum-rhs
+            # epilogue folds into the advection kernel (gp/oscale):
+            # rhs_c = -dia (v + fv - dt g_prev) with zero extra launches
+            plain = (sources is None and cfg.body_force is None)
+            dia = 1.0 / (cfg.beta * dt * cfg.nu)
+            vals = []
             for c in range(dim):
                 spec = specs[c]
                 fv = bcg.advect2d(U[c], uf[0], uf[1], dt, grid.h,
-                                  gmac[c], sgn=spec["sgn"],
+                                  gmac[c],
+                                  gp=(g_prev[c] if g_prev is not None
+                                      else None),
+                                  oscale=(-dia if plain else None),
+                                  sgn=spec["sgn"],
                                   off=spec["off"], per_y=spec["per_y"],
                                   fb_x=spec["fb_x"] if c == 0 else None,
                                   fb_y=spec["fb_y"] if c == 1 else None)
-                if g_prev is not None:
-                    fv = fv - dt * g_prev[c]
-                if sources is not None and sources[c] is not None:
-                    fv = fv + dt * sources[c]
-                if (cfg.body_force is not None
-                        and cfg.body_force[c] is not None):
-                    bf = cfg.body_force[c]
-                    fv = fv + dt * (bf(*grid.centers, t) if callable(bf)
-                                    else bf)
-                fvs.append(fv)
-            out, _ = diff.diffuse_pair(U, grid, list(cfg.u_bcs), dt,
-                                       cfg.nu, cfg.beta,
-                                       cfg.diffusion_params, fvs, t=t)
+                if not plain:
+                    if sources is not None and sources[c] is not None:
+                        fv = fv + dt * sources[c]
+                    if (cfg.body_force is not None
+                            and cfg.body_force[c] is not None):
+                        bf = cfg.body_force[c]
+                        fv = fv + dt * (bf(*grid.centers, t)
+                                        if callable(bf) else bf)
+                vals.append(fv)
+            out, _ = diff.diffuse_pair(
+                U, grid, list(cfg.u_bcs), dt, cfg.nu, cfg.beta,
+                cfg.diffusion_params,
+                extra_rhss=None if plain else vals,
+                rhss=vals if plain else None, t=t)
             return out
 
     out = []
@@ -628,21 +638,23 @@ def ns_step(state: dict, dt, t, cfg: NSConfig, cstart: int = 0,
     U = velocity_advection_diffusion(U, uf, gmac, g_prev, grid, cfg, dt, t,
                                      sources=sources, rho=rho_c,
                                      solid=solid)
+    # 4. approximate projection at dt.  The gc gradient re-add
+    # (gfs_correct_centered_velocities with -dt, src/simulation.c:520)
+    # folds into the face-interpolation launch; the post-solve centred
+    # correction folds into the projection-correction launch.
     if gc:
-        # remove the explicit gradient again before re-projecting
-        # (gfs_correct_centered_velocities with -dt, src/simulation.c:520)
-        U = [U[c] + dt * g_prev[c] for c in range(dim)]
-
-    # 4. approximate projection at dt
-    uf2 = proj.face_interpolated_velocity(U, grid, list(cfg.u_bcs), t=t)
+        uf2, U = proj.face_interpolated_velocity(
+            U, grid, list(cfg.u_bcs), t=t, gp=g_prev, dtv=dt)
+    else:
+        uf2 = proj.face_interpolated_velocity(U, grid, list(cfg.u_bcs),
+                                              t=t)
     if sfrac is not None:
         uf2 = [jnp.where(sfrac[c] > 0.0, uf2[c], 0.0) for c in range(dim)]
-    uf2, p, g_cell, _ = proj.mac_projection(
+    uf2, p, g_cell, _, U = proj.mac_projection(
         uf2, state["P"], grid, cfg.p_bc, dt, cfg.approx_projection,
         alpha=alpha, div_source=approx_div_src, face_sources=fs,
         face_frac=sfrac,
-        vol_frac=None if solid is None else solid[0], t=t)
-    U = [U[c] - dt * g_cell[c] for c in range(dim)]
+        vol_frac=None if solid is None else solid[0], t=t, cells=U)
     if solid is not None:
         U = [jnp.where(solid[0] > 0.0, U[c], 0.0) for c in range(dim)]
 

@@ -53,12 +53,16 @@ def _dma(src, dst, dst_row0, start, nrows, sem):
     return cp
 
 
-def _kernel(dt_ref, v_hbm, ux_hbm, uy_hbm, g_hbm, out_ref,
-            vb, uxb, uyb, gb, sem, *,
-            n0, n1, S, H, nstrips, sgn, off, per_y, fb_x, fb_y, use_g):
+def _kernel(dt_ref, v_hbm, ux_hbm, uy_hbm, g_hbm, gp_hbm, out_ref,
+            vb, uxb, uyb, gb, gpb, sem, *,
+            n0, n1, S, H, nstrips, sgn, off, per_y, fb_x, fb_y, use_g,
+            use_gp, use_os):
     s = pl.program_id(0)
     W = S + 2 * H
     dt_h = dt_ref[0, 0]               # dt / h
+    gscale = dt_ref[0, 1]             # h / 2 (g prescale, in-kernel)
+    dt_full = dt_ref[0, 2]            # dt (for the cell-wise gp term)
+    oscale = dt_ref[0, 3]             # output scale (rhs mode)
 
     rstart = pl.multiple_of(jnp.clip(s * S - H, 0, n0 - W), GP)
     cps = [_dma(v_hbm, vb, 0, rstart, W, sem.at[0]),
@@ -66,6 +70,8 @@ def _kernel(dt_ref, v_hbm, ux_hbm, uy_hbm, g_hbm, out_ref,
            _dma(uy_hbm, uyb, 0, rstart, W, sem.at[2])]
     if use_g:
         cps.append(_dma(g_hbm, gb, 0, rstart, W, sem.at[3]))
+    if use_gp:
+        cps.append(_dma(gp_hbm, gpb, 0, rstart, W, sem.at[4]))
     for cp in cps:
         cp.wait()
 
@@ -136,8 +142,7 @@ def _kernel(dt_ref, v_hbm, ux_hbm, uy_hbm, g_hbm, out_ref,
                        jnp.where(unf < 0.0, right,
                                  0.5 * (left + right)))
         if use_g:
-            # g pre-scaled by h/2 in the wrapper
-            gc = gb[:, cl:ch]
+            gc = gscale * gb[:, cl:ch]
             ge = jnp.concatenate([gc[0:1, :], gc[0:W, :],
                                   gc[W - 1:W, :]], axis=0)
             Fx = Fx - dt_h * 0.5 * (ge[soff:soff + S + 1, :]
@@ -183,7 +188,7 @@ def _kernel(dt_ref, v_hbm, ux_hbm, uy_hbm, g_hbm, out_ref,
                        jnp.where(uys < 0.0, righty,
                                  0.5 * (lefty + righty)))
         if use_g:
-            gs = gb[soff:soff + S, cl:ch]
+            gs = gscale * gb[soff:soff + S, cl:ch]
             gey = jnp.concatenate([gs[:, 0:1], gs, gs[:, n1 - 1:n1]],
                                   axis=1)
             Fy = Fy - dt_h * 0.5 * (gey[:, 0:n1 + 1] + gey[:, 1:n1 + 2])
@@ -195,7 +200,15 @@ def _kernel(dt_ref, v_hbm, ux_hbm, uy_hbm, g_hbm, out_ref,
             if fb_y[1] is not None:
                 Fy = jnp.where(cidx == n1, fb_y[1], Fy)
         fly = uys * Fy
-        out_ref[:, :] = fv - dt_h * (fly[:, 1:n1 + 1] - fly[:, 0:n1])
+        total = fv - dt_h * (fly[:, 1:n1 + 1] - fly[:, 0:n1])
+        # optional folds (the momentum-rhs epilogue of
+        # velocity_advection_diffusion: fv -= dt*g_prev, then the
+        # diffusion system rhs -(v + fv) * dia — zero extra launches)
+        if use_gp:
+            total = total - dt_full * gpb[soff:soff + S, cl:ch]
+        if use_os:
+            total = oscale * (vb[soff:soff + S, cl:ch] + total)
+        out_ref[:, :] = total
 
     if nstrips == 1:
         body(0, True, True)
@@ -272,7 +285,8 @@ def applicable(v, grid, par=None) -> bool:
 
 @functools.partial(jax.jit, static_argnames=(
     "sgn", "off", "per_y", "fb_x", "fb_y", "S", "interpret"))
-def advect2d(v, ufx, ufy, dt, h, g=None, *, sgn, off, per_y=False,
+def advect2d(v, ufx, ufy, dt, h, g=None, gp=None, oscale=None, *,
+             sgn, off, per_y=False,
              fb_x=None, fb_y=None, S=32, interpret=False):
     """Conservative BCG advection increment for one cell field:
     v_new = v + advect2d(...).
@@ -282,7 +296,11 @@ def advect2d(v, ufx, ufy, dt, h, g=None, *, sgn, off, per_y=False,
     array — the applied correction is dt/2 * face_average(g), matching
     models/ns.velocity_advection_diffusion.
     sgn/off: (x_lo, x_hi, y_lo, y_hi) ghost encodings;
-    fb_x/fb_y: None or (lo, hi) forced domain-boundary face values."""
+    fb_x/fb_y: None or (lo, hi) forced domain-boundary face values.
+    ``gp``: optional cell array subtracted as dt*gp from the increment
+    (the gc pressure-gradient momentum term).  ``oscale``: when given,
+    the output becomes oscale * (v + increment) — the implicit-diffusion
+    system rhs — instead of the bare increment."""
     n0, n1 = v.shape
     H = GP
     if n0 % S or n0 < S + 2 * H:
@@ -294,20 +312,29 @@ def advect2d(v, ufx, ufy, dt, h, g=None, *, sgn, off, per_y=False,
     # DMA source widths must be 128-lane aligned: pad ufy's n1+1 columns
     ypad = (-(n1 + 1)) % CP
     uyp = jnp.pad(ufy, ((0, 0), (0, ypad))) if ypad else ufy
-    dt_arr = (jnp.asarray(dt, v.dtype) / h).reshape(1, 1)
+    dt_arr = jnp.stack([
+        jnp.asarray(dt, v.dtype) / h,
+        jnp.asarray(h, v.dtype) / 2.0,
+        jnp.asarray(dt, v.dtype),
+        jnp.asarray(0.0 if oscale is None else oscale, v.dtype),
+    ]).reshape(1, 4)
     use_g = g is not None
-    # in-kernel correction is dt_h * (1/2)(g_{f-1} + g_f): pre-scale by
-    # h/2 so it equals dt/2 * face_avg(g)
-    g_in = (g * (h / 2.0)).astype(v.dtype) if use_g \
-        else jnp.zeros((GP, n1), v.dtype)
+    # the applied correction is dt/2 * face_avg(g): the h/2 prescale is
+    # applied IN-KERNEL (gscale) so no elementwise launch touches g
+    g_in = g if use_g else jnp.zeros((GP, n1), v.dtype)
+    use_gp = gp is not None
+    use_os = oscale is not None
+    gp_in = gp if use_gp else jnp.zeros((GP, n1), v.dtype)
     kern = functools.partial(
         _kernel, n0=n0, n1=n1, S=S, H=H, nstrips=nstrips,
         sgn=tuple(sgn), off=tuple(off),
-        per_y=per_y, fb_x=fb_x, fb_y=fb_y, use_g=use_g)
+        per_y=per_y, fb_x=fb_x, fb_y=fb_y, use_g=use_g,
+        use_gp=use_gp, use_os=use_os)
     return pl.pallas_call(
         kern,
         grid=(nstrips,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.ANY),
                   pl.BlockSpec(memory_space=pltpu.ANY),
                   pl.BlockSpec(memory_space=pltpu.ANY),
                   pl.BlockSpec(memory_space=pltpu.ANY),
@@ -321,7 +348,9 @@ def advect2d(v, ufx, ufy, dt, h, g=None, *, sgn, off, per_y=False,
             pltpu.VMEM((W, CP + n1 + 1 + ypad + CP), v.dtype),  # ufy
             pltpu.VMEM((W if use_g else GP, CP + n1 + CP),
                        v.dtype),                              # g
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((W if use_gp else GP, CP + n1 + CP),
+                       v.dtype),                              # gp
+            pltpu.SemaphoreType.DMA((5,)),
         ],
         interpret=interpret,
-    )(dt_arr, v, uxp, uyp, g_in)
+    )(dt_arr, v, uxp, uyp, g_in, gp_in)

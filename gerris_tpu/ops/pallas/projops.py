@@ -40,20 +40,32 @@ def _ghost_rows_cols(buf, W, cl, ch, sgn, off, per_y, first, last):
     ], axis=0)
 
 
-def _kern_interp(u_hbm, v_hbm, ox_ref, oy_ref, ubuf, vbuf, sem, *,
+def _kern_interp(dt_ref, u_hbm, v_hbm, gx_hbm, gy_hbm,
+                 ox_ref, oy_ref, ou_ref, ov_ref, ubuf, vbuf, gxb, gyb,
+                 sem, *,
                  n0, n1, n1p, S, H, nstrips, sgn_u, off_u, sgn_v, off_v,
-                 per_y, fbx_lo, fby):
+                 per_y, fbx_lo, fby, use_gp):
     """Face-interpolated MAC velocities for both components in one
     launch: ox rows = x-faces s*S..s*S+S-1 (face n0 appended by the
-    wrapper); oy = y-faces 0..n1 (padded width n1p)."""
+    wrapper); oy = y-faces 0..n1 (padded width n1p).
+    ``use_gp``: the cells are first updated u += dt*gx, v += dt*gy (the
+    gc pressure-gradient re-add, src/simulation.c:520) and the updated
+    cells are emitted as ou/ov — zero extra launches."""
     s = pl.program_id(0)
     W = S + 2 * H
     rstart = pl.multiple_of(jnp.clip(s * S - H, 0, n0 - W), GP)
     cps = [_dma(u_hbm, ubuf, 0, rstart, W, sem.at[0]),
            _dma(v_hbm, vbuf, 0, rstart, W, sem.at[1])]
+    if use_gp:
+        cps.append(_dma(gx_hbm, gxb, 0, rstart, W, sem.at[2]))
+        cps.append(_dma(gy_hbm, gyb, 0, rstart, W, sem.at[3]))
     for cp in cps:
         cp.wait()
     cl, ch = CP, CP + n1
+    if use_gp:
+        dtv = dt_ref[0, 0]
+        ubuf[0:W, cl:ch] = ubuf[0:W, cl:ch] + dtv * gxb[0:W, cl:ch]
+        vbuf[0:W, cl:ch] = vbuf[0:W, cl:ch] + dtv * gyb[0:W, cl:ch]
 
     def body(soff: int, first: bool, last: bool):
         ue = _ghost_rows_cols(ubuf, W, cl, ch, sgn_u, off_u, per_y,
@@ -79,6 +91,9 @@ def _kern_interp(u_hbm, v_hbm, ox_ref, oy_ref, ubuf, vbuf, sem, *,
             if fby[1] is not None:
                 vy = jnp.where(cidx == n1, fby[1], vy)
         oy_ref[:, :] = jnp.pad(vy, ((0, 0), (0, n1p - (n1 + 1))))
+        if use_gp:
+            ou_ref[:, :] = ubuf[soff:soff + S, cl:ch]
+            ov_ref[:, :] = vbuf[soff:soff + S, cl:ch]
 
     if nstrips == 1:
         body(0, True, True)
@@ -100,42 +115,61 @@ def _kern_interp(u_hbm, v_hbm, ox_ref, oy_ref, ubuf, vbuf, sem, *,
 @functools.partial(jax.jit, static_argnames=(
     "sgn_u", "off_u", "sgn_v", "off_v", "per_y", "fbx", "fby", "S",
     "interpret"))
-def interp_faces(U, V, *, sgn_u, off_u, sgn_v, off_v, per_y,
-                 fbx, fby, S=64, interpret=False):
-    """(ufx, ufy) face-interpolated MAC field from centred velocities
-    with the Dirichlet face BCs applied (face_interpolated_velocity,
-    solvers/projection.py)."""
+def interp_faces(U, V, gp=None, dtv=None, *, sgn_u, off_u, sgn_v, off_v,
+                 per_y, fbx, fby, S=64, interpret=False):
+    """(ufx, ufy[, U2, V2]) face-interpolated MAC field from centred
+    velocities with the Dirichlet face BCs applied
+    (face_interpolated_velocity, solvers/projection.py).
+    With ``gp=(Gx, Gy)`` and ``dtv``: the cells are updated
+    u += dtv*Gx first (the gc gradient re-add) and the updated cells
+    are also returned."""
     n0, n1 = U.shape
     H = GP
     if n0 % S or n0 < S + 2 * H:
         S, H = n0, 0
     n1p = n1 + 1 + ((-(n1 + 1)) % CP)
+    use_gp = gp is not None
     kern = functools.partial(
         _kern_interp, n0=n0, n1=n1, n1p=n1p, S=S, H=H, nstrips=n0 // S,
         sgn_u=sgn_u, off_u=off_u, sgn_v=sgn_v, off_v=off_v, per_y=per_y,
-        fbx_lo=fbx[0], fby=fby)
+        fbx_lo=fbx[0], fby=fby, use_gp=use_gp)
     W = S + 2 * H
-    ox, oy = pl.pallas_call(
+    z = jnp.zeros((GP, n1), U.dtype)
+    gx_in, gy_in = gp if use_gp else (z, z)
+    dt_arr = jnp.asarray(dtv if dtv is not None else 0.0,
+                         U.dtype).reshape(1, 1)
+    cs = S if use_gp else GP
+    ox, oy, ou, ov = pl.pallas_call(
         kern,
         grid=(n0 // S,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
+                 [pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
         out_specs=(pl.BlockSpec((S, n1), lambda s: (s, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((S, n1p), lambda s: (s, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((cs, n1), lambda s: (s, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((cs, n1), lambda s: (s, 0),
                                 memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((n0, n1), U.dtype),
-                   jax.ShapeDtypeStruct((n0, n1p), U.dtype)),
+                   jax.ShapeDtypeStruct((n0, n1p), U.dtype),
+                   jax.ShapeDtypeStruct((cs * (n0 // S), n1), U.dtype),
+                   jax.ShapeDtypeStruct((cs * (n0 // S), n1), U.dtype)),
         scratch_shapes=[
             pltpu.VMEM((W, CP + n1 + CP), U.dtype),
             pltpu.VMEM((W, CP + n1 + CP), U.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((W if use_gp else GP, CP + n1 + CP), U.dtype),
+            pltpu.VMEM((W if use_gp else GP, CP + n1 + CP), U.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
-    )(U, V)
+    )(dt_arr, U, V, gx_in, gy_in)
     top = jnp.full((1, n1), 0.0 if fbx[1] is None else fbx[1], U.dtype)
     ufx = jnp.concatenate([ox, top], axis=0) if fbx[1] is not None \
         else jnp.concatenate([ox, ox[-1:, :]], axis=0)
+    if use_gp:
+        return ufx, oy[:, :n1 + 1], ou, ov
     return ufx, oy[:, :n1 + 1]
 
 
@@ -201,9 +235,11 @@ def divergence_mac(ufx, ufy, dt, h, *, S=256, interpret=False):
     return div, jnp.sum(parts)
 
 
-def _kern_correct(dt_ref, p_hbm, ux_hbm, uy_hbm, oux, ouy, ogx, ogy,
-                  pbuf, uxb, uyb, sem, *,
-                  n0, n1, n1p, S, H, nstrips, sgn, off, per_y):
+def _kern_correct(dt_ref, p_hbm, ux_hbm, uy_hbm, uc_hbm, vc_hbm,
+                  oux, ouy, ogx, ogy, ouc, ovc,
+                  pbuf, uxb, uyb, ucb, vcb, sem, *,
+                  n0, n1, n1p, S, H, nstrips, sgn, off, per_y,
+                  with_cells):
     """Projection correction in one launch: face gradients of p,
     uf -= dt * grad_f p, and the cell gradient (mean of the two faces).
     ``ux`` input arrives GP-row-padded (face k at row k+GP) like bcg."""
@@ -215,6 +251,9 @@ def _kern_correct(dt_ref, p_hbm, ux_hbm, uy_hbm, oux, ouy, ogx, ogy,
     cps = [_dma(p_hbm, pbuf, 0, rstart, W, sem.at[0]),
            _dma(ux_hbm, uxb, 0, rstart, W + 2 * GP, sem.at[1]),
            _dma(uy_hbm, uyb, 0, rstart, W, sem.at[2])]
+    if with_cells:
+        cps.append(_dma(uc_hbm, ucb, 0, rstart, W, sem.at[3]))
+        cps.append(_dma(vc_hbm, vcb, 0, rstart, W, sem.at[4]))
     for cp in cps:
         cp.wait()
     cl, ch = CP, CP + n1
@@ -237,7 +276,15 @@ def _kern_correct(dt_ref, p_hbm, ux_hbm, uy_hbm, oux, ouy, ogx, ogy,
         uy = uyb[soff:soff + S, CP:CP + n1 + 1]
         uy_new = uy - (dt_h / ih) * gfy
         ouy[:, :] = jnp.pad(uy_new, ((0, 0), (0, n1p - (n1 + 1))))
-        ogy[:, :] = 0.5 * (gfy[:, 0:n1] + gfy[:, 1:n1 + 1])
+        gcy = 0.5 * (gfy[:, 0:n1] + gfy[:, 1:n1 + 1])
+        ogy[:, :] = gcy
+        if with_cells:
+            # centred velocity correction u -= dt * g_cell in the same
+            # launch (gfs_correct_centered_velocities,
+            # src/timestep.c:509-530)
+            gcx = 0.5 * (gfx[0:S, :] + gfx[1:S + 1, :])
+            ouc[:, :] = ucb[soff:soff + S, cl:ch] - (dt_h / ih) * gcx
+            ovc[:, :] = vcb[soff:soff + S, cl:ch] - (dt_h / ih) * gcy
 
     if nstrips == 1:
         body(0, True, True)
@@ -258,7 +305,7 @@ def _kern_correct(dt_ref, p_hbm, ux_hbm, uy_hbm, oux, ouy, ogx, ogy,
 
 @functools.partial(jax.jit, static_argnames=(
     "sgn", "off", "per_y", "S", "interpret"))
-def correct_project(p, ufx, ufy, dt, h, *, sgn, off, per_y,
+def correct_project(p, ufx, ufy, dt, h, cells=None, *, sgn, off, per_y,
                     S=64, interpret=False):
     """(ufx', ufy', gx, gy): the post-solve correction of one projection
     — face gradients of p with static-BC ghosts, uf -= dt grad p, and
@@ -267,7 +314,9 @@ def correct_project(p, ufx, ufy, dt, h, *, sgn, off, per_y,
 
     Note the LAST x-face row (face n0) of ufx' comes from the strip that
     owns face n0 via the appended tail (sgn/off ghosts make grad at the
-    boundary face consistent)."""
+    boundary face consistent).
+    ``cells=(U, V)``: also apply the centred correction u -= dt*g_cell
+    in the same launch and return (..., U', V')."""
     n0, n1 = p.shape
     H = GP
     if n0 % S or n0 < S + 2 * H:
@@ -277,17 +326,19 @@ def correct_project(p, ufx, ufy, dt, h, *, sgn, off, per_y,
     uyp = jnp.pad(ufy, ((0, 0), (0, n1p - (n1 + 1))))
     dt_arr = jnp.stack([jnp.asarray(dt, p.dtype) / h,
                         jnp.asarray(1.0, p.dtype) / h]).reshape(1, 2)
+    with_cells = cells is not None
     kern = functools.partial(
         _kern_correct, n0=n0, n1=n1, n1p=n1p, S=S, H=H, nstrips=n0 // S,
-        sgn=sgn, off=off, per_y=per_y)
+        sgn=sgn, off=off, per_y=per_y, with_cells=with_cells)
     W = S + 2 * H
-    oux, ouy, ogx, ogy = pl.pallas_call(
+    z = jnp.zeros((GP, n1), p.dtype)
+    uc_in, vc_in = cells if with_cells else (z, z)
+    cs = S if with_cells else GP
+    oux, ouy, ogx, ogy, ouc, ovc = pl.pallas_call(
         kern,
         grid=(n0 // S,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
+                 [pl.BlockSpec(memory_space=pltpu.ANY)] * 5,
         out_specs=(pl.BlockSpec((S, n1), lambda s: (s, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((S, n1p), lambda s: (s, 0),
@@ -295,22 +346,34 @@ def correct_project(p, ufx, ufy, dt, h, *, sgn, off, per_y,
                    pl.BlockSpec((S, n1), lambda s: (s, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((S, n1), lambda s: (s, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((cs, n1), lambda s: (s, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((cs, n1), lambda s: (s, 0),
                                 memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((n0, n1), p.dtype),
                    jax.ShapeDtypeStruct((n0, n1p), p.dtype),
                    jax.ShapeDtypeStruct((n0, n1), p.dtype),
-                   jax.ShapeDtypeStruct((n0, n1), p.dtype)),
+                   jax.ShapeDtypeStruct((n0, n1), p.dtype),
+                   jax.ShapeDtypeStruct((cs * (n0 // S), n1), p.dtype),
+                   jax.ShapeDtypeStruct((cs * (n0 // S), n1), p.dtype)),
         scratch_shapes=[
             pltpu.VMEM((W, CP + n1 + CP), p.dtype),
             pltpu.VMEM((W + 2 * GP, CP + n1 + CP), p.dtype),
             pltpu.VMEM((W, CP + n1p + CP), p.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((W if with_cells else GP, CP + n1 + CP),
+                       p.dtype),
+            pltpu.VMEM((W if with_cells else GP, CP + n1 + CP),
+                       p.dtype),
+            pltpu.SemaphoreType.DMA((5,)),
         ],
         interpret=interpret,
-    )(dt_arr, p, uxp, uyp)
+    )(dt_arr, p, uxp, uyp, uc_in, vc_in)
     # face n0 of ufx: grad = (ghost - p[n0-1])/h with sgn/off ghosts
     pg = sgn[1] * p[-1:, :] + off[1]
     gtop = (pg - p[-1:, :]) / h
     uftop = ufx[-1:, :] - dt * gtop
     ufx_new = jnp.concatenate([oux, uftop], axis=0)
+    if with_cells:
+        return ufx_new, ouy[:, :n1 + 1], ogx, ogy, ouc, ovc
     return ufx_new, ouy[:, :n1 + 1], ogx, ogy

@@ -76,26 +76,33 @@ def diffuse(v: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC, dt,
 
 
 def diffuse_pair(vs, grid: Grid, fbcs, dt, D, beta: float,
-                 params: poisson.MultilevelParams, extra_rhss,
-                 t: float = 0.0):
+                 params: poisson.MultilevelParams, extra_rhss=None,
+                 rhss=None, t: float = 0.0):
     """The U+V scalar implicit-diffusion systems solved together.
 
     On the fixed-cycle TPU path both Helmholtz systems ride ONE batched
     fused-cycle launch chain (3 kernels/cycle total instead of 3 per
     component); otherwise falls back to two sequential ``diffuse``
     calls.  Scalar D, unit rho (the constant-density velocity pair).
+    Either ``extra_rhss`` (momentum increments; the rhs is built here)
+    or ``rhss`` (the pre-built -dia*(v + extra) system rhs, e.g. from
+    the advection kernel's oscale fold) must be given.
     Returns ([v_new...], stats)."""
     scale = beta * dt * D
     dia = 1.0 / scale
+    n = len(vs)
     if (params is not None and params.ncycles > 0
             and poisson.batched_fixed_eligible(vs, grid, fbcs,
-                                               [dia] * len(vs))):
-        rhss = [-(vs[c] + extra_rhss[c]) * dia for c in range(len(vs))]
+                                               [dia] * n)):
+        if rhss is None:
+            rhss = [-(vs[c] + extra_rhss[c]) * dia for c in range(n)]
         return poisson.solve_fixed_batched(vs, rhss, grid, fbcs, params,
-                                           [dia] * len(vs))
+                                           [dia] * n)
+    if extra_rhss is None:
+        extra_rhss = [-rhss[c] * scale - vs[c] for c in range(n)]
     outs = []
     stats = None
-    for c in range(len(vs)):
+    for c in range(n):
         v_new, stats = diffuse(vs[c], grid, fbcs[c], dt, D, beta=beta,
                                params=params, extra_rhs=extra_rhss[c],
                                t=t)

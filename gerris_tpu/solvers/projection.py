@@ -62,7 +62,8 @@ def mac_projection(u_face: list, p: jnp.ndarray, grid: Grid,
                    p_bc: bcs.FieldBC, dt,
                    params: poisson.MultilevelParams,
                    alpha=None, div_source=None, face_sources=None,
-                   face_frac=None, vol_frac=None, t: float = 0.0):
+                   face_frac=None, vol_frac=None, t: float = 0.0,
+                   cells=None):
     """Project the MAC field. Returns (u_face', p, g_cell, stats).
 
     ``div_source``: optional extra divergence (the reference's
@@ -77,6 +78,10 @@ def mac_projection(u_face: list, p: jnp.ndarray, grid: Grid,
     s*u_f, the Poisson coefficient s*alpha, the velocity correction the
     unweighted alpha grad p (reference: gfs_poisson_coefficients carries
     the face fraction, src/poisson.c:756-901).
+    ``cells``: optional centred velocity list — the correction
+    u -= dt*g_cell is applied (in the fused correction launch on the
+    TPU path) and the return grows a 5th element with the corrected
+    cells (gfs_correct_centered_velocities, src/timestep.c:509-530).
     Reference: src/timestep.c:356-432.
     """
     if face_sources is not None:
@@ -146,6 +151,12 @@ def mac_projection(u_face: list, p: jnp.ndarray, grid: Grid,
         if _bcg.applicable(p, grid):
             spec = _bcg.kernel_spec(p_bc)
             if spec is not None:
+                if cells is not None:
+                    ufx, ufy, gx, gy, u2, v2 = _projops.correct_project(
+                        p, u_face[0], u_face[1], dt, grid.h,
+                        tuple(cells), sgn=spec["sgn"], off=spec["off"],
+                        per_y=spec["per_y"])
+                    return [ufx, ufy], p, [gx, gy], stats, [u2, v2]
                 ufx, ufy, gx, gy = _projops.correct_project(
                     p, u_face[0], u_face[1], dt, grid.h,
                     sgn=spec["sgn"], off=spec["off"],
@@ -160,15 +171,25 @@ def mac_projection(u_face: list, p: jnp.ndarray, grid: Grid,
     if face_sources is not None:
         gf = [gf[c] - face_sources[c] for c in range(grid.dim)]
     g_cell = cell_gradient_from_faces(gf, grid)
+    if cells is not None:
+        cells = [cells[c] - dt * g_cell[c] for c in range(grid.dim)]
+        return u_face, p, g_cell, stats, cells
     return u_face, p, g_cell, stats
 
 
 def face_interpolated_velocity(u_cell: list, grid: Grid, u_bcs: list,
-                               t: float = 0.0) -> list:
+                               t: float = 0.0, gp=None, dtv=None):
     """MAC velocities by simple averaging of centred values, with the BC
     value imposed on boundary faces (reference:
     gfs_face_interpolated_normal_velocity src/advection.c:546-566 +
-    gfs_domain_face_bc)."""
+    gfs_domain_face_bc).
+
+    ``gp``/``dtv``: optional per-component cell gradients first folded
+    into the cells (u += dtv*gp[c], the gc gradient re-add,
+    src/simulation.c:520); the updated cells are then returned as a
+    second element: (faces, cells)."""
+    if gp is not None:
+        fold = [u_cell[c] + dtv * gp[c] for c in range(grid.dim)]
     if grid.dim == 2:
         from ..ops.pallas import bcg as _bcg
         from ..ops.pallas import projops as _projops
@@ -179,18 +200,26 @@ def face_interpolated_velocity(u_cell: list, grid: Grid, u_bcs: list,
                     and su["per_y"] == sv["per_y"]
                     and None not in su["fb_x"]
                     and (sv["per_y"] or None not in sv["fb_y"])):
-                ufx, ufy = _projops.interp_faces(
-                    u_cell[0], u_cell[1], sgn_u=su["sgn"],
-                    off_u=su["off"], sgn_v=sv["sgn"], off_v=sv["off"],
-                    per_y=su["per_y"], fbx=su["fb_x"],
-                    fby=sv["fb_y"] or (None, None))
+                kw = dict(sgn_u=su["sgn"], off_u=su["off"],
+                          sgn_v=sv["sgn"], off_v=sv["off"],
+                          per_y=su["per_y"], fbx=su["fb_x"],
+                          fby=sv["fb_y"] or (None, None))
+                if gp is not None:
+                    ufx, ufy, u2, v2 = _projops.interp_faces(
+                        u_cell[0], u_cell[1], tuple(gp), dtv, **kw)
+                    return [ufx, ufy], [u2, v2]
+                ufx, ufy = _projops.interp_faces(u_cell[0], u_cell[1],
+                                                 **kw)
                 return [ufx, ufy]
+    src = fold if gp is not None else u_cell
     out = []
     for c in range(grid.dim):
-        pad = bcs.apply_bc(u_cell[c], grid, u_bcs[c], 1, t=t, corners=False)
+        pad = bcs.apply_bc(src[c], grid, u_bcs[c], 1, t=t, corners=False)
         uf = face_average(pad, grid, c)
         uf = bcs.apply_face_bc(uf, grid, u_bcs[c], c, t=t)
         out.append(uf)
+    if gp is not None:
+        return out, fold
     return out
 
 

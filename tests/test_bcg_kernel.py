@@ -111,3 +111,27 @@ def test_strip_decomposition_invariance():
             S=S, interpret=True)))
     assert np.abs(outs[0] - outs[1]).max() < 1e-12
     assert np.abs(outs[0] - outs[2]).max() < 1e-12
+
+
+def test_advect2d_gp_oscale_folds():
+    """gp (gc momentum gradient) and oscale (diffusion-rhs) folds equal
+    the explicit elementwise epilogue."""
+    import jax
+    grid = Grid(level=6, dim=2)
+    fbc = bcs.FieldBC.uniform(bcs.Dirichlet(0.0), 2)
+    spec = bcg.kernel_spec(fbc, with_face_bc=True)
+    ks = jax.random.split(jax.random.PRNGKey(9), 5)
+    v = jax.random.normal(ks[0], grid.shape, jnp.float32)
+    ufx = jax.random.normal(ks[1], (grid.n + 1, grid.n), jnp.float32)
+    ufy = jax.random.normal(ks[2], (grid.n, grid.n + 1), jnp.float32)
+    g = jax.random.normal(ks[3], grid.shape, jnp.float32)
+    gp = jax.random.normal(ks[4], grid.shape, jnp.float32)
+    dt = jnp.float32(0.3 * grid.h)
+    kw = dict(sgn=spec["sgn"], off=spec["off"], per_y=spec["per_y"],
+              fb_x=spec["fb_x"], fb_y=spec["fb_y"], interpret=True)
+    fv = bcg.advect2d(v, ufx, ufy, dt, grid.h, g, **kw)
+    ref = -3.0 * (v + fv - dt * gp)
+    out = bcg.advect2d(v, ufx, ufy, dt, grid.h, g, gp=gp,
+                       oscale=jnp.float32(-3.0), **kw)
+    d = float(jnp.max(jnp.abs(ref - out)))
+    assert d < 1e-4, d

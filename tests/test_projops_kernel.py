@@ -75,3 +75,51 @@ def test_divergence_mac_matches():
                                         grid.h, interpret=True)
     assert float(jnp.max(jnp.abs(ref - div))) < 1e-9
     assert abs(float(total) - float(jnp.sum(ref))) < 1e-7
+
+
+def test_interp_faces_gc_fold():
+    """interp_faces with gp/dtv == update-then-interpolate, plus the
+    updated cells as extra outputs."""
+    from gerris_tpu.ops.pallas import bcg, projops
+    grid = Grid(level=6, dim=2)
+    u_bc = bcs.FieldBC.make(2, default=bcs.Dirichlet(0.0),
+                            top=bcs.Dirichlet(1.0))
+    v_bc = bcs.FieldBC.uniform(bcs.Dirichlet(0.0), 2)
+    su = bcg.kernel_spec(u_bc, with_face_bc=True)
+    sv = bcg.kernel_spec(v_bc, with_face_bc=True)
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    U, V, Gx, Gy = [jax.random.normal(k, grid.shape, jnp.float32)
+                    for k in ks]
+    dt = jnp.float32(0.13)
+    kw = dict(sgn_u=su["sgn"], off_u=su["off"], sgn_v=sv["sgn"],
+              off_v=sv["off"], per_y=False, fbx=su["fb_x"],
+              fby=sv["fb_y"], interpret=True)
+    rx, ry = projops.interp_faces(U + dt * Gx, V + dt * Gy, **kw)
+    ox, oy, ou, ov = projops.interp_faces(U, V, (Gx, Gy), dt, **kw)
+    assert float(jnp.max(jnp.abs(rx - ox))) < 1e-5
+    assert float(jnp.max(jnp.abs(ry - oy))) < 1e-5
+    assert float(jnp.max(jnp.abs(ou - (U + dt * Gx)))) < 1e-5
+    assert float(jnp.max(jnp.abs(ov - (V + dt * Gy)))) < 1e-5
+
+
+def test_correct_project_cells_fold():
+    """correct_project with cells == the explicit u -= dt*g_cell."""
+    from gerris_tpu.ops.pallas import bcg, projops
+    grid = Grid(level=6, dim=2)
+    ks = jax.random.split(jax.random.PRNGKey(3), 5)
+    U, V, p = [jax.random.normal(k, grid.shape, jnp.float32)
+               for k in ks[:3]]
+    ufx = jax.random.normal(ks[3], (grid.n + 1, grid.n), jnp.float32)
+    ufy = jax.random.normal(ks[4], (grid.n, grid.n + 1), jnp.float32)
+    dt = jnp.float32(0.13)
+    spec = bcg.kernel_spec(bcs.default_scalar_bc(2))
+    kw = dict(sgn=spec["sgn"], off=spec["off"], per_y=spec["per_y"],
+              interpret=True)
+    r1, r2, rgx, rgy = projops.correct_project(p, ufx, ufy, dt, grid.h,
+                                               **kw)
+    o1, o2, ogx, ogy, ou, ov = projops.correct_project(
+        p, ufx, ufy, dt, grid.h, (U, V), **kw)
+    assert float(jnp.max(jnp.abs(r1 - o1))) == 0.0
+    assert float(jnp.max(jnp.abs(rgx - ogx))) == 0.0
+    assert float(jnp.max(jnp.abs(ou - (U - dt * rgx)))) < 1e-5
+    assert float(jnp.max(jnp.abs(ov - (V - dt * rgy)))) < 1e-5
