@@ -303,6 +303,16 @@ def _prolong_relax_kernel(rep_hbm, rhs_hbm, dia_ref, u_hbm, out_ref,
     else:
         s = pl.program_id(0)
         dia = dia_ref[0, 0]
+    _pr_core(s, rep_hbm, rhs_hbm, u_hbm, dia, out_ref, ub, rb, fb, sem,
+             n0=n0, n1=n1, S=S, H=H, nsweeps=nsweeps, h2=h2,
+             sgn_x_lo=sgn_x_lo, sgn_x_hi=sgn_x_hi, sgn_y_lo=sgn_y_lo,
+             sgn_y_hi=sgn_y_hi, periodic_y=periodic_y, omega=omega,
+             add_u=add_u, out3d=batched)
+
+
+def _pr_core(s, rep_hbm, rhs_hbm, u_hbm, dia, out_ref, ub, rb, fb, sem,
+             *, n0, n1, S, H, nsweeps, h2, sgn_x_lo, sgn_x_hi, sgn_y_lo,
+             sgn_y_hi, periodic_y, omega, add_u, out3d):
     W = S + 2 * H
     rstart = pl.multiple_of(jnp.clip(s * S - H, 0, n0 - W), 2 * GP)
     cstart = pl.multiple_of(rstart // 2, GP)
@@ -380,10 +390,71 @@ def _prolong_relax_kernel(rep_hbm, rhs_hbm, dia_ref, u_hbm, out_ref,
     if add_u:
         cp3.wait()
         res = res + fb[pl.ds(0, S), cl:ch]
-    if batched:
+    if out3d:
         out_ref[0, :, :] = res
     else:
         out_ref[:, :] = res
+
+
+def _prolong_relax_kernel_pair(rep0, rhs0, u0, rep1, rhs1, u1, dia_ref,
+                               o0, o1, ub, rb, fb, sem, *,
+                               n0, n1, S, H, nsweeps, h2,
+                               sgn_x_lo, sgn_x_hi, sgn_y_lo, sgn_y_hi,
+                               periodic_y, omega):
+    """prolong_relax (pre_rep + add_u) for both pair systems per strip
+    iteration — separate refs, zero stacking copies."""
+    s = pl.program_id(0)
+    for b, (rp, rh, uh, o) in enumerate(((rep0, rhs0, u0, o0),
+                                         (rep1, rhs1, u1, o1))):
+        _pr_core(s, rp, rh, uh, dia_ref[b, 0], o, ub, rb, fb, sem,
+                 n0=n0, n1=n1, S=S, H=H, nsweeps=nsweeps, h2=h2,
+                 sgn_x_lo=sgn_x_lo, sgn_x_hi=sgn_x_hi,
+                 sgn_y_lo=sgn_y_lo, sgn_y_hi=sgn_y_hi,
+                 periodic_y=periodic_y, omega=omega, add_u=True,
+                 out3d=False)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "nsweeps", "S", "signs", "omega", "h2", "periodic_y", "interpret"))
+def prolong_relax_pair(reps, rhss, dia, us, *, nsweeps: int, h2: float,
+                       signs=(-1.0, -1.0, -1.0, -1.0), periodic_y=False,
+                       omega: float = 1.0, S: int = 64,
+                       interpret: bool = False):
+    """Pair prolong_relax with pre_rep + add_u: reps (n0/2+2GP, n1)
+    each; dia (2,) array.  Returns [u0', u1']."""
+    n0, n1 = rhss[0].shape
+    H = -(-2 * nsweeps // (2 * GP)) * (2 * GP)
+    if n0 % S or n0 < S + 2 * H or (n0 // S) < 2:
+        S = n0
+        H = 0
+    W = S + 2 * H
+    sx_lo, sx_hi, sy_lo, sy_hi = signs
+    kern = functools.partial(
+        _prolong_relax_kernel_pair, n0=n0, n1=n1, S=S, H=H,
+        nsweeps=nsweeps, h2=h2, sgn_x_lo=sx_lo, sgn_x_hi=sx_hi,
+        sgn_y_lo=sy_lo, sgn_y_hi=sy_hi, periodic_y=periodic_y,
+        omega=omega)
+    dia_arr = jnp.asarray(dia, rhss[0].dtype).reshape(2, 1)
+    buf_rows = max(W + 2 * GP, W // 2 + 2 * GP)
+    bs = pl.BlockSpec((S, n1), lambda s: (s, 0),
+                      memory_space=pltpu.VMEM)
+    o0, o1 = pl.pallas_call(
+        kern,
+        grid=(n0 // S,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 6 +
+                 [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(bs, bs),
+        out_shape=(jax.ShapeDtypeStruct((n0, n1), rhss[0].dtype),
+                   jax.ShapeDtypeStruct((n0, n1), rhss[0].dtype)),
+        scratch_shapes=[
+            pltpu.VMEM((buf_rows, CP + n1 + CP), rhss[0].dtype),
+            pltpu.VMEM((W, CP + n1 + CP), rhss[0].dtype),
+            pltpu.VMEM((S, CP + n1 + CP), rhss[0].dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(reps[0], rhss[0], us[0], reps[1], rhss[1], us[1], dia_arr)
+    return [o0, o1]
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -639,6 +710,18 @@ def _resid_restrict_kernel(u_hbm, rhs_hbm, scal_ref, or0, or1, or2,
         s = pl.program_id(0)
         dia = scal_ref[0]
         sub = scal_ref[1]
+    _rr_core(s, u_hbm, rhs_hbm, dia, sub, or0, or1, or2, ub, rb, sem,
+             n0=n0, n1=n1, S=S, h2=h2, sgn_x_lo=sgn_x_lo,
+             sgn_x_hi=sgn_x_hi, sgn_y_lo=sgn_y_lo, sgn_y_hi=sgn_y_hi,
+             periodic_x=periodic_x, periodic_y=periodic_y,
+             off_x_lo=off_x_lo, off_x_hi=off_x_hi, off_y_lo=off_y_lo,
+             off_y_hi=off_y_hi, out3d=batched)
+
+
+def _rr_core(s, u_hbm, rhs_hbm, dia, sub, or0, or1, or2, ub, rb, sem, *,
+             n0, n1, S, h2, sgn_x_lo, sgn_x_hi, sgn_y_lo, sgn_y_hi,
+             periodic_x, periodic_y, off_x_lo, off_x_hi, off_y_lo,
+             off_y_hi, out3d):
     start = pl.multiple_of(s * S, GP)
     W = S
     _copy_rows(u_hbm, ub, GP, start, W, n0, sem.at[0])
@@ -677,7 +760,7 @@ def _resid_restrict_kernel(u_hbm, rhs_hbm, scal_ref, or0, or1, or2,
     r = rb[pl.ds(0, W), :] - sub - (nb - 4.0 * c) / h2 + dia * c
     r1 = _lane_pool(_row_pool(r))
     r2 = _lane_pool(_row_pool(r1))
-    if batched:
+    if out3d:
         or0[0, :, :] = r
         or1[0, :, :] = r1
         or2[0, :, :] = r2
@@ -685,6 +768,68 @@ def _resid_restrict_kernel(u_hbm, rhs_hbm, scal_ref, or0, or1, or2,
         or0[:, :] = r
         or1[:, :] = r1
         or2[:, :] = r2
+
+
+def _resid_restrict_kernel_pair(u0, rhs0, u1, rhs1, scal_ref,
+                                o00, o01, o02, o10, o11, o12,
+                                ub, rb, sem, *, n0, n1, S, h2,
+                                sgn_x_lo, sgn_x_hi, sgn_y_lo, sgn_y_hi,
+                                periodic_y):
+    """Both systems of the U+V diffusion pair per strip iteration —
+    separate input/output refs, NO host-side stacking copies (the
+    jnp.stack of the batch-dim variant costs ~4 x 16 MB copy kernels
+    per step, wiping out the launch savings)."""
+    s = pl.program_id(0)
+    for b, (uh, rh, a0, a1, a2) in enumerate(
+            ((u0, rhs0, o00, o01, o02), (u1, rhs1, o10, o11, o12))):
+        _rr_core(s, uh, rh, scal_ref[b, 0], scal_ref[b, 1], a0, a1, a2,
+                 ub, rb, sem, n0=n0, n1=n1, S=S, h2=h2,
+                 sgn_x_lo=sgn_x_lo, sgn_x_hi=sgn_x_hi,
+                 sgn_y_lo=sgn_y_lo, sgn_y_hi=sgn_y_hi,
+                 periodic_x=False, periodic_y=periodic_y,
+                 off_x_lo=scal_ref[b, 2], off_x_hi=scal_ref[b, 3],
+                 off_y_lo=scal_ref[b, 4], off_y_hi=scal_ref[b, 5],
+                 out3d=False)
+
+
+@functools.partial(jax.jit, static_argnames=("S", "signs", "h2",
+                                             "periodic_y", "interpret"))
+def residual_restrict_pair(us, rhss, scal, *, h2: float,
+                           signs=(-1.0, -1.0, -1.0, -1.0),
+                           periodic_y=False, S: int = 256,
+                           interpret: bool = False):
+    """residual_restrict for two systems in one launch with separate
+    refs.  us/rhss: 2-lists of (n0, n1); scal: (2, 6) rows
+    [dia, sub, off_x_lo, off_x_hi, off_y_lo, off_y_hi].
+    Returns ([r0_0, r0_1], [r1_0, r1_1], [r2_0, r2_1])."""
+    n0, n1 = us[0].shape
+    if n0 % S or S % 4:
+        S = n0
+    nstrips = n0 // S
+    sx_lo, sx_hi, sy_lo, sy_hi = signs
+    kern = functools.partial(
+        _resid_restrict_kernel_pair, n0=n0, n1=n1, S=S, h2=h2,
+        sgn_x_lo=sx_lo, sgn_x_hi=sx_hi, sgn_y_lo=sy_lo, sgn_y_hi=sy_hi,
+        periodic_y=periodic_y)
+    bs = lambda m, k: pl.BlockSpec((S // m, n1 // m), lambda s: (s, 0),
+                                   memory_space=pltpu.VMEM)
+    sh = lambda m: jax.ShapeDtypeStruct((n0 // m, n1 // m), us[0].dtype)
+    outs = pl.pallas_call(
+        kern,
+        grid=(nstrips,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4 +
+                 [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(bs(1, 0), bs(2, 1), bs(4, 2),
+                   bs(1, 3), bs(2, 4), bs(4, 5)),
+        out_shape=(sh(1), sh(2), sh(4), sh(1), sh(2), sh(4)),
+        scratch_shapes=[
+            pltpu.VMEM((GP + S + GP, CP + n1 + CP), us[0].dtype),
+            pltpu.VMEM((S, n1), us[0].dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(us[0], rhss[0], us[1], rhss[1], scal)
+    return ([outs[0], outs[3]], [outs[1], outs[4]], [outs[2], outs[5]])
 
 
 @functools.partial(jax.jit, static_argnames=("S", "signs", "offs", "h2",
@@ -758,6 +903,15 @@ def _cascade_prolong_kernel(r1_hbm, r2_hbm, dia_ref, orep_hbm,
     else:
         s = pl.program_id(0)
         dia = dia_ref[0, 0]
+    _cp_core(s, r1_hbm, r2_hbm, orep_hbm, dia, repsc, rb, stage, zb,
+             sem, n_half=n_half, S=S, H=H, nsweeps=nsweeps,
+             coarsest=coarsest, h2_half=h2_half, sgn=sgn, per_y=per_y,
+             min_n=min_n)
+
+
+def _cp_core(s, r1_hbm, r2_hbm, orep_hbm, dia, repsc, rb, stage, zb,
+             sem, *, n_half, S, H, nsweeps, coarsest, h2_half, sgn,
+             per_y, min_n):
     n_q = n_half // 2
     W = S + 2 * H
     f32 = rb.dtype
@@ -923,142 +1077,67 @@ def cascade_prolong_relax(r1, r2, dia=0.0, *, nsweeps: int, coarsest: int,
     )(r1, r2, dia_arr)
 
 
-@functools.partial(jax.jit, static_argnames=("S", "signs", "h2",
-                                             "periodic_y", "interpret"))
-def residual_restrict_batched(u, rhs, scal, *, h2: float,
-                              signs=(-1.0, -1.0, -1.0, -1.0),
-                              periodic_y=False, S: int = 256,
-                              interpret: bool = False):
-    """Batched residual_restrict: u, rhs (B, n0, n1); scal (B, 6) rows
-    [dia, sub, off_x_lo, off_x_hi, off_y_lo, off_y_hi].  Shared signs
-    and periodicity (the U+V diffusion pair).  Non-periodic rows."""
-    B, n0, n1 = u.shape
-    if n0 % S or S % 4:
-        S = n0
-    nstrips = n0 // S
-    sx_lo, sx_hi, sy_lo, sy_hi = signs
-    kern = functools.partial(
-        _resid_restrict_kernel, n0=n0, n1=n1, S=S, h2=h2,
-        sgn_x_lo=sx_lo, sgn_x_hi=sx_hi, sgn_y_lo=sy_lo, sgn_y_hi=sy_hi,
-        periodic_x=False, periodic_y=periodic_y,
-        off_x_lo=0.0, off_x_hi=0.0, off_y_lo=0.0, off_y_hi=0.0,
-        batched=True)
-    return pl.pallas_call(
-        kern,
-        grid=(B, nstrips),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=(pl.BlockSpec((1, S, n1), lambda b, s: (b, s, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, S // 2, n1 // 2),
-                                lambda b, s: (b, s, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, S // 4, n1 // 4),
-                                lambda b, s: (b, s, 0),
-                                memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((B, n0, n1), u.dtype),
-                   jax.ShapeDtypeStruct((B, n0 // 2, n1 // 2), u.dtype),
-                   jax.ShapeDtypeStruct((B, n0 // 4, n1 // 4), u.dtype)),
-        scratch_shapes=[
-            pltpu.VMEM((GP + S + GP, CP + n1 + CP), u.dtype),
-            pltpu.VMEM((S, n1), u.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        interpret=interpret,
-    )(u, rhs, scal)
+def _cascade_prolong_kernel_pair(r10, r20, r11, r21, dia_ref,
+                                 o0, o1, repsc, rb, stage, zb, sem, *,
+                                 n_half, S, H, nsweeps, coarsest,
+                                 h2_half, sgn, per_y, min_n):
+    """cascade_prolong_relax for both pair systems per strip iteration
+    (the sub-cascade recomputes per system at strip 0)."""
+    s = pl.program_id(0)
+    # repsc persists ACROSS strip iterations (filled at s == 0), so each
+    # system needs its own plane — a shared buffer would leak system 1's
+    # cascade into system 0's prolongs at s > 0
+    for b, (r1h, r2h, oh) in enumerate(((r10, r20, o0),
+                                        (r11, r21, o1))):
+        _cp_core(s, r1h, r2h, oh, dia_ref[b, 0], repsc.at[b], rb, stage,
+                 zb, sem, n_half=n_half, S=S, H=H, nsweeps=nsweeps,
+                 coarsest=coarsest, h2_half=h2_half, sgn=sgn,
+                 per_y=per_y, min_n=min_n)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "nsweeps", "coarsest", "h2_half", "signs", "per_y", "min_n", "S",
     "interpret"))
-def cascade_prolong_relax_batched(r1, r2, dia, *, nsweeps: int,
-                                  coarsest: int, h2_half: float,
-                                  signs=(-1.0, -1.0, -1.0, -1.0),
-                                  per_y=False, min_n: int = 16,
-                                  S: int = 64, interpret: bool = False):
-    """Batched cascade_prolong_relax: r1 (B, n, n'), r2 (B, n/2, n'/2),
-    dia (B,).  The sub-cascade re-runs at strip 0 of each batch."""
-    B, n_half = r1.shape[0], r1.shape[1]
+def cascade_prolong_relax_pair(r1s, r2s, dia, *, nsweeps: int,
+                               coarsest: int, h2_half: float,
+                               signs=(-1.0, -1.0, -1.0, -1.0),
+                               per_y=False, min_n: int = 16, S: int = 64,
+                               interpret: bool = False):
+    """Pair cascade_prolong_relax: r1s/r2s 2-lists, dia (2,).
+    Returns [rep0, rep1]."""
+    n_half = r1s[0].shape[0]
     H = -(-2 * nsweeps // (2 * GP)) * (2 * GP)
     if n_half % S or n_half < S + 2 * H or (n_half // S) < 2:
         S = n_half
         H = 0
     W = S + 2 * H
     kern = functools.partial(
-        _cascade_prolong_kernel, n_half=n_half, S=S, H=H,
+        _cascade_prolong_kernel_pair, n_half=n_half, S=S, H=H,
         nsweeps=nsweeps, coarsest=coarsest, h2_half=h2_half, sgn=signs,
-        per_y=per_y, min_n=min(min_n, n_half // 2), batched=True)
-    dia_arr = jnp.asarray(dia, r1.dtype).reshape(B, 1)
+        per_y=per_y, min_n=min(min_n, n_half // 2))
+    dia_arr = jnp.asarray(dia, r1s[0].dtype).reshape(2, 1)
     buf_rows = max(W + 2 * GP, n_half // 2)
-    return pl.pallas_call(
+    oshape = jax.ShapeDtypeStruct((n_half + 2 * GP, 2 * n_half),
+                                  r1s[0].dtype)
+    o0, o1 = pl.pallas_call(
         kern,
-        grid=(B, n_half // S),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((B, n_half + 2 * GP, 2 * n_half),
-                                       r1.dtype),
+        grid=(n_half // S,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4 +
+                 [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.ANY)),
+        out_shape=(oshape, oshape),
         scratch_shapes=[
-            pltpu.VMEM((GP + n_half // 2 + GP, n_half), r1.dtype),
-            pltpu.VMEM((buf_rows, CP + n_half + CP), r1.dtype),
-            pltpu.VMEM((GP + W + GP, CP + n_half + CP), r1.dtype),
-            pltpu.VMEM((S, 2 * n_half), r1.dtype),
+            pltpu.VMEM((2, GP + n_half // 2 + GP, n_half),
+                       r1s[0].dtype),
+            pltpu.VMEM((buf_rows, CP + n_half + CP), r1s[0].dtype),
+            pltpu.VMEM((GP + W + GP, CP + n_half + CP), r1s[0].dtype),
+            pltpu.VMEM((S, 2 * n_half), r1s[0].dtype),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
-    )(r1, r2, dia_arr)
-
-
-@functools.partial(jax.jit, static_argnames=(
-    "nsweeps", "S", "signs", "omega", "h2", "periodic_y", "interpret"))
-def prolong_relax_batched(rep, rhs, dia, u, *, nsweeps: int, h2: float,
-                          signs=(-1.0, -1.0, -1.0, -1.0),
-                          periodic_y=False, omega: float = 1.0,
-                          S: int = 64, interpret: bool = False):
-    """Batched prolong_relax with pre_rep + add_u: rep (B, n0/2+2GP, n1),
-    rhs/u (B, n0, n1), dia (B,)."""
-    B, n0, n1 = rhs.shape
-    H = -(-2 * nsweeps // (2 * GP)) * (2 * GP)
-    if n0 % S or n0 < S + 2 * H or (n0 // S) < 2:
-        S = n0
-        H = 0
-    W = S + 2 * H
-    sx_lo, sx_hi, sy_lo, sy_hi = signs
-    kern = functools.partial(
-        _prolong_relax_kernel, n0=n0, n1=n1, S=S, H=H, nsweeps=nsweeps,
-        h2=h2, sgn_x_lo=sx_lo, sgn_x_hi=sx_hi, sgn_y_lo=sy_lo,
-        sgn_y_hi=sy_hi, periodic_y=periodic_y, omega=omega, add_u=True,
-        batched=True)
-    dia_arr = jnp.asarray(dia, rhs.dtype).reshape(B, 1)
-    buf_rows = max(W + 2 * GP, W // 2 + 2 * GP)
-    return pl.pallas_call(
-        kern,
-        grid=(B, n0 // S),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((1, S, n1), lambda b, s: (b, s, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, n0, n1), rhs.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((buf_rows, CP + n1 + CP), rhs.dtype),
-            pltpu.VMEM((W, CP + n1 + CP), rhs.dtype),
-            pltpu.VMEM((S, CP + n1 + CP), rhs.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
-        interpret=interpret,
-    )(rep, rhs, dia_arr, u)
-
-
-def _strip_plan(n0, S, H, periodic_x):
-    """Choose (S, H) given the grid height; periodic single-strip keeps
-    H=0 and wraps in VMEM."""
-    if n0 % S or n0 <= S + 2 * H:
-        return n0, 0
-    return S, H
+    )(r1s[0], r2s[0], r1s[1], r2s[1], dia_arr)
+    return [o0, o1]
 
 
 @functools.partial(jax.jit, static_argnames=(

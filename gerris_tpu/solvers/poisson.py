@@ -672,15 +672,16 @@ def batched_fixed_eligible(us, grid: Grid, fbcs, dias) -> bool:
 
 def solve_fixed_batched(us, rhss, grid: Grid, fbcs,
                         params: MultilevelParams, dias, subs=None):
-    """ncycles fixed sawtooth cycles on B independent scalar-dia systems
-    in 3 batched launches per cycle (the U+V implicit diffusion pair of
-    the NS step — CLAUDE.md round-3 candidate (a)).  Caller must check
+    """ncycles fixed sawtooth cycles on the 2 independent scalar-dia
+    systems of the U+V implicit-diffusion pair, in 3 PAIR launches per
+    cycle — separate refs per system, zero host-side stacking copies
+    (CLAUDE.md round-3 candidate (a)).  Caller must check
     batched_fixed_eligible."""
-    from ..ops.pallas.rbgs import (residual_restrict_batched,
-                                   cascade_prolong_relax_batched,
-                                   prolong_relax_batched)
+    from ..ops.pallas.rbgs import (residual_restrict_pair,
+                                   cascade_prolong_relax_pair,
+                                   prolong_relax_pair)
 
-    B = len(us)
+    assert len(us) == 2
     if _pallas_relax_applicable(us[0], grid, fbcs[0], None, None, True):
         params = dataclasses.replace(
             params, nrelax=max(params.nrelax, _NRELAX_BOOST),
@@ -689,7 +690,7 @@ def solve_fixed_batched(us, rhss, grid: Grid, fbcs,
     per_y = fbcs[0].is_periodic(1)
     dt_ = us[0].dtype
     rows = []
-    for b in range(B):
+    for b in range(2):
         _, offs = _signs_offs(grid, fbcs[b], False)
         d = jnp.asarray(0.0 if dias[b] is None else dias[b], dt_)
         sb = jnp.asarray(0.0 if subs is None or subs[b] is None
@@ -698,24 +699,23 @@ def solve_fixed_batched(us, rhss, grid: Grid, fbcs,
                                          for o in offs]))
     scal = jnp.stack(rows)
     dia_vec = scal[:, 0]
-    U = jnp.stack(us)
-    R = jnp.stack(rhss)
+    U = list(us)
     h2 = grid.h * grid.h
     r0 = None
     for _ in range(params.ncycles):
-        r0, r1, r2 = residual_restrict_batched(
-            U, R, scal, h2=h2, signs=signs, periodic_y=per_y)
-        rep = cascade_prolong_relax_batched(
+        r0, r1, r2 = residual_restrict_pair(
+            U, rhss, scal, h2=h2, signs=signs, periodic_y=per_y)
+        rep = cascade_prolong_relax_pair(
             r1, r2, dia_vec, nsweeps=params.nrelax,
             coarsest=max(params.coarsest_relax, 40),
             h2_half=4.0 * h2, signs=signs, per_y=per_y, min_n=16)
-        U = prolong_relax_batched(rep, r0, dia_vec, U,
-                                  nsweeps=params.nrelax, h2=h2,
-                                  signs=signs, periodic_y=per_y)
+        U = prolong_relax_pair(rep, r0, dia_vec, U,
+                               nsweeps=params.nrelax, h2=h2,
+                               signs=signs, periodic_y=per_y)
     stats = SolveStats(niter=jnp.asarray(params.ncycles),
-                       residual_before=norms(r0),
-                       residual_after=norms(r0))
-    return [U[b] for b in range(B)], stats
+                       residual_before=norms(r0[0]),
+                       residual_after=norms(r0[0]))
+    return U, stats
 
 
 @jax.tree_util.register_pytree_node_class

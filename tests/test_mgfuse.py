@@ -273,18 +273,19 @@ def test_batched_fused_cycle_matches_unbatched():
         _, offs = poisson._signs_offs(grid, fbc, homogeneous=False)
         rows.append([dia, subs[b]] + list(offs))
     scal = jnp.asarray(rows, jnp.float32)
-    U = jnp.stack([u.astype(jnp.float32) for u in us])
-    R = jnp.stack([r.astype(jnp.float32) for r in rs])
-    r0b, r1b, r2b = rbgs.residual_restrict_batched(
-        U, R, scal, h2=h2, signs=signs, periodic_y=False, interpret=True)
-    repb = rbgs.cascade_prolong_relax_batched(
-        r1b, r2b, jnp.asarray([dia, dia], jnp.float32),
+    Us = [u.astype(jnp.float32) for u in us]
+    Rs = [r.astype(jnp.float32) for r in rs]
+    r0p, r1p, r2p = rbgs.residual_restrict_pair(
+        Us, Rs, scal, h2=h2, signs=signs, periodic_y=False,
+        interpret=True)
+    repp = rbgs.cascade_prolong_relax_pair(
+        r1p, r2p, jnp.asarray([dia, dia], jnp.float32),
         nsweeps=nsweeps, coarsest=coarsest, h2_half=4 * h2, signs=signs,
         per_y=False, min_n=16, interpret=True)
-    outb = rbgs.prolong_relax_batched(
-        repb, r0b, jnp.asarray([dia, dia], jnp.float32), U,
+    outp = rbgs.prolong_relax_pair(
+        repp, r0p, jnp.asarray([dia, dia], jnp.float32), Us,
         nsweeps=nsweeps, h2=h2, signs=signs, periodic_y=False,
         interpret=True)
     for b in range(2):
-        d = float(jnp.max(jnp.abs(outb[b] - refs[b])))
+        d = float(jnp.max(jnp.abs(outp[b] - refs[b])))
         assert d < 1e-4, (b, d)
