@@ -783,3 +783,91 @@ class OutputInterface(Event):
             with open(format_filename(self.file, sim), "a") as f:
                 for x1, y1, x2, y2 in self.segments:
                     f.write("%g %g %g %g %g\n" % (sim.time.t, x1, y1, x2, y2))
+
+
+class OutputParticleList(Event):
+    """Per-particle state lines of a named GfsParticleList
+    (gfs_output_particle_list_event, modules/particulatecommon.c:2695:
+    one OutputLocation-style line per particle).  Columns:
+    t id x y [z] vx vy [vz]."""
+
+    def __init__(self, plist_name, file=None, sink=None, **kw):
+        super().__init__(name=f"OutputParticleList({plist_name})", **kw)
+        self.plist_name = plist_name
+        self.file = file
+        self.sink = sink
+        self.rows = []
+
+    def fire(self, sim, t, i):
+        super().fire(sim, t, i)
+        psys = next((p for p in sim.particle_systems
+                     if getattr(p, "name", None) == self.plist_name),
+                    None)
+        if psys is None and sim.particle_systems:
+            psys = sim.particle_systems[0]
+        if psys is None:
+            return
+        st = psys.state
+        alive = np.asarray(st["alive"])
+        pos = np.asarray(st["pos"])
+        vel = np.asarray(st["vel"])
+        pid = np.asarray(st.get("pid", np.arange(len(alive))))
+        lines = []
+        for k in np.nonzero(alive)[0]:
+            row = (sim.time.t, int(pid[k]), *pos[k], *vel[k])
+            self.rows.append(row)
+            lines.append(" ".join("%g" % x for x in row))
+        if self.sink:
+            self.sink(sim, self.rows)
+        if self.file:
+            with open(self.file, "a") as f:
+                f.write("\n".join(lines) + "\n")
+
+
+class OutputSpectra(Event):
+    """Shell-integrated power spectrum of one variable
+    (GfsOutputSpectra, modules/fft.c:1168 + write_spectra:1049).
+    Columns per firing: k E(k)."""
+
+    def __init__(self, v, file=None, sink=None, **kw):
+        super().__init__(name=f"OutputSpectra({v})", **kw)
+        self.v = v
+        self.file = file
+        self.sink = sink
+        self.last = None
+
+    def _spectrum(self, sim):
+        from ..spectral import fft as sfft
+        f = sim_field(sim, self.v)
+        return sfft.scalar_spectrum(f, sim.cfg.grid)
+
+    def fire(self, sim, t, i):
+        super().fire(sim, t, i)
+        k, E = self._spectrum(sim)
+        self.last = (np.asarray(k), np.asarray(E))
+        if self.sink:
+            self.sink(sim, self.last)
+        if self.file:
+            with open(self.file, "a") as f:
+                f.write("# t = %g\n" % sim.time.t)
+                for kk, ee in zip(*self.last):
+                    f.write("%g %g\n" % (kk, ee))
+
+
+class OutputEnergySpectra(OutputSpectra):
+    """Kinetic-energy spectrum E(k) of the velocity field
+    (GfsOutputEnergySpectra, modules/fft.c:1476)."""
+
+    def __init__(self, file=None, sink=None, **kw):
+        Event.__init__(self, name="OutputEnergySpectra", **kw)
+        self.v = "Velocity"
+        self.file = file
+        self.sink = sink
+        self.last = None
+
+    def _spectrum(self, sim):
+        from ..spectral import fft as sfft
+        from ..models.ns import velocity_names
+        U = [sim_field(sim, n)
+             for n in velocity_names(sim.cfg.grid.dim)]
+        return sfft.energy_spectrum(U, sim.cfg.grid)

@@ -881,7 +881,7 @@ def residual_restrict(u, rhs, dia=0.0, sub=0.0, *, h2: float,
 
 
 def _cascade_prolong_kernel(r1_hbm, r2_hbm, dia_ref, orep_hbm,
-                            repsc, rb, stage, zb, sem, *,
+                            repsc, rb, r2b, stage, zb, sem, *,
                             n_half, S, H, nsweeps, coarsest, h2_half,
                             sgn, per_y, min_n, batched=False):
     """Levels <= n_half of the correction phase in ONE launch: at strip 0
@@ -903,14 +903,14 @@ def _cascade_prolong_kernel(r1_hbm, r2_hbm, dia_ref, orep_hbm,
     else:
         s = pl.program_id(0)
         dia = dia_ref[0, 0]
-    _cp_core(s, r1_hbm, r2_hbm, orep_hbm, dia, repsc, rb, stage, zb,
-             sem, n_half=n_half, S=S, H=H, nsweeps=nsweeps,
+    _cp_core(s, r1_hbm, r2_hbm, orep_hbm, dia, repsc, rb, r2b, stage,
+             zb, sem, n_half=n_half, S=S, H=H, nsweeps=nsweeps,
              coarsest=coarsest, h2_half=h2_half, sgn=sgn, per_y=per_y,
              min_n=min_n)
 
 
-def _cp_core(s, r1_hbm, r2_hbm, orep_hbm, dia, repsc, rb, stage, zb,
-             sem, *, n_half, S, H, nsweeps, coarsest, h2_half, sgn,
+def _cp_core(s, r1_hbm, r2_hbm, orep_hbm, dia, repsc, rb, r2b, stage,
+             zb, sem, *, n_half, S, H, nsweeps, coarsest, h2_half, sgn,
              per_y, min_n):
     n_q = n_half // 2
     W = S + 2 * H
@@ -920,12 +920,12 @@ def _cp_core(s, r1_hbm, r2_hbm, orep_hbm, dia, repsc, rb, stage, zb,
     @pl.when(s == 0)
     def _():
         cp = pltpu.make_async_copy(
-            r2_hbm.at[:, :], rb.at[pl.ds(0, n_q), pl.ds(CP, n_q)],
+            r2_hbm.at[:, :], r2b.at[pl.ds(0, n_q), pl.ds(CP, n_q)],
             sem.at[0])
         cp.start()
         cp.wait()
         # ---- coarse_vcycle on r2 (n_q -> min_n -> n_q)
-        rs = {n_q: rb[pl.ds(0, n_q), cl:cl + n_q]}
+        rs = {n_q: r2b[pl.ds(0, n_q), cl:cl + n_q]}
         n = n_q
         while n > min_n:
             rs[n // 2] = _lane_pool(_row_pool(rs[n]))
@@ -956,10 +956,12 @@ def _cp_core(s, r1_hbm, r2_hbm, orep_hbm, dia, repsc, rb, stage, zb,
             h2c = h2_half * (2 * n_q // n) ** 2
             du = _cv_relax(du, rs[n], nsweeps, h2c, dia, sgn, per_y)
             n *= 2
-        # stash lane-doubled du_q with GP row padding (rep layout)
-        repsc[0:GP, :] = jnp.zeros((GP, n_half), f32)
-        repsc[GP:GP + n_q, :] = _lane_expand(du)
-        repsc[GP + n_q:GP + n_q + GP, :] = jnp.zeros((GP, n_half), f32)
+        # stash du_q (half-lane form; lane-doubled per strip below —
+        # the full-width plane would blow the 16 MB VMEM budget in the
+        # pair kernel) with GP row padding
+        repsc[0:GP, :] = jnp.zeros((GP, n_q), f32)
+        repsc[GP:GP + n_q, :] = du
+        repsc[GP + n_q:GP + n_q + GP, :] = jnp.zeros((GP, n_q), f32)
 
     # ---- per-strip: prolong repsc -> half level + relax (homogeneous)
     rstart = pl.multiple_of(jnp.clip(s * S - H, 0, n_half - W), 2 * GP)
@@ -972,7 +974,9 @@ def _cp_core(s, r1_hbm, r2_hbm, orep_hbm, dia, repsc, rb, stage, zb,
     first = rstart == 0
     last = rstart + W == n_half
 
-    C = repsc[pl.ds(cstart, W // 2 + 2 * GP), :][GP - 1:GP + W // 2 + 1, :]
+    Ch = repsc[pl.ds(cstart, W // 2 + 2 * GP), :][GP - 1:GP + W // 2 + 1,
+                                                   :]
+    C = _lane_expand(Ch, chunk=256)
     RR = jnp.repeat(C, 2, axis=0)
     base_r = RR[2:W + 2, :]
     nb_up = RR[1:W + 1, :]
@@ -1067,8 +1071,11 @@ def cascade_prolong_relax(r1, r2, dia=0.0, *, nsweeps: int, coarsest: int,
         out_shape=jax.ShapeDtypeStruct((n_half + 2 * GP, 2 * n_half),
                                        r1.dtype),
         scratch_shapes=[
-            pltpu.VMEM((GP + n_half // 2 + GP, n_half), r1.dtype),  # rep
-            pltpu.VMEM((buf_rows, CP + n_half + CP), r1.dtype),     # rhs
+            pltpu.VMEM((GP + n_half // 2 + GP, n_half // 2),
+                       r1.dtype),                                   # rep
+            pltpu.VMEM((W, CP + n_half + CP), r1.dtype),            # rhs
+            pltpu.VMEM((n_half // 2, CP + n_half // 2 + CP),
+                       r1.dtype),                                   # r2
             pltpu.VMEM((GP + W + GP, CP + n_half + CP), r1.dtype),  # u
             pltpu.VMEM((S, 2 * n_half), r1.dtype),                  # out
             pltpu.SemaphoreType.DMA((3,)),
@@ -1078,7 +1085,8 @@ def cascade_prolong_relax(r1, r2, dia=0.0, *, nsweeps: int, coarsest: int,
 
 
 def _cascade_prolong_kernel_pair(r10, r20, r11, r21, dia_ref,
-                                 o0, o1, repsc, rb, stage, zb, sem, *,
+                                 o0, o1, repsc, rb, r2b, stage, zb,
+                                 sem, *,
                                  n_half, S, H, nsweeps, coarsest,
                                  h2_half, sgn, per_y, min_n):
     """cascade_prolong_relax for both pair systems per strip iteration
@@ -1089,10 +1097,10 @@ def _cascade_prolong_kernel_pair(r10, r20, r11, r21, dia_ref,
     # cascade into system 0's prolongs at s > 0
     for b, (r1h, r2h, oh) in enumerate(((r10, r20, o0),
                                         (r11, r21, o1))):
-        _cp_core(s, r1h, r2h, oh, dia_ref[b, 0], repsc.at[b], rb, stage,
-                 zb, sem, n_half=n_half, S=S, H=H, nsweeps=nsweeps,
-                 coarsest=coarsest, h2_half=h2_half, sgn=sgn,
-                 per_y=per_y, min_n=min_n)
+        _cp_core(s, r1h, r2h, oh, dia_ref[b, 0], repsc.at[b], rb, r2b,
+                 stage, zb, sem, n_half=n_half, S=S, H=H,
+                 nsweeps=nsweeps, coarsest=coarsest, h2_half=h2_half,
+                 sgn=sgn, per_y=per_y, min_n=min_n)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -1128,9 +1136,11 @@ def cascade_prolong_relax_pair(r1s, r2s, dia, *, nsweeps: int,
                    pl.BlockSpec(memory_space=pltpu.ANY)),
         out_shape=(oshape, oshape),
         scratch_shapes=[
-            pltpu.VMEM((2, GP + n_half // 2 + GP, n_half),
+            pltpu.VMEM((2, GP + n_half // 2 + GP, n_half // 2),
                        r1s[0].dtype),
-            pltpu.VMEM((buf_rows, CP + n_half + CP), r1s[0].dtype),
+            pltpu.VMEM((W, CP + n_half + CP), r1s[0].dtype),
+            pltpu.VMEM((n_half // 2, CP + n_half // 2 + CP),
+                       r1s[0].dtype),
             pltpu.VMEM((GP + W + GP, CP + n_half + CP), r1s[0].dtype),
             pltpu.VMEM((S, 2 * n_half), r1s[0].dtype),
             pltpu.SemaphoreType.DMA((3,)),

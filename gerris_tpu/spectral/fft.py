@@ -123,6 +123,15 @@ def init_solenoidal(grid: Grid, spectrum: Callable, key) -> list:
         sh = [1] * dim
         sh[a] = shape[a]
         ks.append(k.reshape(sh).astype(jnp.float64))
+    # kill the Nyquist planes first: the +n/2 and -n/2 modes share one
+    # index, so the Helmholtz projection there is not conjugate-
+    # symmetric — it breaks Hermitian symmetry and the .real cast would
+    # leak a divergent component (few-percent k-space divergence
+    # measured at 64^2 before this mask)
+    nyq = 0.0
+    for a in range(dim):
+        nyq = nyq + jnp.where(jnp.abs(ks[a]) == shape[a] // 2, 1.0, 0.0)
+    uh = [jnp.where(nyq > 0, 0.0, uh[a]) for a in range(dim)]
     k2 = sum(k ** 2 for k in ks)
     k2s = jnp.where(k2 == 0.0, 1.0, k2)
     # Helmholtz projection: u <- u - k (k.u) / k^2

@@ -366,6 +366,11 @@ class ParsedSim:
     n_boxes: int = 1
     box_stack: tuple = (1, 1)
     errors: list = field(default_factory=list)         # build diagnostics
+    # the fork's module classes (modules/particulatecommon.c,
+    # modules/bubbles.c, modules/fft.c, modules/turbulence.c)
+    particle_lists: list = field(default_factory=list)
+    source_particulate: Optional[dict] = None          # two-way coupling
+    init_spectra: Optional[dict] = None                # GfsInitSpectra
 
 
 _SHAPES = {
@@ -584,9 +589,17 @@ def _parse_sim_body(sim: ParsedSim, toks, defines):
             if toks[i + 1] == "{":
                 _, i = _read_block(toks, i + 1)
                 i -= 1
-            var = toks[i + 1]
-            sim.nu = float(eval(toks[i + 2], {"__builtins__": {}}, {}))
-            i += 3
+            if _isnum(toks[i + 1]) or "/" in toks[i + 1]:
+                # GfsSourceViscosity reads just the viscosity
+                # (src/source.c gfs_source_viscosity_read)
+                sim.nu = float(eval(toks[i + 1], {"__builtins__": {}},
+                                    {}))
+                i += 2
+            else:
+                var = toks[i + 1]
+                sim.nu = float(eval(toks[i + 2], {"__builtins__": {}},
+                                    {}))
+                i += 3
         elif t in ("VariableTracerVOF", "VariableTracerVOFHeight"):
             sim.vof_tracers.append(toks[i + 1])
             i += 2
@@ -668,6 +681,104 @@ def _parse_sim_body(sim: ParsedSim, toks, defines):
             if i < n and not _is_directive(toks[i]) and toks[i] not in "{}":
                 i += 1  # optional diff variable name
             sim.events.append(("EventStop", sched, (var, tol)))
+        elif t in ("GfsParticleList", "ParticleList"):
+            # the fork's Lagrangian container (gfs_particle_list_read,
+            # modules/particulatecommon.c:1022-1093 over GfsEventList
+            # src/event.c gfs_event_list_read):
+            # GfsParticleList [*NAME] [{sched}] [DefaultClass]
+            #   { particles } { forces } [idlast]
+            j = i + 1
+            name = None
+            if j < n and toks[j].startswith("*"):
+                name = toks[j][1:]
+                j += 1
+            sched = {}
+            default_cls = None
+            if j < n and toks[j] == "{":
+                blk, j2 = _read_block(toks, j)
+                if "=" in blk:       # schedule, not the particle list
+                    sched = _kv_block(blk)
+                    j = j2
+            if j < n and toks[j] not in "{}" and _is_directive(toks[j]):
+                default_cls = toks[j]
+                j += 1
+            particles = []
+            if j < n and toks[j] == "{":
+                blk, j = _read_block(toks, j)
+                particles = _parse_particle_entries(blk, default_cls)
+            forces = []
+            if j < n and toks[j] == "{":
+                blk, j = _read_block(toks, j)
+                forces = _parse_force_entries(blk)
+            idlast = None
+            if j < n and _isnum(toks[j]):
+                idlast = int(float(toks[j]))
+                j += 1
+            sim.particle_lists.append(dict(
+                name=name, sched=sched, particles=particles,
+                forces=forces, idlast=idlast))
+            i = j
+        elif t in ("GfsSourceParticulate", "SourceParticulate"):
+            # two-way momentum coupling (source_particulate_read,
+            # modules/particulatecommon.c:2230): NAME { rkernel = r }
+            j = i + 1
+            pname = toks[j]
+            j += 1
+            kv = {}
+            if j < n and toks[j] == "{":
+                blk, j = _read_block(toks, j)
+                kv = _kv_block(blk)
+            sim.source_particulate = dict(
+                plist=pname, rkernel=float(kv.get("rkernel", 0.0)))
+            i = j
+        elif t in ("GfsInitSpectra", "InitSpectra"):
+            # solenoidal velocity init from a model spectrum
+            # (gfs_init_spectra_read, modules/turbulence.c:279-346):
+            # [{sched}] { x0.. L E } { alpha epsilon c1 c2 c3 .. }
+            # [level] U V [W]
+            j = i + 1
+            blks = []
+            while j < n and toks[j] == "{":
+                blk, j = _read_block(toks, j)
+                blks.append(_kv_block(blk))
+            sched = {}
+            if blks and not any(k in blks[0] for k in ("x0", "L", "E")):
+                sched = blks.pop(0)
+            level = None
+            if j < n and _isnum(toks[j]):
+                level = int(float(toks[j]))
+                j += 1
+            vars_ = []
+            while j < n and toks[j] not in "{}" \
+                    and not _is_directive(toks[j]) \
+                    and re.match(r"^\w+$", toks[j]):
+                vars_.append(toks[j])
+                j += 1
+            sim.init_spectra = dict(
+                sched=sched, pos=blks[0] if blks else {},
+                params=blks[1] if len(blks) > 1 else {}, level=level,
+                vars=vars_)
+            i = j
+        elif t in ("GfsOutputParticleList", "OutputParticleList"):
+            # gfs_output_particle_list_read (particulatecommon.c:2660):
+            # [{sched}] FILE PLISTNAME
+            j = i + 1
+            sched = {}
+            if j < n and toks[j] == "{":
+                blk, j = _read_block(toks, j)
+                sched = _kv_block(blk)
+            fileish = toks[j]
+            pname = toks[j + 1]
+            i = j + 2
+            sim.events.append(("OutputParticleList", sched,
+                               ([fileish, pname], [])))
+        elif t in ("GfsOutputSpectra", "GfsOutputEnergySpectra",
+                   "GfsOutputSpectraInterface"):
+            # modules/fft.c output classes keep their Gfs prefix in the
+            # registry; route to the generic Output collector under the
+            # stripped name
+            toks[i] = t[3:]
+            continue
         elif t.startswith("Output") or t in ("EventScript", "GModule",
                                              "AdaptFunction", "EventBalance"):
             # schedule block, then positional args / extra blocks
@@ -689,6 +800,68 @@ def _parse_sim_body(sim: ParsedSim, toks, defines):
             i = j
         else:
             i += 1
+
+
+def _parse_particle_entries(blk, default_cls):
+    """Particle entries of a GfsParticleList block: each is
+    [Class] [{sched}] id x y z [mass volume vx vy vz [fx fy fz]]
+    [velR p0 (GfsBubble)] (gfs_particle_read src/particle.c:46,
+    gfs_particulate_read modules/particulatecommon.c:844,
+    gfs_bubble_read modules/bubbles.c:277)."""
+    out = []
+    j = 0
+    n = len(blk)
+    while j < n:
+        cls = default_cls or "GfsParticulate"
+        if _is_directive(blk[j]):
+            cls = blk[j]
+            j += 1
+        if j < n and blk[j] == "{":
+            _, j = _read_block(blk, j)          # per-particle schedule
+        nums = []
+        while j < n and _isnum(blk[j]):
+            nums.append(float(blk[j]))
+            j += 1
+        if not nums:
+            j += 1
+            continue
+        e = dict(cls=cls, id=int(nums[0]), pos=nums[1:4])
+        rest = nums[4:]
+        if len(rest) >= 5:
+            e["mass"], e["volume"] = rest[0], rest[1]
+            e["vel"] = rest[2:5]
+            rest = rest[5:]
+        if len(rest) >= 3:
+            e["force"] = rest[:3]
+            rest = rest[3:]
+        if cls.endswith("Bubble") and len(rest) >= 2:
+            e["velR"], e["p0"] = rest[0], rest[1]
+        out.append(e)
+    return out
+
+
+def _parse_force_entries(blk):
+    """Force-object entries: ClassName [coefficient-expr | {block}]
+    (gfs_particle_force_read + force-coeff optional GfsFunction,
+    modules/particulatecommon.c:684,519-680)."""
+    out = []
+    j = 0
+    while j < len(blk):
+        t = blk[j]
+        if _is_directive(t):
+            j += 1
+            expr = None
+            if j < len(blk) and blk[j] == "{":
+                b2, j = _read_block(blk, j)
+                expr = " ".join(b2)
+            elif j < len(blk) and blk[j] not in "{}" \
+                    and not _is_directive(blk[j]):
+                expr = blk[j]
+                j += 1
+            out.append((t, expr))
+        else:
+            j += 1
+    return out
 
 
 def _is_directive(tok):
@@ -876,7 +1049,65 @@ def build_simulation(sim: ParsedSim, dim: int = 2):
         p_bc=side_bc("P", lambda ax, sd: bcs.Neumann()),
         density=density,
         solid_phi=solid_phi,
+        particle_coupling=bool(sim.source_particulate
+                               and sim.particle_lists),
     )
+
+    def build_particle_systems():
+        """GfsParticleList objects -> ParticleSystem runtimes
+        (modules/particulatecommon.c class registry :27-49; forces
+        Drag/Lift/AddedMass/Buoy/Inertial :255-680; GfsBubble
+        modules/bubbles.c)."""
+        from ..physics import particles as parts
+        from ..physics import bubbles as bub
+        from ..models.particle_system import ParticleSystem
+
+        fmap = {"ForceDrag": "drag", "ForceLift": "lift",
+                "ForceBuoy": "buoy", "ForceAddedMass": "added_mass",
+                "ForceInertial": "inertial"}
+        out = []
+        for k, pl in enumerate(sim.particle_lists):
+            entries = pl["particles"]
+            dimp = grid.dim
+            cap = max(16, 2 * len(entries))
+            pos = [list(e.get("pos", [0] * 3))[:dimp] for e in entries]
+            vel = [list(e.get("vel", [0] * 3))[:dimp] for e in entries]
+            vol = [e.get("volume", 1e-6) for e in entries]
+            mass = [e.get("mass", 1e-6) for e in entries]
+            forces = []
+            cd = None
+            for f, expr in pl["forces"]:
+                key = fmap.get(f[3:] if f.startswith("Gfs") else f)
+                if key:
+                    forces.append(key)
+                    if key == "drag" and expr is not None \
+                            and _isnum(expr):
+                        cd = float(expr)
+            two_way = bool(sim.source_particulate)
+            pcfg = parts.ParticleConfig(
+                capacity=cap, forces=tuple(forces), cd=cd,
+                two_way=two_way,
+                rkernel=(sim.source_particulate or {}).get("rkernel",
+                                                           0.0))
+            bubbles = [e for e in entries if e["cls"].endswith("Bubble")]
+            if bubbles:
+                import math as _m
+                R = [(3.0 * e.get("volume", 1e-6) / (4 * _m.pi))
+                     ** (1. / 3.) for e in entries]
+                state = bub.make_bubbles(
+                    cap, dimp, pos=pos, vel=vel, R=R,
+                    p0=[e.get("p0", 1.0) for e in entries])
+                bcfg = bub.BubbleConfig()
+            else:
+                state = parts.make_particles(
+                    cap, dimp, pos=pos or None, vel=vel or None,
+                    vol=vol or None, mass=mass or None)
+                bcfg = None
+            out.append(ParticleSystem(pcfg, state, bubble_cfg=bcfg,
+                                      name=pl["name"] or f"plist{k}"))
+        return out
+
+    particle_systems = build_particle_systems()
 
     time = Time(t=sim.time.get("t", 0.0), end=sim.time.get("end", math.inf),
                 iend=int(sim.time.get("iend", 2 ** 31)),
@@ -992,6 +1223,18 @@ def build_simulation(sim: ParsedSim, dim: int = 2):
                     + list(sim.tracers) + list(sim.vof_tracers)
                 events.append(out.OutputLocation(
                     vs, [pt[:dim]], file=fileish, **kw))
+            elif name == "OutputParticleList" and len(args) >= 2:
+                events.append(out.OutputParticleList(
+                    args[1], file=args[0], **kw))
+            elif name == "OutputSpectra" and len(args) >= 2:
+                events.append(out.OutputSpectra(args[1], file=fileish,
+                                                **kw))
+            elif name == "OutputEnergySpectra":
+                events.append(out.OutputEnergySpectra(file=fileish,
+                                                      **kw))
+            elif name == "OutputSpectraInterface" and len(args) >= 2:
+                events.append(out.OutputSpectra(args[1], file=fileish,
+                                                **kw))
             elif name == "AdaptFunction" and blocks and args:
                 adapt_spec = _make_adapt_spec(sched, blocks[0], args[0],
                                               sim, cfg)
@@ -1064,10 +1307,50 @@ def build_simulation(sim: ParsedSim, dim: int = 2):
                                   eb.get("projection", {}).items()}))
         s = ElectroSimulation(cfg, elec, time=time, events=events)
     else:
-        s = Simulation(cfg, time=time, events=events)
+        s = Simulation(cfg, time=time, events=events,
+                       particle_systems=particle_systems)
+    if particle_systems and not getattr(s, "particle_systems", None):
+        s.particle_systems = particle_systems
     s.errors = sim.errors
     s.init(**init_fields(fine_grid))
+    if sim.init_spectra is not None:
+        _apply_init_spectra(s, sim.init_spectra)
     return s
+
+
+def _apply_init_spectra(s, spec):
+    """GfsInitSpectra (modules/turbulence.c:279,626-900): solenoidal
+    velocity realization from a model energy spectrum, scaled so the
+    volume-integrated kinetic energy matches E.  The model shape is the
+    standard low-k forced form E(k) ~ (k/k0)^alpha exp(-alpha/2
+    (k/k0)^2) with k0 from kmax (the reference reads alpha/epsilon/
+    c1..c3 model coefficients; the normalisation to total E is what the
+    gates check)."""
+    import jax
+    import jax.numpy as jnp
+    from ..spectral import fft as sfft
+    from ..models.ns import velocity_names
+
+    grid = s.cfg.grid
+    pos = spec.get("pos", {})
+    par = spec.get("params", {})
+    E_tot = float(pos.get("E", 1.0))
+    alpha = float(par.get("alpha", 4.0))
+    kmax = par.get("kmax")
+    k0 = float(kmax) if kmax not in (None, "") else 4.0 * 2 * math.pi
+    seed = int(float(par.get("seed", 0.0)))
+
+    def model(k):
+        kk = jnp.maximum(k, 1e-12) / k0
+        return kk ** alpha * jnp.exp(-0.5 * alpha * kk ** 2)
+
+    U = sfft.init_solenoidal(grid, model, jax.random.PRNGKey(seed))
+    # normalise total KE: sum(u^2)/2 * dV = E
+    ke = sum(float(jnp.sum(u ** 2)) for u in U) * grid.cell_volume / 2.0
+    scale = math.sqrt(E_tot / max(ke, 1e-300))
+    names = spec.get("vars") or list(velocity_names(grid.dim))
+    for n, u in zip(names, U):
+        s.state[n] = u * scale
 
 
 def _scalar_expr_value(expr: str, sim: ParsedSim):
