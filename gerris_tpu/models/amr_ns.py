@@ -333,47 +333,122 @@ class AdaptSpec:
     minlevel: int = 3
     maxlevel: int = 8
     istep: int = 1
+    # global leaf budget (reference adapt_global, src/adaptive.c:
+    # 1198-1290: refine/coarsen candidate heaps traded under maxcells).
+    # None = unbounded (adapt_local).  Enforced by raising the cost
+    # threshold until the leaf count fits — the highest-cost cells
+    # refine first, exactly the heap ordering.
+    maxcells: Optional[int] = None
 
 
 def depth_map_from_cost(c0, c1, spec: AdaptSpec, topo: Topo,
-                        prev: Optional[np.ndarray] = None) -> np.ndarray:
-    """Target depth per finest cell from the two cost fields (host-side
-    numpy; the arrays are the finest-level mask resolution)."""
+                        prev: Optional[np.ndarray] = None,
+                        c2=None) -> np.ndarray:
+    """Target depth per finest cell from the cost fields (host-side
+    numpy; the arrays are the finest-level mask resolution).
+    ``c0``: scale-free; ``c1``: per-length (x h(l)); ``c2``: per-length^2
+    (x h(l)^2 — the Richardson/Hessian truncation-error scaling of
+    AdaptError, src/adaptive.c:594 cost_error)."""
+    c0 = None if c0 is None else np.asarray(c0)
+    c1 = None if c1 is None else np.asarray(c1)
+    c2 = None if c2 is None else np.asarray(c2)
+
+    D = _depth_unconstrained(c0, c1, c2, spec, topo, prev, 1.0)
+    if spec.maxcells is not None and _leaf_count(D, spec) > spec.maxcells:
+        # adapt_global: raise the threshold until the budget fits — a
+        # monotone bisection on the cost multiplier is the array-program
+        # equivalent of popping the lowest-priority refine candidates
+        # from the heap (src/adaptive.c:1198-1290)
+        lo, hi = 1.0, 2.0
+        while _leaf_count(_depth_unconstrained(
+                c0, c1, c2, spec, topo, prev, hi), spec) > spec.maxcells:
+            lo, hi = hi, hi * 4.0
+            if hi > 1e12:
+                break
+        for _ in range(30):
+            mid = math.sqrt(lo * hi)
+            if _leaf_count(_depth_unconstrained(
+                    c0, c1, c2, spec, topo, prev, mid),
+                    spec) > spec.maxcells:
+                lo = mid
+            else:
+                hi = mid
+        D = _depth_unconstrained(c0, c1, c2, spec, topo, prev, hi)
+    return D
+
+
+def _pool_max(a, rep, dim):
+    if rep == 1:
+        return a
+    sh = []
+    for ax in range(dim):
+        sh += [a.shape[ax] // rep, rep]
+    red = tuple(2 * ax + 1 for ax in range(dim))
+    return a.reshape(sh).max(axis=red)
+
+
+def _depth_unconstrained(c0, c1, c2, spec: AdaptSpec, topo: Topo,
+                         prev, thresh_mult: float) -> np.ndarray:
     gf = topo.grid(spec.maxlevel)
     shape = gf.shape
     dim = topo.dim
-
-    def pool(a, rep):
-        if rep == 1:
-            return a
-        sh = []
-        for ax in range(dim):
-            sh += [a.shape[ax] // rep, rep]
-        red = tuple(2 * ax + 1 for ax in range(dim))
-        return a.reshape(sh).max(axis=red)
+    cmax = spec.cmax * thresh_mult
 
     def rep_up(a, rep):
         for ax in range(dim):
             a = a.repeat(rep, axis=ax)
         return a
 
-    c0 = None if c0 is None else np.asarray(c0)
-    c1 = None if c1 is None else np.asarray(c1)
     D = np.full(shape, spec.minlevel, np.int32)
     for l in range(spec.minlevel, spec.maxlevel):
         rep = 1 << (spec.maxlevel - l)
         h_l = topo.base.size / (1 << l)
         cost = np.zeros(tuple(s // rep for s in shape))
         if c0 is not None:
-            cost = np.maximum(cost, pool(c0, rep))
+            cost = np.maximum(cost, _pool_max(c0, rep, dim))
         if c1 is not None:
-            cost = np.maximum(cost, pool(c1, rep) * h_l)
-        want = cost > spec.cmax
+            cost = np.maximum(cost, _pool_max(c1, rep, dim) * h_l)
+        if c2 is not None:
+            cost = np.maximum(cost, _pool_max(c2, rep, dim) * h_l * h_l)
+        want = cost > cmax
         if prev is not None:
-            keep = (pool(prev, rep) > l) & (cost > spec.cmax / spec.cfactor)
+            keep = (_pool_max(prev, rep, dim) > l) \
+                & (cost > cmax / spec.cfactor)
             want |= keep
-        D = np.maximum(D, np.where(rep_up(want, rep), l + 1, spec.minlevel))
+        D = np.maximum(D, np.where(rep_up(want, rep), l + 1,
+                                   spec.minlevel))
     return grade_depth_map(D)
+
+
+def _leaf_count(D: np.ndarray, spec: AdaptSpec) -> float:
+    """Leaves implied by a finest-resolution depth map: a depth-d region
+    is covered by leaves of size 2^(maxlevel-d) finest cells each."""
+    dim = D.ndim
+    w = (0.25 if dim == 2 else 0.125) ** (spec.maxlevel - D)
+    return float(w.sum())
+
+
+def hessian_cost(v, grid, fbc, t=0.0):
+    """|Hessian| magnitude of a field (per-length^2 cost channel): the
+    truncation-error estimate behind GfsAdaptError's Richardson
+    extrapolation (src/adaptive.c:594 cost_error — the difference
+    between the solution and its coarse-grid representation scales as
+    h^2 |D^2 v|)."""
+    p = bcs.apply_bc(v, grid, fbc, 1, t=t)
+    h2 = grid.h * grid.h
+    vxx = (p[2:, 1:-1] - 2 * p[1:-1, 1:-1] + p[:-2, 1:-1]) / h2
+    vyy = (p[1:-1, 2:] - 2 * p[1:-1, 1:-1] + p[1:-1, :-2]) / h2
+    vxy = (p[2:, 2:] - p[2:, :-2] - p[:-2, 2:] + p[:-2, :-2]) / (4 * h2)
+    c = jnp.maximum(jnp.abs(vxx),
+                    jnp.maximum(jnp.abs(vyy), jnp.abs(vxy)))
+    if not (fbc.is_periodic(0) or fbc.is_periodic(1)):
+        # one-sided at the walls: mirror ghosts make even a linear field
+        # look curved in the boundary layer — extend the nearest
+        # interior estimate instead (the error estimate should measure
+        # the SOLUTION's curvature, not the ghost convention's kink)
+        c = c.at[0, :].set(c[1, :]).at[-1, :].set(c[-2, :])
+        c = c.at[:, 0].set(c[:, 1]).at[:, -1].set(c[:, -2])
+    return c
 
 
 def dilate(m: jnp.ndarray, r: int) -> jnp.ndarray:
@@ -463,12 +538,16 @@ class AMRSimulation:
 
     def adapt_now(self):
         """Recompute the depth map from the criterion; masks swap in place
-        (state arrays are resampled implicitly by the next step's sync)."""
-        c0, c1 = self.adapt.criterion(self)
+        (state arrays are resampled implicitly by the next step's sync).
+        The criterion returns (c0, c1) or (c0, c1, c2) cost channels."""
+        cs = self.adapt.criterion(self)
+        c0, c1 = cs[0], cs[1]
+        c2 = cs[2] if len(cs) > 2 else None
         self.depth = depth_map_from_cost(
             None if c0 is None else np.asarray(c0),
             None if c1 is None else np.asarray(c1),
-            self.adapt, self.topo, prev=self.depth)
+            self.adapt, self.topo, prev=self.depth,
+            c2=None if c2 is None else np.asarray(c2))
         self.leaf = self._masks_from_depth(self.depth)
 
     # -- state -----------------------------------------------------------

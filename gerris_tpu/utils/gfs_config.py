@@ -780,7 +780,8 @@ def _parse_sim_body(sim: ParsedSim, toks, defines):
             toks[i] = t[3:]
             continue
         elif t.startswith("Output") or t in ("EventScript", "GModule",
-                                             "AdaptFunction", "EventBalance"):
+                                             "AdaptFunction", "AdaptError",
+                                             "EventBalance"):
             # schedule block, then positional args / extra blocks
             j = i + 1
             sched = {}
@@ -1238,6 +1239,9 @@ def build_simulation(sim: ParsedSim, dim: int = 2):
             elif name == "AdaptFunction" and blocks and args:
                 adapt_spec = _make_adapt_spec(sched, blocks[0], args[0],
                                               sim, cfg)
+            elif name == "AdaptError" and blocks and args:
+                adapt_spec = _make_adapt_error_spec(
+                    sched, blocks[0], args[0], sim, cfg)
             # EventScript / GModule are intentionally skipped (shell
             # execution / module loading)
         except Exception as exc:  # surface, don't swallow (VERDICT r1)
@@ -1413,12 +1417,42 @@ def _make_adapt_spec(sched, params, expr, sim: ParsedSim, cfg):
 
     maxlevel = int(float(params.get("maxlevel", sim.level)))
     minlevel = int(float(params.get("minlevel", max(2, maxlevel - 4))))
+    maxcells = params.get("maxcells")
     return amr_ns.AdaptSpec(
         criterion=criterion,
         cmax=float(params.get("cmax", 1e-2)),
         cfactor=float(params.get("cfactor", 4.0)),
         minlevel=minlevel, maxlevel=maxlevel,
-        istep=int(float(sched.get("istep", 1))))
+        istep=int(float(sched.get("istep", 1))),
+        maxcells=None if maxcells is None else int(float(maxcells)))
+
+
+def _make_adapt_error_spec(sched, params, var, sim: ParsedSim, cfg):
+    """GfsAdaptError { istep } { cmax maxlevel [maxcells] } v: refine
+    where the Richardson truncation-error estimate h^2 |D^2 v| exceeds
+    cmax (src/adaptive.c:594 cost_error + the generic GfsAdapt budget
+    fields src/adaptive.h:38-80)."""
+    from ..models import amr_ns
+
+    def criterion(s):
+        from ..events.outputs import sim_field
+        g = s.topo.grid(s.topo.lmax)
+        v = sim_field(s, var)
+        fbc = s.field_bc(var) if hasattr(s, "field_bc") else None
+        from ..core import bc as _b
+        fbc = fbc or _b.default_scalar_bc(s.topo.dim)
+        return None, None, amr_ns.hessian_cost(v, g, fbc, t=s.time.t)
+
+    maxlevel = int(float(params.get("maxlevel", sim.level)))
+    minlevel = int(float(params.get("minlevel", max(2, maxlevel - 4))))
+    maxcells = params.get("maxcells")
+    return amr_ns.AdaptSpec(
+        criterion=criterion,
+        cmax=float(params.get("cmax", 1e-2)),
+        cfactor=float(params.get("cfactor", 4.0)),
+        minlevel=minlevel, maxlevel=maxlevel,
+        istep=int(float(sched.get("istep", 1))),
+        maxcells=None if maxcells is None else int(float(maxcells)))
 
 
 def _build_poisson(sim: ParsedSim):

