@@ -118,9 +118,11 @@ def velocity_names(dim):
     return ("U", "V", "W")[:dim]
 
 
-def predicted_face_velocities(U: list, grid: Grid, cfg: NSConfig, dt, t):
+def predicted_face_velocities(U: list, grid: Grid, cfg: NSConfig, dt, t,
+                              packed: bool = False):
     """Reference: src/timestep.c:681-717 (use_centered_velocity=TRUE,
-    CENTERED upwinding)."""
+    CENTERED upwinding).  ``packed``: return a FacePack in the kernels'
+    native padded face layout (zero repacking launches downstream)."""
     from ..ops.pallas import bcg, predict
     if grid.dim == 2 and bcg.applicable(U[0], grid, cfg.advection):
         su = bcg.kernel_spec(cfg.u_bcs[0], with_face_bc=True)
@@ -129,11 +131,12 @@ def predicted_face_velocities(U: list, grid: Grid, cfg: NSConfig, dt, t):
                 and su["per_y"] == sv["per_y"]
                 and None not in su["fb_x"]
                 and (sv["per_y"] or None not in sv["fb_y"])):
-            ufx, ufy = predict.predict_xy(
+            out = predict.predict_xy(
                 U[0], U[1], dt, grid.h, sgn_u=su["sgn"], off_u=su["off"],
                 sgn_v=sv["sgn"], off_v=sv["off"], per_y=su["per_y"],
-                fb_x=su["fb_x"], fb_y=sv["fb_y"] or (0.0, 0.0))
-            return [ufx, ufy]
+                fb_x=su["fb_x"], fb_y=sv["fb_y"] or (0.0, 0.0),
+                packed=packed)
+            return out if packed else [out[0], out[1]]
     uc_pad = [bcs.apply_bc(U[c], grid, cfg.u_bcs[c], 1, t=t, corners=False)
               for c in range(grid.dim)]
     uf = []
@@ -180,10 +183,13 @@ def velocity_advection_diffusion(U: list, uf: list, gmac: list, g_prev,
             # rhs_c = -dia (v + fv - dt g_prev) with zero extra launches
             plain = (sources is None and cfg.body_force is None)
             dia = 1.0 / (cfg.beta * dt * cfg.nu)
+            from ..ops.pallas.facepack import FacePack
+            fp = isinstance(uf, FacePack)
             vals = []
             for c in range(dim):
                 spec = specs[c]
-                fv = bcg.advect2d(U[c], uf[0], uf[1], dt, grid.h,
+                fv = bcg.advect2d(U[c], uf if fp else uf[0],
+                                  None if fp else uf[1], dt, grid.h,
                                   gmac[c],
                                   gp=(g_prev[c] if g_prev is not None
                                       else None),
@@ -208,6 +214,8 @@ def velocity_advection_diffusion(U: list, uf: list, gmac: list, g_prev,
                 rhss=vals if plain else None, t=t)
             return out
 
+    from ..ops.pallas.facepack import as_pair as _as_pair
+    uf = _as_pair(uf)
     out = []
     for c in range(dim):
         # fused Pallas path (TPU f32, static BCs, no cut cells): one HBM
@@ -613,8 +621,11 @@ def ns_step(state: dict, dt, t, cfg: NSConfig, cstart: int = 0,
         solid = _weights(cfg)
         sfrac = solid[1]
 
-    # 1. prediction
-    uf = predicted_face_velocities(U, grid, cfg, dt, t)
+    # 1. prediction.  Without cut cells the faces travel in the packed
+    # kernel layout end-to-end (ops/pallas/facepack.py) — no repacking
+    # pad/concat launches between kernels.
+    use_pk = sfrac is None and dim == 2
+    uf = predicted_face_velocities(U, grid, cfg, dt, t, packed=use_pk)
     if sfrac is not None:
         uf = [jnp.where(sfrac[c] > 0.0, uf[c], 0.0) for c in range(dim)]
 
@@ -644,10 +655,11 @@ def ns_step(state: dict, dt, t, cfg: NSConfig, cstart: int = 0,
     # correction folds into the projection-correction launch.
     if gc:
         uf2, U = proj.face_interpolated_velocity(
-            U, grid, list(cfg.u_bcs), t=t, gp=g_prev, dtv=dt)
+            U, grid, list(cfg.u_bcs), t=t, gp=g_prev, dtv=dt,
+            packed=use_pk)
     else:
         uf2 = proj.face_interpolated_velocity(U, grid, list(cfg.u_bcs),
-                                              t=t)
+                                              t=t, packed=use_pk)
     if sfrac is not None:
         uf2 = [jnp.where(sfrac[c] > 0.0, uf2[c], 0.0) for c in range(dim)]
     uf2, p, g_cell, _, U = proj.mac_projection(
@@ -668,6 +680,9 @@ def ns_step(state: dict, dt, t, cfg: NSConfig, cstart: int = 0,
             new[n] = g_cell[c]
 
     # 5. tracers with the projected face field (gfs_advance_tracers)
+    if cfg.tracers or cfg.vof_tracers:
+        from ..ops.pallas.facepack import as_pair as _ap
+        uf2 = _ap(uf2)
     for tr in cfg.tracers:
         new[tr[0]] = advect_tracer(state[tr[0]], tr, uf2, grid, cfg, dt, t)
     if cfg.vof_tracers:

@@ -308,10 +308,17 @@ def advect2d(v, ufx, ufy, dt, h, g=None, gp=None, oscale=None, *,
         H = 0
     W = S + 2 * H
     nstrips = n0 // S
-    uxp = jnp.pad(ufx, ((GP, 2 * GP - 1), (0, 0)))
-    # DMA source widths must be 128-lane aligned: pad ufy's n1+1 columns
-    ypad = (-(n1 + 1)) % CP
-    uyp = jnp.pad(ufy, ((0, 0), (0, ypad))) if ypad else ufy
+    from .facepack import FacePack
+    if isinstance(ufx, FacePack):
+        # faces already in the kernel's native packed layout: zero
+        # repacking launches (see facepack.py)
+        uxp, uyp = ufx.x, ufx.y
+        ypad = uyp.shape[1] - (n1 + 1)
+    else:
+        uxp = jnp.pad(ufx, ((GP, 2 * GP - 1), (0, 0)))
+        # DMA source widths must be 128-lane aligned: pad ufy columns
+        ypad = (-(n1 + 1)) % CP
+        uyp = jnp.pad(ufy, ((0, 0), (0, ypad))) if ypad else ufy
     dt_arr = jnp.stack([
         jnp.asarray(dt, v.dtype) / h,
         jnp.asarray(h, v.dtype) / 2.0,

@@ -42,9 +42,9 @@ def _ghost_rows_cols(buf, W, cl, ch, sgn, off, per_y, first, last):
 
 def _kern_interp(dt_ref, u_hbm, v_hbm, gx_hbm, gy_hbm,
                  ox_ref, oy_ref, ou_ref, ov_ref, ubuf, vbuf, gxb, gyb,
-                 sem, *,
+                 xstage, sem, *,
                  n0, n1, n1p, S, H, nstrips, sgn_u, off_u, sgn_v, off_v,
-                 per_y, fbx_lo, fby, use_gp):
+                 per_y, fbx_lo, fbx_hi, fby, use_gp, packed):
     """Face-interpolated MAC velocities for both components in one
     launch: ox rows = x-faces s*S..s*S+S-1 (face n0 appended by the
     wrapper); oy = y-faces 0..n1 (padded width n1p).
@@ -73,12 +73,43 @@ def _kern_interp(dt_ref, u_hbm, v_hbm, gx_hbm, gy_hbm,
         ve = _ghost_rows_cols(vbuf, W, cl, ch, sgn_v, off_v, per_y,
                               first, last)
         ua = ue[:, cl:ch]                 # u cells -1..W
-        # x-faces f = soff..soff+S-1: 0.5 (u[f-1] + u[f])
-        ux = 0.5 * (ua[soff:soff + S, :] + ua[soff + 1:soff + S + 1, :])
+        # x-faces f = soff..soff+S: 0.5 (u[f-1] + u[f])
+        ux = 0.5 * (ua[soff:soff + S + 1, :]
+                    + ua[soff + 1:soff + S + 2, :])
         if first and fbx_lo is not None:
             ux = jnp.concatenate(
                 [jnp.full_like(ux[0:1, :], fbx_lo), ux[1:, :]], 0)
-        ox_ref[:, :] = ux
+        if not packed:
+            ox_ref[:, :] = ux[0:S, :]
+        else:
+            z8 = jnp.zeros((GP, n1), ux.dtype)
+            base = GP if first else 0
+            if first:
+                xstage[0:GP, :] = z8
+            xstage[base:base + S, :] = ux[0:S, :]
+            if last:
+                # None: replicate the last interior face (the plain
+                # wrapper's concatenate([ox, ox[-1:]]) semantics)
+                top = jnp.full_like(ux[0:1, :], fbx_hi) \
+                    if fbx_hi is not None else ux[S - 1:S, :]
+                xstage[base + S:base + S + 1, :] = top
+                xstage[base + S + 1:base + S + 1 + GP, :] = z8
+                xstage[base + S + 1 + GP:base + S + 2 * GP, :] = \
+                    z8[1:, :]
+                nr = base + S + 2 * GP
+                r0 = 0 if first else GP + (nstrips - 1) * S
+            elif first:
+                nr = GP + S
+                r0 = 0
+            else:
+                nr = S
+                r0 = GP + soff_row
+            cpx = pltpu.make_async_copy(
+                xstage.at[pl.ds(0, nr), :],
+                ox_ref.at[pl.ds(pl.multiple_of(r0, GP), nr), :],
+                sem.at[0])
+            cpx.start()
+            cpx.wait()
         # y-faces j = 0..n1: 0.5 (v[j-1] + v[j]) on strip rows
         va = ve[soff + 1:soff + S + 1, cl - 1:ch + 1]   # cols -1..n1
         vy = 0.5 * (va[:, 0:n1 + 1] + va[:, 1:n1 + 2])
@@ -94,6 +125,8 @@ def _kern_interp(dt_ref, u_hbm, v_hbm, gx_hbm, gy_hbm,
         if use_gp:
             ou_ref[:, :] = ubuf[soff:soff + S, cl:ch]
             ov_ref[:, :] = vbuf[soff:soff + S, cl:ch]
+
+    soff_row = s * S
 
     if nstrips == 1:
         body(0, True, True)
@@ -114,9 +147,9 @@ def _kern_interp(dt_ref, u_hbm, v_hbm, gx_hbm, gy_hbm,
 
 @functools.partial(jax.jit, static_argnames=(
     "sgn_u", "off_u", "sgn_v", "off_v", "per_y", "fbx", "fby", "S",
-    "interpret"))
+    "packed", "interpret"))
 def interp_faces(U, V, gp=None, dtv=None, *, sgn_u, off_u, sgn_v, off_v,
-                 per_y, fbx, fby, S=64, interpret=False):
+                 per_y, fbx, fby, S=64, packed=False, interpret=False):
     """(ufx, ufy[, U2, V2]) face-interpolated MAC field from centred
     velocities with the Dirichlet face BCs applied
     (face_interpolated_velocity, solvers/projection.py).
@@ -128,31 +161,41 @@ def interp_faces(U, V, gp=None, dtv=None, *, sgn_u, off_u, sgn_v, off_v,
     if n0 % S or n0 < S + 2 * H:
         S, H = n0, 0
     n1p = n1 + 1 + ((-(n1 + 1)) % CP)
+    from .facepack import FacePack
     use_gp = gp is not None
     kern = functools.partial(
         _kern_interp, n0=n0, n1=n1, n1p=n1p, S=S, H=H, nstrips=n0 // S,
         sgn_u=sgn_u, off_u=off_u, sgn_v=sgn_v, off_v=off_v, per_y=per_y,
-        fbx_lo=fbx[0], fby=fby, use_gp=use_gp)
+        fbx_lo=fbx[0], fbx_hi=fbx[1], fby=fby, use_gp=use_gp,
+        packed=packed)
     W = S + 2 * H
     z = jnp.zeros((GP, n1), U.dtype)
     gx_in, gy_in = gp if use_gp else (z, z)
     dt_arr = jnp.asarray(dtv if dtv is not None else 0.0,
                          U.dtype).reshape(1, 1)
     cs = S if use_gp else GP
+    if packed:
+        ox_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        ox_shape = jax.ShapeDtypeStruct((n0 + 3 * GP, n1), U.dtype)
+        xstage_rows = S + 3 * GP
+    else:
+        ox_spec = pl.BlockSpec((S, n1), lambda s: (s, 0),
+                               memory_space=pltpu.VMEM)
+        ox_shape = jax.ShapeDtypeStruct((n0, n1), U.dtype)
+        xstage_rows = GP
     ox, oy, ou, ov = pl.pallas_call(
         kern,
         grid=(n0 // S,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
                  [pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
-        out_specs=(pl.BlockSpec((S, n1), lambda s: (s, 0),
-                                memory_space=pltpu.VMEM),
+        out_specs=(ox_spec,
                    pl.BlockSpec((S, n1p), lambda s: (s, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((cs, n1), lambda s: (s, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((cs, n1), lambda s: (s, 0),
                                 memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((n0, n1), U.dtype),
+        out_shape=(ox_shape,
                    jax.ShapeDtypeStruct((n0, n1p), U.dtype),
                    jax.ShapeDtypeStruct((cs * (n0 // S), n1), U.dtype),
                    jax.ShapeDtypeStruct((cs * (n0 // S), n1), U.dtype)),
@@ -161,10 +204,16 @@ def interp_faces(U, V, gp=None, dtv=None, *, sgn_u, off_u, sgn_v, off_v,
             pltpu.VMEM((W, CP + n1 + CP), U.dtype),
             pltpu.VMEM((W if use_gp else GP, CP + n1 + CP), U.dtype),
             pltpu.VMEM((W if use_gp else GP, CP + n1 + CP), U.dtype),
+            pltpu.VMEM((xstage_rows, n1), U.dtype),
             pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
     )(dt_arr, U, V, gx_in, gy_in)
+    if packed:
+        uf_out = FacePack(x=ox, y=oy, n0=n0, n1=n1)
+        if use_gp:
+            return uf_out, ou, ov
+        return uf_out
     top = jnp.full((1, n1), 0.0 if fbx[1] is None else fbx[1], U.dtype)
     ufx = jnp.concatenate([ox, top], axis=0) if fbx[1] is not None \
         else jnp.concatenate([ox, ox[-1:, :]], axis=0)
@@ -202,7 +251,41 @@ def _kern_div(sc_ref, ux_hbm, uy_hbm, odiv, osum, uxb, uyb, sem, *,
 def divergence_mac(ufx, ufy, dt, h, *, S=256, interpret=False):
     """(div, total): div = MAC divergence / dt and its global sum, in
     one pass (the caller forms the compatibility mean as
-    total / ncells)."""
+    total / ncells).  ``ufx`` may be a facepack.FacePack (native padded
+    layout, zero repacking)."""
+    from .facepack import FacePack
+    if isinstance(ufx, FacePack):
+        fp = ufx
+        n0, n1 = fp.n0, fp.n1
+        uxp, uyp = fp.x, fp.y
+        n1p = uyp.shape[1]
+        if n0 % S:
+            S = n0
+        nstrips = n0 // S
+        sc = (1.0 / (jnp.asarray(dt, uxp.dtype) * h)).reshape(1, 1)
+        kern = functools.partial(_kern_div, n0=n0, n1=n1, S=S,
+                                 nstrips=nstrips)
+        div, parts = pl.pallas_call(
+            kern,
+            grid=(nstrips,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.ANY),
+                      pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=(pl.BlockSpec((S, n1), lambda s: (s, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((GP, CP), lambda s: (s, 0),
+                                    memory_space=pltpu.VMEM)),
+            out_shape=(jax.ShapeDtypeStruct((n0, n1), uxp.dtype),
+                       jax.ShapeDtypeStruct((nstrips * GP, CP),
+                                            uxp.dtype)),
+            scratch_shapes=[
+                pltpu.VMEM((S + 2 * GP, CP + n1 + CP), uxp.dtype),
+                pltpu.VMEM((S, CP + n1p + CP), uxp.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(sc, uxp, uyp)
+        return div, jnp.sum(parts)
     n0, n1 = ufx.shape[0] - 1, ufx.shape[1]
     if n0 % S:
         S = n0
@@ -237,9 +320,9 @@ def divergence_mac(ufx, ufy, dt, h, *, S=256, interpret=False):
 
 def _kern_correct(dt_ref, p_hbm, ux_hbm, uy_hbm, uc_hbm, vc_hbm,
                   oux, ouy, ogx, ogy, ouc, ovc,
-                  pbuf, uxb, uyb, ucb, vcb, sem, *,
+                  pbuf, uxb, uyb, ucb, vcb, xstage, sem, *,
                   n0, n1, n1p, S, H, nstrips, sgn, off, per_y,
-                  with_cells):
+                  with_cells, packed):
     """Projection correction in one launch: face gradients of p,
     uf -= dt * grad_f p, and the cell gradient (mean of the two faces).
     ``ux`` input arrives GP-row-padded (face k at row k+GP) like bcg."""
@@ -267,7 +350,34 @@ def _kern_correct(dt_ref, p_hbm, ux_hbm, uy_hbm, uc_hbm, vc_hbm,
                - pa[soff:soff + S + 1, :]) * ih
         ux = uxb[soff + GP:soff + GP + S + 1, cl:ch]
         ux_new = ux - (dt_h / ih) * gfx     # = uf - dt * grad_f p
-        oux[:, :] = ux_new[0:S, :]
+        if not packed:
+            oux[:, :] = ux_new[0:S, :]
+        else:
+            z8 = jnp.zeros((GP, n1), ux_new.dtype)
+            base = GP if first else 0
+            if first:
+                xstage[0:GP, :] = z8
+            xstage[base:base + S, :] = ux_new[0:S, :]
+            if last:
+                # ux_new[S] IS the domain face n0 (ghost-p gradient)
+                xstage[base + S:base + S + 1, :] = ux_new[S:S + 1, :]
+                xstage[base + S + 1:base + S + 1 + GP, :] = z8
+                xstage[base + S + 1 + GP:base + S + 2 * GP, :] = \
+                    z8[1:, :]
+                nr = base + S + 2 * GP
+                r0 = 0 if first else GP + (nstrips - 1) * S
+            elif first:
+                nr = GP + S
+                r0 = 0
+            else:
+                nr = S
+                r0 = GP + soff_row
+            cpx = pltpu.make_async_copy(
+                xstage.at[pl.ds(0, nr), :],
+                oux.at[pl.ds(pl.multiple_of(r0, GP), nr), :],
+                sem.at[0])
+            cpx.start()
+            cpx.wait()
         # last x-face of the strip -> gx needs both faces
         ogx[:, :] = 0.5 * (gfx[0:S, :] + gfx[1:S + 1, :])
         # y faces 0..n1 on strip rows
@@ -285,6 +395,8 @@ def _kern_correct(dt_ref, p_hbm, ux_hbm, uy_hbm, uc_hbm, vc_hbm,
             gcx = 0.5 * (gfx[0:S, :] + gfx[1:S + 1, :])
             ouc[:, :] = ucb[soff:soff + S, cl:ch] - (dt_h / ih) * gcx
             ovc[:, :] = vcb[soff:soff + S, cl:ch] - (dt_h / ih) * gcy
+
+    soff_row = s * S
 
     if nstrips == 1:
         body(0, True, True)
@@ -304,9 +416,9 @@ def _kern_correct(dt_ref, p_hbm, ux_hbm, uy_hbm, uc_hbm, vc_hbm,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "sgn", "off", "per_y", "S", "interpret"))
+    "sgn", "off", "per_y", "S", "packed", "interpret"))
 def correct_project(p, ufx, ufy, dt, h, cells=None, *, sgn, off, per_y,
-                    S=64, interpret=False):
+                    S=64, packed=False, interpret=False):
     """(ufx', ufy', gx, gy): the post-solve correction of one projection
     — face gradients of p with static-BC ghosts, uf -= dt grad p, and
     the cell-centred gradient (face mean).  Unit alpha (fallback: jnp
@@ -321,26 +433,39 @@ def correct_project(p, ufx, ufy, dt, h, cells=None, *, sgn, off, per_y,
     H = GP
     if n0 % S or n0 < S + 2 * H:
         S, H = n0, 0
+    from .facepack import FacePack
     n1p = n1 + 1 + ((-(n1 + 1)) % CP)
-    uxp = jnp.pad(ufx, ((GP, 2 * GP - 1), (0, 0)))
-    uyp = jnp.pad(ufy, ((0, 0), (0, n1p - (n1 + 1))))
+    if isinstance(ufx, FacePack):
+        uxp, uyp = ufx.x, ufx.y
+    else:
+        uxp = jnp.pad(ufx, ((GP, 2 * GP - 1), (0, 0)))
+        uyp = jnp.pad(ufy, ((0, 0), (0, n1p - (n1 + 1))))
     dt_arr = jnp.stack([jnp.asarray(dt, p.dtype) / h,
                         jnp.asarray(1.0, p.dtype) / h]).reshape(1, 2)
     with_cells = cells is not None
     kern = functools.partial(
         _kern_correct, n0=n0, n1=n1, n1p=n1p, S=S, H=H, nstrips=n0 // S,
-        sgn=sgn, off=off, per_y=per_y, with_cells=with_cells)
+        sgn=sgn, off=off, per_y=per_y, with_cells=with_cells,
+        packed=packed)
     W = S + 2 * H
     z = jnp.zeros((GP, n1), p.dtype)
     uc_in, vc_in = cells if with_cells else (z, z)
     cs = S if with_cells else GP
+    if packed:
+        oux_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        oux_shape = jax.ShapeDtypeStruct((n0 + 3 * GP, n1), p.dtype)
+        xstage_rows = S + 3 * GP
+    else:
+        oux_spec = pl.BlockSpec((S, n1), lambda s: (s, 0),
+                                memory_space=pltpu.VMEM)
+        oux_shape = jax.ShapeDtypeStruct((n0, n1), p.dtype)
+        xstage_rows = GP
     oux, ouy, ogx, ogy, ouc, ovc = pl.pallas_call(
         kern,
         grid=(n0 // S,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
                  [pl.BlockSpec(memory_space=pltpu.ANY)] * 5,
-        out_specs=(pl.BlockSpec((S, n1), lambda s: (s, 0),
-                                memory_space=pltpu.VMEM),
+        out_specs=(oux_spec,
                    pl.BlockSpec((S, n1p), lambda s: (s, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((S, n1), lambda s: (s, 0),
@@ -351,7 +476,7 @@ def correct_project(p, ufx, ufy, dt, h, cells=None, *, sgn, off, per_y,
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((cs, n1), lambda s: (s, 0),
                                 memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((n0, n1), p.dtype),
+        out_shape=(oux_shape,
                    jax.ShapeDtypeStruct((n0, n1p), p.dtype),
                    jax.ShapeDtypeStruct((n0, n1), p.dtype),
                    jax.ShapeDtypeStruct((n0, n1), p.dtype),
@@ -365,14 +490,21 @@ def correct_project(p, ufx, ufy, dt, h, cells=None, *, sgn, off, per_y,
                        p.dtype),
             pltpu.VMEM((W if with_cells else GP, CP + n1 + CP),
                        p.dtype),
+            pltpu.VMEM((xstage_rows, n1), p.dtype),
             pltpu.SemaphoreType.DMA((5,)),
         ],
         interpret=interpret,
     )(dt_arr, p, uxp, uyp, uc_in, vc_in)
+    if packed:
+        uf_out = FacePack(x=oux, y=ouy, n0=n0, n1=n1)
+        if with_cells:
+            return uf_out, ogx, ogy, ouc, ovc
+        return uf_out, ogx, ogy
     # face n0 of ufx: grad = (ghost - p[n0-1])/h with sgn/off ghosts
+    ufx_pl = ufx.unpack()[0] if isinstance(ufx, FacePack) else ufx
     pg = sgn[1] * p[-1:, :] + off[1]
     gtop = (pg - p[-1:, :]) / h
-    uftop = ufx[-1:, :] - dt * gtop
+    uftop = ufx_pl[-1:, :] - dt * gtop
     ufx_new = jnp.concatenate([oux, uftop], axis=0)
     if with_cells:
         return ufx_new, ouy[:, :n1 + 1], ogx, ogy, ouc, ovc

@@ -84,7 +84,11 @@ def mac_projection(u_face: list, p: jnp.ndarray, grid: Grid,
     cells (gfs_correct_centered_velocities, src/timestep.c:509-530).
     Reference: src/timestep.c:356-432.
     """
+    from ..ops.pallas.facepack import FacePack, as_pair
+    packed = isinstance(u_face, FacePack)
     if face_sources is not None:
+        u_face = as_pair(u_face)
+        packed = False
         u_face = [u_face[c] + dt * face_sources[c] for c in range(grid.dim)]
     conn = None
     div_total = None
@@ -92,12 +96,20 @@ def mac_projection(u_face: list, p: jnp.ndarray, grid: Grid,
         from ..ops.pallas import bcg as _bcg
         if grid.dim == 2 and _bcg.applicable(p, grid):
             from ..ops.pallas import projops as _projops
-            div, div_total = _projops.divergence_mac(
-                u_face[0], u_face[1], dt, grid.h)
+            if packed:
+                div, div_total = _projops.divergence_mac(
+                    u_face, None, dt, grid.h)
+            else:
+                div, div_total = _projops.divergence_mac(
+                    u_face[0], u_face[1], dt, grid.h)
         else:
+            u_face = as_pair(u_face)
+            packed = False
             div = divergence(u_face, grid) / dt
         alpha_solve = alpha
     else:
+        u_face = as_pair(u_face)
+        packed = False
         div = divergence([face_frac[c] * u_face[c]
                           for c in range(grid.dim)], grid) / dt
         alpha_solve = tuple(
@@ -150,6 +162,17 @@ def mac_projection(u_face: list, p: jnp.ndarray, grid: Grid,
         from ..ops.pallas import projops as _projops
         if _bcg.applicable(p, grid):
             spec = _bcg.kernel_spec(p_bc)
+            if spec is not None and packed:
+                if cells is not None:
+                    uf2, gx, gy, u2, v2 = _projops.correct_project(
+                        p, u_face, None, dt, grid.h, tuple(cells),
+                        sgn=spec["sgn"], off=spec["off"],
+                        per_y=spec["per_y"], packed=True)
+                    return uf2, p, [gx, gy], stats, [u2, v2]
+                uf2, gx, gy = _projops.correct_project(
+                    p, u_face, None, dt, grid.h, sgn=spec["sgn"],
+                    off=spec["off"], per_y=spec["per_y"], packed=True)
+                return uf2, p, [gx, gy], stats
             if spec is not None:
                 if cells is not None:
                     ufx, ufy, gx, gy, u2, v2 = _projops.correct_project(
@@ -162,6 +185,7 @@ def mac_projection(u_face: list, p: jnp.ndarray, grid: Grid,
                     sgn=spec["sgn"], off=spec["off"],
                     per_y=spec["per_y"])
                 return [ufx, ufy], p, [gx, gy], stats
+    u_face = as_pair(u_face)
     gf = face_gradients(p, grid, p_bc, alpha, t=t)
     if face_frac is not None:
         # no correction through zero-fraction (fully solid) faces
@@ -178,7 +202,8 @@ def mac_projection(u_face: list, p: jnp.ndarray, grid: Grid,
 
 
 def face_interpolated_velocity(u_cell: list, grid: Grid, u_bcs: list,
-                               t: float = 0.0, gp=None, dtv=None):
+                               t: float = 0.0, gp=None, dtv=None,
+                               packed: bool = False):
     """MAC velocities by simple averaging of centred values, with the BC
     value imposed on boundary faces (reference:
     gfs_face_interpolated_normal_velocity src/advection.c:546-566 +
@@ -203,14 +228,16 @@ def face_interpolated_velocity(u_cell: list, grid: Grid, u_bcs: list,
                 kw = dict(sgn_u=su["sgn"], off_u=su["off"],
                           sgn_v=sv["sgn"], off_v=sv["off"],
                           per_y=su["per_y"], fbx=su["fb_x"],
-                          fby=sv["fb_y"] or (None, None))
+                          fby=sv["fb_y"] or (None, None),
+                          packed=packed)
                 if gp is not None:
-                    ufx, ufy, u2, v2 = _projops.interp_faces(
+                    out = _projops.interp_faces(
                         u_cell[0], u_cell[1], tuple(gp), dtv, **kw)
-                    return [ufx, ufy], [u2, v2]
-                ufx, ufy = _projops.interp_faces(u_cell[0], u_cell[1],
-                                                 **kw)
-                return [ufx, ufy]
+                    if packed:
+                        return out[0], [out[1], out[2]]
+                    return [out[0], out[1]], [out[2], out[3]]
+                out = _projops.interp_faces(u_cell[0], u_cell[1], **kw)
+                return out if packed else [out[0], out[1]]
     src = fold if gp is not None else u_cell
     out = []
     for c in range(grid.dim):

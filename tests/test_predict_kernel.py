@@ -54,9 +54,9 @@ def test_predict_matches_jnp(lid):
     sv = bcg.kernel_spec(v_bc, with_face_bc=True)
     kw = dict(sgn_u=su["sgn"], off_u=su["off"], sgn_v=sv["sgn"],
               off_v=sv["off"], per_y=False, interpret=True)
-    ufx = predict.predict_x(U[0], U[1], dt, grid.h, fb=su["fb_x"], **kw)
-    ufy = predict.predict_y(U[0], U[1], dt, grid.h,
-                            fb=sv["fb_y"] or (0.0, 0.0), **kw)
+    ufx, ufy = predict.predict_xy(U[0], U[1], dt, grid.h,
+                                  fb_x=su["fb_x"],
+                                  fb_y=sv["fb_y"] or (0.0, 0.0), **kw)
     dx = np.abs(_mask_corner_faces(ref[0] - ufx, 0))
     dy = np.abs(_mask_corner_faces(ref[1] - ufy, 1))
     assert dx.max() < 1e-5, dx.max()
@@ -64,9 +64,8 @@ def test_predict_matches_jnp(lid):
 
 
 @pytest.mark.parametrize("lid", [True, False])
-def test_predict_xy_matches_separate(lid):
-    """The single-launch two-component predictor == predict_x +
-    predict_y exactly."""
+def test_predict_xy_packed_matches_plain(lid):
+    """packed (FacePack) output == plain output exactly."""
     grid = Grid(level=6, dim=2)
     if lid:
         u_bc = bcs.FieldBC.make(2, default=bcs.Dirichlet(0.0),
@@ -85,14 +84,13 @@ def test_predict_xy_matches_separate(lid):
     V = jax.random.normal(ks[1], grid.shape, jnp.float32)
     dt = 0.4 * grid.h
     kw = dict(sgn_u=su["sgn"], off_u=su["off"], sgn_v=sv["sgn"],
-              off_v=sv["off"], per_y=per_y)
-    rx = predict.predict_x(U, V, dt, grid.h, fb=su["fb_x"],
-                           interpret=True, **kw)
-    ry = predict.predict_y(U, V, dt, grid.h,
-                           fb=sv["fb_y"] or (0.0, 0.0),
-                           interpret=True, **kw)
-    ox, oy = predict.predict_xy(U, V, dt, grid.h, fb_x=su["fb_x"],
-                                fb_y=sv["fb_y"] or (0.0, 0.0),
-                                interpret=True, **kw)
+              off_v=sv["off"], per_y=per_y, fb_x=su["fb_x"],
+              fb_y=sv["fb_y"] or (0.0, 0.0), interpret=True)
+    rx, ry = predict.predict_xy(U, V, dt, grid.h, **kw)
+    fp = predict.predict_xy(U, V, dt, grid.h, packed=True, **kw)
+    ox, oy = fp.unpack()
     assert float(jnp.max(jnp.abs(ox - rx))) == 0.0
     assert float(jnp.max(jnp.abs(oy - ry))) == 0.0
+    from gerris_tpu.ops.pallas.bcg import GP
+    assert float(jnp.max(jnp.abs(fp.x[:GP]))) == 0.0
+    assert float(jnp.max(jnp.abs(fp.x[GP + grid.n + 1:]))) == 0.0

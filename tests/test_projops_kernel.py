@@ -123,3 +123,61 @@ def test_correct_project_cells_fold():
     assert float(jnp.max(jnp.abs(rgx - ogx))) == 0.0
     assert float(jnp.max(jnp.abs(ou - (U - dt * rgx)))) < 1e-5
     assert float(jnp.max(jnp.abs(ov - (V - dt * rgy)))) < 1e-5
+
+
+def test_packed_roundtrip_div_interp_correct():
+    """Packed (FacePack) kernel I/O == plain I/O for interp_faces,
+    divergence_mac and correct_project; the packed chain
+    interp -> div -> correct equals the plain chain exactly."""
+    from gerris_tpu.ops.pallas import bcg, projops
+    from gerris_tpu.ops.pallas.facepack import FacePack, pack
+
+    grid = Grid(level=6, dim=2)
+    u_bc = bcs.FieldBC.make(2, default=bcs.Dirichlet(0.0),
+                            top=bcs.Dirichlet(1.0))
+    v_bc = bcs.FieldBC.uniform(bcs.Dirichlet(0.0), 2)
+    su = bcg.kernel_spec(u_bc, with_face_bc=True)
+    sv = bcg.kernel_spec(v_bc, with_face_bc=True)
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    U, V, p = [jax.random.normal(k, grid.shape, jnp.float32)
+               for k in ks]
+    dt = jnp.float32(0.2)
+    kw = dict(sgn_u=su["sgn"], off_u=su["off"], sgn_v=sv["sgn"],
+              off_v=sv["off"], per_y=False, fbx=su["fb_x"],
+              fby=sv["fb_y"], interpret=True)
+    rx, ry = projops.interp_faces(U, V, **kw)
+    fp = projops.interp_faces(U, V, packed=True, **kw)
+    ox, oy = fp.unpack()
+    assert float(jnp.max(jnp.abs(ox - rx))) == 0.0
+    assert float(jnp.max(jnp.abs(oy - ry))) == 0.0
+
+    d1, t1 = projops.divergence_mac(rx, ry, dt, grid.h, interpret=True)
+    d2, t2 = projops.divergence_mac(fp, None, dt, grid.h,
+                                    interpret=True)
+    assert float(jnp.max(jnp.abs(d1 - d2))) == 0.0
+    assert float(jnp.abs(t1 - t2)) < 1e-3
+
+    spec = bcg.kernel_spec(bcs.default_scalar_bc(2))
+    ckw = dict(sgn=spec["sgn"], off=spec["off"], per_y=spec["per_y"],
+               interpret=True)
+    r1x, r1y, rgx, rgy = projops.correct_project(p, rx, ry, dt, grid.h,
+                                                 **ckw)
+    fp2, ogx, ogy = projops.correct_project(p, fp, None, dt, grid.h,
+                                            packed=True, **ckw)
+    o2x, o2y = fp2.unpack()
+    assert float(jnp.max(jnp.abs(r1x - o2x))) < 2e-6
+    assert float(jnp.max(jnp.abs(r1y - o2y))) == 0.0
+    assert float(jnp.max(jnp.abs(rgx - ogx))) == 0.0
+    # packed pad rows are zeroed
+    from gerris_tpu.ops.pallas.bcg import GP
+    assert float(jnp.max(jnp.abs(fp2.x[:GP]))) == 0.0
+    assert float(jnp.max(jnp.abs(fp2.x[GP + grid.n + 1:]))) == 0.0
+
+    # advect2d consumes the packed pair identically
+    g = jax.random.normal(ks[0], grid.shape, jnp.float32)
+    aspec = bcg.kernel_spec(u_bc, with_face_bc=True)
+    akw = dict(sgn=aspec["sgn"], off=aspec["off"], per_y=False,
+               fb_x=aspec["fb_x"], interpret=True)
+    f1 = bcg.advect2d(U, r1x, r1y, dt, grid.h, g, **akw)
+    f2 = bcg.advect2d(U, fp2, None, dt, grid.h, g, **akw)
+    assert float(jnp.max(jnp.abs(f1 - f2))) < 2e-6
