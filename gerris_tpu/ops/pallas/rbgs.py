@@ -796,7 +796,7 @@ def _resid_restrict_kernel_pair(u0, rhs0, u1, rhs1, scal_ref,
                                              "periodic_y", "interpret"))
 def residual_restrict_pair(us, rhss, scal, *, h2: float,
                            signs=(-1.0, -1.0, -1.0, -1.0),
-                           periodic_y=False, S: int = 256,
+                           periodic_y=False, S: int = 128,
                            interpret: bool = False):
     """residual_restrict for two systems in one launch with separate
     refs.  us/rhss: 2-lists of (n0, n1); scal: (2, 6) rows
