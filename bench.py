@@ -47,15 +47,23 @@ def main():
     # converged at steady state (steady-state adaptive niter == 1).
     mp1 = poisson.MultilevelParams(tolerance=1e-3, nitermax=100, ncycles=1)
     mp3 = dataclasses.replace(mp1, ncycles=3)
+    # the Helmholtz diffusion systems are diagonally dominant (dia*h^2 =
+    # O(h/(dt*nu))): fine-relaxation-only meets the same tolerance in 2
+    # launches (solvers/poisson.solve_relax_pair; verified by the
+    # fixed-vs-adaptive check below)
+    mpd = dataclasses.replace(mp1, solver="relax", nrelax=20)
 
-    def make_cfg(mp):
+    def make_cfg(mp, mpdiff):
         return ns.NSConfig(grid=grid, u_bcs=(u_bc, v_bc), nu=1e-3,
                            beta=1.0, projection=mp, approx_projection=mp,
-                           diffusion_params=mp)
+                           diffusion_params=mpdiff)
 
-    cfg = make_cfg(mp1)
-    cfg_warm = make_cfg(mp3)
+    cfg = make_cfg(mp1, mpd)
+    cfg_warm = make_cfg(mp3, dataclasses.replace(mp3, solver="relax",
+                                                 nrelax=20))
     cfg_ada = make_cfg(poisson.MultilevelParams(tolerance=1e-3,
+                                                nitermax=100),
+                       poisson.MultilevelParams(tolerance=1e-3,
                                                 nitermax=100))
 
     z = jnp.zeros(grid.shape, jnp.float32)

@@ -587,16 +587,23 @@ def advect(f: jnp.ndarray, u_face: list, grid: Grid, fbc: bcs.FieldBC,
 def curvature(f: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC, t=0.0):
     """Interface curvature on interface cells (NaN elsewhere).
 
-    Height-function method: 7-cell column sums of f along the dominant
-    normal direction, kappa = -H'' / (1 + H'^2)^{3/2} in physical units
-    (reference: curvature_along_direction src/vof.c:2068-2200,
-    gfs_height_curvature:2548; the parabola-fit fallback :2201-2493 is
-    replaced by neighbor averaging, see fill_curvature)."""
+    New-style height-function method (the GfsVariableTracerVOFHeight
+    estimator): 7-cell column sums of f along the dominant normal
+    direction with RECENTRED windows — each cell retries window offsets
+    o in {0, ±1, ±2} along the column until all three columns straddle
+    the interface, the dense-array equivalent of the reference's cached
+    hb/ht height variables whose column walks extend beyond the local
+    7-cell window (curvature_along_direction_new src/vof.c:2732,
+    height fields src/vof.h:130-146).  kappa = -H'' / (1 + H'^2)^{3/2}
+    in physical units (curvature_along_direction src/vof.c:2068-2200,
+    gfs_height_curvature:2548); cells where no window validates fall
+    back to the parabola fit (:2201-2493)."""
     dim = grid.dim
     if dim == 3:
         return curvature_3d(f, grid, fbc, t=t)
     R = 3  # column half-height
-    P = R + 1
+    OFF = (0, -1, 1, -2, 2)   # window recentring, nearest first
+    P = R + max(abs(o) for o in OFF) + 1
     f_pad = bcs.apply_bc(f, grid, fbc, P, t=t)
     n0, n1 = grid.shape
 
@@ -610,32 +617,42 @@ def curvature(f: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC, t=0.0):
     kappas = []
     valids = []
     for d in range(2):
-        # heights: column sums of f over 2R+1 cells along axis d, for the
-        # centre column and its two transverse neighbours
-        if d == 1:
-            def col(dtrans):
-                return sum(sub(dtrans, k) for k in range(-R, R + 1))
-            top, bot = sub(0, R), sub(0, -R)
-        else:
-            def col(dtrans):
-                return sum(sub(k, dtrans) for k in range(-R, R + 1))
-            top, bot = sub(R, 0), sub(-R, 0)
-        Hm, H0, Hp = col(-1), col(0), col(1)
-        Hx = 0.5 * (Hp - Hm)
-        Hxx = Hp - 2.0 * H0 + Hm
-        # orientation-free: heights counted along +d; with the fluid on the
-        # +d side H -> C - H, and the formula is invariant under that map
-        # combined with the outward-normal flip.
-        kap = -Hxx / grid.h / jnp.power(1.0 + Hx * Hx, 1.5)
-        # validity: all three columns must straddle the interface (pure and
-        # opposite phases at both ends) and the height slope must be mild —
-        # at |slope| ~ 1 the short columns see a locally straight interface
-        # and the curvature signal vanishes (the reference falls back to a
-        # parabola fit there, src/vof.c:2201-2493,2510)
-        ends_ok = is_full(top) & is_full(bot) & (jnp.abs(top - bot) > 0.5)
-        sane = (H0 > 0.0) & (H0 < 2.0 * R + 1.0) & (jnp.abs(Hx) <= 1.0)
-        kappas.append(kap)
-        valids.append(ends_ok & sane)
+        kap_d = jnp.full(grid.shape, jnp.nan, f.dtype)
+        val_d = jnp.zeros(grid.shape, bool)
+        for o in OFF:
+            # heights: column sums of f over the 2R+1 window at offset o
+            # along axis d, for the centre column and its transverse
+            # neighbours
+            if d == 1:
+                def col(dtrans):
+                    return sum(sub(dtrans, k)
+                               for k in range(o - R, o + R + 1))
+                top, bot = sub(0, o + R), sub(0, o - R)
+            else:
+                def col(dtrans):
+                    return sum(sub(k, dtrans)
+                               for k in range(o - R, o + R + 1))
+                top, bot = sub(o + R, 0), sub(o - R, 0)
+            Hm, H0, Hp = col(-1), col(0), col(1)
+            Hx = 0.5 * (Hp - Hm)
+            Hxx = Hp - 2.0 * H0 + Hm
+            # orientation-free: heights counted along +d; with the fluid
+            # on the +d side H -> C - H, and the formula is invariant
+            # under that map combined with the outward-normal flip.
+            kap = -Hxx / grid.h / jnp.power(1.0 + Hx * Hx, 1.5)
+            # validity: all three columns must straddle the interface
+            # (pure and opposite phases at both window ends) and the
+            # height slope must be mild
+            ends_ok = is_full(top) & is_full(bot) \
+                & (jnp.abs(top - bot) > 0.5)
+            sane = (H0 > 0.0) & (H0 < 2.0 * R + 1.0) \
+                & (jnp.abs(Hx) <= 1.0)
+            val = ends_ok & sane
+            take = val & jnp.logical_not(val_d)
+            kap_d = jnp.where(take, kap, kap_d)
+            val_d = val_d | val
+        kappas.append(kap_d)
+        valids.append(val_d)
 
     # choose the dominant-normal direction's estimate
     use_y = jnp.abs(my) >= jnp.abs(mx)   # mostly-horizontal interface
@@ -646,6 +663,30 @@ def curvature(f: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC, t=0.0):
     kap_fit = parabola_curvature(f, grid, fbc, mx, my, t=t)
     kap = jnp.where(jnp.isfinite(kap), kap, kap_fit)
     return jnp.where(interface, kap, jnp.nan)
+
+
+def height_fields(f: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC, t=0.0,
+                  R: int = 3):
+    """Per-direction height fields — the GfsVariableTracerVOFHeight
+    hb/ht API (reference src/vof.h:130-146).  In the reference the
+    heights are maintained INCREMENTALLY after each VOF sweep because a
+    tree traversal per use is expensive; on dense arrays a column sum is
+    one vectorized op, so the equivalent is recomputation on demand.
+    Returns {axis: H} with H the (2R+1)-cell fluid column sum centred on
+    each cell along that axis (H - R - 1/2 is the signed interface
+    height above the cell centre, in cells, where the column is
+    valid)."""
+    P = R + 1
+    f_pad = bcs.apply_bc(f, grid, fbc, P, t=t)
+    n0, n1 = grid.shape
+
+    def sub(di, dj):
+        return f_pad[P + di:P + di + n0, P + dj:P + dj + n1]
+
+    return {
+        0: sum(sub(k, 0) for k in range(-R, R + 1)),
+        1: sum(sub(0, k) for k in range(-R, R + 1)),
+    }
 
 
 def curvature_3d(f: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC, t=0.0):

@@ -96,6 +96,9 @@ def diffuse_pair(vs, grid: Grid, fbcs, dt, D, beta: float,
                                                [dia] * n)):
         if rhss is None:
             rhss = [-(vs[c] + extra_rhss[c]) * dia for c in range(n)]
+        if params.solver == "relax":
+            return poisson.solve_relax_pair(vs, rhss, grid, fbcs,
+                                            params, [dia] * n)
         return poisson.solve_fixed_batched(vs, rhss, grid, fbcs, params,
                                            [dia] * n)
     if extra_rhss is None:

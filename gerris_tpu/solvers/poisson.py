@@ -670,6 +670,43 @@ def batched_fixed_eligible(us, grid: Grid, fbcs, dias) -> bool:
     return all(x == sp[0] for x in sp[1:])
 
 
+def solve_relax_pair(us, rhss, grid: Grid, fbcs,
+                     params: MultilevelParams, dias):
+    """Pair fine-relax-only solve in 2 launches (the U+V implicit
+    diffusion): residual_restrict_pair for r0 + prolong_relax_pair with
+    a zero coarse correction (= pure homogeneous relaxation on the
+    correction + u += du; the zero 'rep' is loop-invariant so XLA hoists
+    its materialisation).  See solve_relax for when this is the right
+    backend."""
+    from ..ops.pallas.rbgs import (residual_restrict_pair,
+                                   prolong_relax_pair, GP)
+
+    nsweeps = max(params.nrelax, 4)
+    signs, _ = _signs_offs(grid, fbcs[0], False)
+    per_y = fbcs[0].is_periodic(1)
+    dt_ = us[0].dtype
+    rows = []
+    for b in range(2):
+        _, offs = _signs_offs(grid, fbcs[b], False)
+        d = jnp.asarray(0.0 if dias[b] is None else dias[b], dt_)
+        rows.append(jnp.stack([d, jnp.asarray(0.0, dt_)]
+                              + [jnp.asarray(o, dt_) for o in offs]))
+    scal = jnp.stack(rows)
+    dia_vec = scal[:, 0]
+    h2 = grid.h * grid.h
+    r0, _, _ = residual_restrict_pair(us, rhss, scal, h2=h2, signs=signs,
+                                      periodic_y=per_y)
+    n0, n1 = us[0].shape
+    zrep = jnp.zeros((n0 // 2 + 2 * GP, n1), dt_)
+    us = prolong_relax_pair([zrep, zrep], r0, dia_vec, us,
+                            nsweeps=nsweeps, h2=h2, signs=signs,
+                            periodic_y=per_y)
+    stats = SolveStats(niter=jnp.asarray(1),
+                       residual_before=norms(r0[0]),
+                       residual_after=norms(r0[0]))
+    return us, stats
+
+
 def solve_fixed_batched(us, rhss, grid: Grid, fbcs,
                         params: MultilevelParams, dias, subs=None):
     """ncycles fixed sawtooth cycles on the 2 independent scalar-dia
@@ -825,9 +862,33 @@ def solve_cg(u: jnp.ndarray, rhs: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
                          residual_after=norms(-r))
 
 
+def solve_relax(u: jnp.ndarray, rhs: jnp.ndarray, grid: Grid,
+                fbc: bcs.FieldBC, params: MultilevelParams = None,
+                alpha=None, dia=None, t: float = 0.0):
+    """Fine-level-relaxation-only solve (no hierarchy): du-correction
+    with ``nrelax`` homogeneous RBGS sweeps.  The right backend for
+    strongly diagonally-dominant Helmholtz systems (the implicit
+    diffusion solves: dia*h^2 = O(h/(dt*nu)) >> spectral radius), where
+    the multigrid ladder buys nothing — the reference reaches the same
+    regime through its tolerance check exiting after the first relax
+    sweeps (gfs_diffusion, src/timestep.c:735)."""
+    params = params or MultilevelParams()
+    nsweeps = max(params.nrelax, 4)
+    r0 = residual_jit(u, rhs, grid, fbc, alpha, dia, t=t)
+    res_before = norms(r0)
+    du = jnp.zeros_like(u)
+    du = relax(du, r0, grid, fbc, nsweeps, alpha, dia, homogeneous=True,
+               omega=params.omega)
+    u = u + du
+    r1 = residual_jit(u, rhs, grid, fbc, alpha, dia, t=t)
+    return u, SolveStats(niter=jnp.asarray(1),
+                         residual_before=res_before,
+                         residual_after=norms(r1))
+
+
 # the reference's pluggable-solver seam (par->poisson_solve): register
 # additional backends under a name usable in MultilevelParams.solver
-SOLVER_REGISTRY = {"cg": solve_cg}
+SOLVER_REGISTRY = {"cg": solve_cg, "relax": solve_relax}
 
 
 def register_solver(name: str, fn):

@@ -289,3 +289,54 @@ def test_batched_fused_cycle_matches_unbatched():
     for b in range(2):
         d = float(jnp.max(jnp.abs(outp[b] - refs[b])))
         assert d < 1e-4, (b, d)
+
+
+def test_solve_relax_and_pair_match():
+    """solver='relax' (fine-relax-only correction) matches the explicit
+    residual+relax ladder; the pair variant matches per-system runs."""
+    grid = Grid(level=7, dim=2)
+    fbc_u = bcs.FieldBC(((bcs.Dirichlet(0.0), bcs.Dirichlet(0.0)),
+                         (bcs.Dirichlet(0.0), bcs.Dirichlet(1.0))))
+    fbc_v = bcs.FieldBC.uniform(bcs.Dirichlet(0.0), 2)
+    dia = 1.0 / (0.8 * grid.h * 1e-3)
+    ks = jax.random.split(jax.random.PRNGKey(11), 4)
+    us = [0.1 * jax.random.normal(ks[i], grid.shape, jnp.float32)
+          for i in range(2)]
+    rhss = [-(us[i] + 0.01 * grid.h
+              * jax.random.normal(ks[2 + i], grid.shape, jnp.float32))
+            * dia for i in range(2)]
+    mp = poisson.MultilevelParams(nrelax=16, solver="relax", ncycles=1)
+    outs = []
+    for b, fbc in enumerate((fbc_u, fbc_v)):
+        u1, st = poisson.solve(us[b], rhss[b], grid, fbc, mp, dia=dia)
+        # explicit ladder
+        r0 = poisson.residual(us[b], rhss[b], grid, fbc, dia=dia)
+        du = poisson.relax(jnp.zeros_like(us[b]), r0, grid, fbc, 16,
+                           dia=dia, homogeneous=True)
+        assert float(jnp.max(jnp.abs(u1 - (us[b] + du)))) < 1e-5
+        # tolerance actually met (the diagonally-dominant regime)
+        r1 = poisson.residual(u1, rhss[b], grid, fbc, dia=dia)
+        assert float(jnp.max(jnp.abs(r1))) < \
+            1e-3 * float(jnp.max(jnp.abs(rhss[b])))
+        outs.append(u1)
+    # pair variant (interpret kernels on CPU need the pallas path faked)
+    import gerris_tpu.solvers.poisson as psn
+    from gerris_tpu.ops.pallas import rbgs
+    orig_rrp = rbgs.residual_restrict_pair
+    orig_prp = rbgs.prolong_relax_pair
+    rbgs_kw = dict(interpret=True)
+    import functools as ft
+    psn_rrp = ft.partial(orig_rrp, **rbgs_kw)
+    psn_prp = ft.partial(orig_prp, **rbgs_kw)
+    rbgs.residual_restrict_pair = psn_rrp
+    rbgs.prolong_relax_pair = psn_prp
+    try:
+        o2, st2 = psn.solve_relax_pair(
+            us, rhss, grid, (fbc_u, fbc_v), mp, [dia, dia])
+    finally:
+        rbgs.residual_restrict_pair = orig_rrp
+        rbgs.prolong_relax_pair = orig_prp
+    for b in range(2):
+        d = float(jnp.max(jnp.abs(o2[b] - outs[b])))
+        s = float(jnp.max(jnp.abs(outs[b]))) + 1e-30
+        assert d / s < 1e-4, (b, d)
