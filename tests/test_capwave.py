@@ -9,7 +9,8 @@ relative RMS error.  Reference values (test/capwave/convergence.ref):
 
 The reference grid is AMR (coarsened near the far walls); ours is uniform,
 so exact equality is not expected — the gate is the same second-order
-convergence and values within 25% of the reference table.
+convergence and values within 5% of the reference table (measured:
+L4 0.03191 vs 0.0316239, L5 0.00755 vs 0.00769877 — within 2%).
 """
 import math
 import os
@@ -86,8 +87,8 @@ def test_capwave_convergence():
     rms5 = run_level(5)
     print(f"capwave RMS: L4={rms4:.5f} (ref {REF[4]}) L5={rms5:.5f} "
           f"(ref {REF[5]})")
-    assert abs(rms4 - REF[4]) / REF[4] < 0.25
-    assert abs(rms5 - REF[5]) / REF[5] < 0.25
+    assert abs(rms4 - REF[4]) / REF[4] < 0.05
+    assert abs(rms5 - REF[5]) / REF[5] < 0.05
     # ~2nd order between the two levels
     order = math.log2(rms4 / rms5)
     assert order > 1.5
@@ -99,4 +100,4 @@ def test_capwave_convergence():
 def test_capwave_level6():
     rms6 = run_level(6)
     print(f"capwave RMS: L6={rms6:.6f} (ref {REF[6]})")
-    assert abs(rms6 - REF[6]) / REF[6] < 0.3
+    assert abs(rms6 - REF[6]) / REF[6] < 0.1
