@@ -75,7 +75,8 @@ def sync_all(state: dict, leaf, cfg: ns.NSConfig, topo: Topo, t, cov=None):
 
 def mac_projection_amr(uf, p, topo: Topo, leaf, cov, p_bc, dt,
                        params: poisson.MultilevelParams,
-                       alpha=None, face_sources=None, t=0.0):
+                       alpha=None, face_sources=None, t=0.0,
+                       brt=None, btables=None):
     """Composite MAC projection (reference: mac_projection
     src/timestep.c:356-432 on the adaptive tree).  Returns
     (uf', p, g_cell[c][l], niter)."""
@@ -85,8 +86,13 @@ def mac_projection_amr(uf, p, topo: Topo, leaf, cov, p_bc, dt,
               for l in topo.levels}
         uf = amr.sync_faces(uf, topo, leaf, cov)
     div = {l: divergence(uf[l], topo.grid(l)) / dt for l in topo.levels}
-    p, niter, _ = amr.solve(div, topo, leaf, p_bc, params, alpha=alpha,
-                            u0=p, t=t)
+    if brt is not None and alpha is None:
+        # leaf-proportional block engine (VERDICT r2 item 2)
+        p, niter, _ = amr.solve_block(div, topo, leaf, p_bc, params,
+                                      brt, btables, u0=p, t=t)
+    else:
+        p, niter, _ = amr.solve(div, topo, leaf, p_bc, params,
+                                alpha=alpha, u0=p, t=t)
     gf = {l: proj.face_gradients(p[l], topo.grid(l), p_bc,
                                  None if alpha is None else alpha[l], t=t)
           for l in topo.levels}
@@ -103,7 +109,8 @@ def mac_projection_amr(uf, p, topo: Topo, leaf, cov, p_bc, dt,
 
 
 def amr_diffuse(v, fv, topo: Topo, leaf, fbc, dt, D, rho=None,
-                beta: float = 1.0, params=None, t=0.0):
+                beta: float = 1.0, params=None, t=0.0,
+                brt=None, btables=None):
     """Composite implicit diffusion: rho u - beta dt div(D grad u) =
     rho u_old + extra (reference: gfs_diffusion src/timestep.c:735 via the
     tree multigrid).  ``v``/``fv``: per-level value / advection increment;
@@ -122,6 +129,11 @@ def amr_diffuse(v, fv, topo: Topo, leaf, fbc, dt, D, rho=None,
                 r = r + (1.0 - beta) * dt * D * laplacian(v_pad, topo.grid(l))
             rhs[l] = -r / scale
             dia[l] = 1.0 / scale
+        if brt is not None:
+            u, niter, _ = amr.solve_block(rhs, topo, leaf, fbc, params,
+                                          brt, btables, dia=dia, u0=v,
+                                          t=t)
+            return u
         u, niter, _ = amr.solve(rhs, topo, leaf, fbc, params, dia=dia,
                                 u0=v, t=t)
         return u
@@ -143,9 +155,11 @@ def amr_diffuse(v, fv, topo: Topo, leaf, fbc, dt, D, rho=None,
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "topo", "cstart", "first_step"))
+                   static_argnames=("cfg", "topo", "cstart", "first_step",
+                                    "brt"))
 def amr_step(state: dict, leaf: dict, dt, t, cfg: ns.NSConfig, topo: Topo,
-             cstart: int = 0, first_step: bool = False) -> dict:
+             cstart: int = 0, first_step: bool = False,
+             brt=None, btables=None) -> dict:
     """One full NS step on the composite mesh.  ``state``: {name: {level:
     array}}; ``leaf``: {level: bool array} (runtime — adaptation changes
     these without recompiling).  Mirrors ns.ns_step phase by phase
@@ -193,7 +207,7 @@ def amr_step(state: dict, leaf: dict, dt, t, cfg: ns.NSConfig, topo: Topo,
     # 2. composite MAC projection at dt/2 on Pmac
     uf, pmac, gmac, _ = mac_projection_amr(
         uf, st["Pmac"], topo, leaf, cov, cfg.p_bc, dt / 2.0, cfg.projection,
-        alpha=alpha, face_sources=fs, t=t)
+        alpha=alpha, face_sources=fs, t=t, brt=brt, btables=btables)
 
     # 3. centred advection + implicit diffusion per component
     if gc:
@@ -228,7 +242,8 @@ def amr_step(state: dict, leaf: dict, dt, t, cfg: ns.NSConfig, topo: Topo,
             U_c = amr_diffuse({l: st[names[c]][l] for l in topo.levels},
                               fv, topo, leaf, cfg.u_bcs[c], dt, cfg.nu,
                               rho=rho, beta=cfg.beta,
-                              params=cfg.diffusion_params, t=t)
+                              params=cfg.diffusion_params, t=t,
+                              brt=brt, btables=btables)
         else:
             U_c = {l: st[names[c]][l] + fv[l] for l in topo.levels}
         if gc:
@@ -242,7 +257,7 @@ def amr_step(state: dict, leaf: dict, dt, t, cfg: ns.NSConfig, topo: Topo,
     uf2 = amr.sync_faces(uf2, topo, leaf, cov)
     uf2, p, g_cell, _ = mac_projection_amr(
         uf2, st["P"], topo, leaf, cov, cfg.p_bc, dt, cfg.approx_projection,
-        alpha=alpha, face_sources=fs, t=t)
+        alpha=alpha, face_sources=fs, t=t, brt=brt, btables=btables)
     U_new = [{l: U_new[c][l] - dt * g_cell[c][l] for l in topo.levels}
              for c in range(dim)]
 
@@ -518,6 +533,21 @@ class AMRSimulation:
                                  adapt.maxlevel, np.int32)
         self.adapt = adapt
         self.leaf = self._masks_from_depth(self.depth)
+        # leaf-proportional block solves (solvers/blockrt.py) when the
+        # projections/diffusion are unit-alpha scalar systems on a 2D
+        # single box with constant BC values (VERDICT r2 item 2);
+        # anything else stays on the dense mask engine
+        self._brt = None
+        self._btables = None
+        self._use_blocks = (
+            cfg.grid.dim == 2
+            and getattr(cfg.grid, "extents", (1, 1)) in (None, (1, 1))
+            and cfg.density is None and cfg.solid_phi is None
+            and not any(callable(b.value)
+                        for ax in cfg.p_bc.sides for b in ax)
+            and (self.topo.base.shape[0] % 8 == 0))
+        if self._use_blocks:
+            self._rebuild_blocks()
         self.time = time or Time()
         self.events = list(events or [])
         self.state: Dict[str, Dict[int, jnp.ndarray]] = {}
@@ -526,6 +556,24 @@ class AMRSimulation:
         self._tnext = None
         self.timers = {}
         self.leaf_history = []
+
+    def _rebuild_blocks(self):
+        """Rebuild the runtime block tables for the current depth map
+        (host numpy; the compiled step is reused while the capacity
+        buckets are stable)."""
+        from ..solvers import blockrt
+        caps = self._brt.caps_dict if self._brt is not None else None
+        try:
+            rt, tables, _ = blockrt.make_blockrt(
+                self.topo.base, self.topo.lmax, self.depth, B=8,
+                caps=caps)
+        except Exception:
+            self._use_blocks = False
+            self._brt = None
+            self._btables = None
+            return
+        self._brt = rt
+        self._btables = tables
 
     # -- mesh ------------------------------------------------------------
     def _masks_from_depth(self, D: np.ndarray) -> dict:
@@ -549,6 +597,8 @@ class AMRSimulation:
             self.adapt, self.topo, prev=self.depth,
             c2=None if c2 is None else np.asarray(c2))
         self.leaf = self._masks_from_depth(self.depth)
+        if self._use_blocks:
+            self._rebuild_blocks()
 
     # -- state -----------------------------------------------------------
     def init(self, **fields):
@@ -635,7 +685,8 @@ class AMRSimulation:
             self.state = amr_step(self.state, self.leaf, self.dt,
                                   self.time.t, cfg, topo,
                                   cstart=self.time.i % topo.dim,
-                                  first_step=(self.time.i == 0))
+                                  first_step=(self.time.i == 0),
+                                  brt=self._brt, btables=self._btables)
             self.time.t = self._tnext
             self.time.i += 1
             self.set_timestep()

@@ -361,3 +361,42 @@ def solve(rhs, topo: Topo, leaf, fbc: bcs.FieldBC,
 def flatten(u, topo: Topo, leaf, fbc: bcs.FieldBC, t: float = 0.0):
     """Single finest-level array (prolonged from coarse where needed)."""
     return sync(u, topo, leaf, fbc, t=t)[topo.lmax]
+
+
+def solve_block(rhs, topo: Topo, leaf, fbc: bcs.FieldBC,
+                params: poisson.MultilevelParams, brt, btables,
+                dia=None, u0=None, t: float = 0.0):
+    """Leaf-proportional composite solve through the runtime-table block
+    engine (solvers/blockrt.py) with the same in/out conventions as
+    ``solve``: dense per-level arrays, slaves synced on return.  The
+    relax/residual work per cycle is O(active blocks) — the reference's
+    leaf-only tree relax (src/poisson.c:604-631) — while ``solve``
+    touches every level's full domain.  Scalar dia, unit alpha, 2D
+    single box.  Returns (u, ncycles, 0.0)."""
+    from . import blockrt as brtm
+
+    params = params or poisson.MultilevelParams()
+    B = brt.B
+    d = dia
+    if isinstance(d, dict):
+        d = d[topo.lmax]
+    d = 0.0 if d is None else d
+    rhs_b = {l: brtm.gather_blocks(rhs[l], btables[l], B)
+             for l in topo.levels}
+    dirichlet = any(b.kind == bcs.DIRICHLET
+                    for ax in fbc.sides for b in ax)
+    if not dirichlet and dia is None:
+        rhs_b = brtm.demean_leaf(rhs_b, btables, brt)
+    u0_b = None
+    if u0 is not None:
+        u0_b = {l: brtm.gather_blocks(u0[l], btables[l], B)
+                for l in topo.levels}
+    ncycles = params.ncycles if params.ncycles > 0 else 3
+    u_b = brtm.solve(rhs_b, btables, brt, fbc, params, dia=d, u0=u0_b,
+                     ncycles=ncycles)
+    u = {}
+    for l in topo.levels:
+        dense = u0[l] if u0 is not None else jnp.zeros_like(rhs[l])
+        u[l] = brtm.scatter_blocks(dense, u_b[l], btables[l], B)
+    u = sync(u, topo, leaf, fbc, t=t)
+    return u, jnp.asarray(ncycles), jnp.asarray(0.0)
