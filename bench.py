@@ -47,11 +47,12 @@ def main():
     # converged at steady state (steady-state adaptive niter == 1).
     mp1 = poisson.MultilevelParams(tolerance=1e-3, nitermax=100, ncycles=1)
     mp3 = dataclasses.replace(mp1, ncycles=3)
-    # the Helmholtz diffusion systems are diagonally dominant (dia*h^2 =
-    # O(h/(dt*nu))): fine-relaxation-only meets the same tolerance in 2
-    # launches (solvers/poisson.solve_relax_pair; verified by the
-    # fixed-vs-adaptive check below)
-    mpd = dataclasses.replace(mp1, solver="relax", nrelax=20)
+    # diffusion: the fused 3-launch MG chain.  (A relax-only schedule
+    # needs ~20 fine sweeps to meet tolerance at 2048^2 — measured 85M
+    # SLOWER than the MG chain's 16: fine-level sweeps are the compute
+    # driver once launches are fused, solvers/poisson.solve_relax_pair
+    # remains available for stiffer dia regimes.)
+    mpd = mp1
 
     def make_cfg(mp, mpdiff):
         return ns.NSConfig(grid=grid, u_bcs=(u_bc, v_bc), nu=1e-3,

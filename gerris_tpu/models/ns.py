@@ -621,10 +621,15 @@ def ns_step(state: dict, dt, t, cfg: NSConfig, cstart: int = 0,
         solid = _weights(cfg)
         sfrac = solid[1]
 
-    # 1. prediction.  Without cut cells the faces travel in the packed
-    # kernel layout end-to-end (ops/pallas/facepack.py) — no repacking
-    # pad/concat launches between kernels.
-    use_pk = sfrac is None and dim == 2
+    # 1. prediction.  GERRIS_PACK_FACES=1 routes the MAC faces through
+    # the packed kernel layout end-to-end (ops/pallas/facepack.py).
+    # Default OFF: measured A/B at 2048^2 (315M packed vs 338M unpacked)
+    # shows the packed producers' ANY-memory-space staged output DMAs
+    # serialize per strip, costing ~1.4 ms/step — more than the
+    # pad/concat launches they remove.
+    import os as _os
+    use_pk = (sfrac is None and dim == 2
+              and bool(_os.environ.get("GERRIS_PACK_FACES")))
     uf = predicted_face_velocities(U, grid, cfg, dt, t, packed=use_pk)
     if sfrac is not None:
         uf = [jnp.where(sfrac[c] > 0.0, uf[c], 0.0) for c in range(dim)]
