@@ -45,14 +45,20 @@ def main():
     # (measured), so warmup runs a fixed-3 config first; the
     # fixed-vs-adaptive check below validates that 1 cycle/solve is
     # converged at steady state (steady-state adaptive niter == 1).
-    mp1 = poisson.MultilevelParams(tolerance=1e-3, nitermax=100, ncycles=1)
+    omega = float(os.environ.get("GERRIS_OMEGA", "1.0"))
+    mp1 = poisson.MultilevelParams(tolerance=1e-3, nitermax=100, ncycles=1,
+                                   omega=omega)
     mp3 = dataclasses.replace(mp1, ncycles=3)
     # diffusion: the fused 3-launch MG chain.  (A relax-only schedule
     # needs ~20 fine sweeps to meet tolerance at 2048^2 — measured 85M
     # SLOWER than the MG chain's 16: fine-level sweeps are the compute
     # driver once launches are fused, solvers/poisson.solve_relax_pair
     # remains available for stiffer dia regimes.)
-    mpd = mp1
+    # diffusion keeps the deep default smoothing: the CPU steady-state
+    # probe shows the over-relaxed 6-sweep schedule leaves the diffusion
+    # pair at niter=2 while both projections reach niter=1 (the
+    # projections are the ones omega helps).
+    mpd = dataclasses.replace(mp1, nrelax=8, omega=1.0)
 
     def make_cfg(mp, mpdiff):
         return ns.NSConfig(grid=grid, u_bcs=(u_bc, v_bc), nu=1e-3,

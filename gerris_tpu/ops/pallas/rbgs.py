@@ -509,7 +509,7 @@ def prolong_relax(du_c, rhs, dia=0.0, u=None, *, nsweeps: int, h2: float,
     )(rep, rhs, dia_arr, u_in)
 
 
-def _cv_relax(u, rhs, nsweeps, h2, dia, sgn, per_y):
+def _cv_relax(u, rhs, nsweeps, h2, dia, sgn, per_y, omega=1.0):
     """In-VMEM whole-array RBGS sweeps with roll+mask homogeneous ghosts
     (the coarse-cascade smoother; rolls wrap = periodic, masks overwrite
     the non-periodic edges)."""
@@ -530,6 +530,8 @@ def _cv_relax(u, rhs, nsweeps, h2, dia, sgn, per_y):
                 rt = jnp.where(cols == n1 - 1, sgn[3] * u,
                                jnp.roll(u, -1, 1))
             new = (up + dn + lf + rt - h2 * rhs) / denom
+            if omega != 1.0:
+                new = (1.0 - omega) * u + omega * new
             u = jnp.where(color, new, u)
     return u
 
@@ -883,7 +885,8 @@ def residual_restrict(u, rhs, dia=0.0, sub=0.0, *, h2: float,
 def _cascade_prolong_kernel(r1_hbm, r2_hbm, dia_ref, orep_hbm,
                             repsc, rb, r2b, stage, zb, sem, *,
                             n_half, S, H, nsweeps, coarsest, h2_half,
-                            sgn, per_y, min_n, batched=False):
+                            sgn, per_y, min_n, batched=False,
+                            omega=1.0):
     """Levels <= n_half of the correction phase in ONE launch: at strip 0
     the whole sub-cascade on r2 (restriction pyramid -> deep coarsest
     sweeps -> prolong+relax back to n_q = n_half/2, exactly
@@ -906,12 +909,12 @@ def _cascade_prolong_kernel(r1_hbm, r2_hbm, dia_ref, orep_hbm,
     _cp_core(s, r1_hbm, r2_hbm, orep_hbm, dia, repsc, rb, r2b, stage,
              zb, sem, n_half=n_half, S=S, H=H, nsweeps=nsweeps,
              coarsest=coarsest, h2_half=h2_half, sgn=sgn, per_y=per_y,
-             min_n=min_n)
+             min_n=min_n, omega=omega)
 
 
 def _cp_core(s, r1_hbm, r2_hbm, orep_hbm, dia, repsc, rb, r2b, stage,
              zb, sem, *, n_half, S, H, nsweeps, coarsest, h2_half, sgn,
-             per_y, min_n):
+             per_y, min_n, omega=1.0):
     n_q = n_half // 2
     W = S + 2 * H
     f32 = rb.dtype
@@ -932,7 +935,8 @@ def _cp_core(s, r1_hbm, r2_hbm, orep_hbm, dia, repsc, rb, r2b, stage,
             n //= 2
         h2c = h2_half * (2 * n_q // min_n) ** 2
         du = jnp.zeros((min_n, min_n), f32)
-        du = _cv_relax(du, rs[min_n], coarsest, h2c, dia, sgn, per_y)
+        du = _cv_relax(du, rs[min_n], coarsest, h2c, dia, sgn, per_y,
+                       omega)
         n = min_n * 2
         while n <= n_q:
             rep = _lane_expand(du)
@@ -954,7 +958,8 @@ def _cp_core(s, r1_hbm, r2_hbm, orep_hbm, dia, repsc, rb, r2b, stage,
                                            nb_c))
             du = 0.75 * A1 + 0.25 * nb_c
             h2c = h2_half * (2 * n_q // n) ** 2
-            du = _cv_relax(du, rs[n], nsweeps, h2c, dia, sgn, per_y)
+            du = _cv_relax(du, rs[n], nsweeps, h2c, dia, sgn, per_y,
+                           omega)
             n *= 2
         # stash du_q (half-lane form; lane-doubled per strip below —
         # the full-width plane would blow the 16 MB VMEM budget in the
@@ -1010,6 +1015,8 @@ def _cp_core(s, r1_hbm, r2_hbm, orep_hbm, dia, repsc, rb, r2b, stage,
             nb = (ub[lo - 1:hi - 1, cl:ch] + ub[lo + 1:hi + 1, cl:ch] +
                   ub[lo:hi, cl - 1:ch - 1] + ub[lo:hi, cl + 1:ch + 1])
             new = (nb - h2_half * rb[pl.ds(0, W), cl:ch]) / denom
+            if omega != 1.0:
+                new = (1.0 - omega) * c + omega * new
             ub[lo:hi, cl:ch] = jnp.where(color, new, c)
 
     off = pl.multiple_of(s * S - rstart, GP)
@@ -1039,11 +1046,11 @@ def _cp_core(s, r1_hbm, r2_hbm, orep_hbm, dia, repsc, rb, r2b, stage,
 
 @functools.partial(jax.jit, static_argnames=(
     "nsweeps", "coarsest", "h2_half", "signs", "per_y", "min_n", "S",
-    "interpret"))
+    "interpret", "omega"))
 def cascade_prolong_relax(r1, r2, dia=0.0, *, nsweeps: int, coarsest: int,
                           h2_half: float, signs=(-1.0, -1.0, -1.0, -1.0),
                           per_y=False, min_n: int = 16, S: int = 64,
-                          interpret: bool = False):
+                          interpret: bool = False, omega: float = 1.0):
     """All correction levels at/below n_half = r1.shape[0] in one
     launch.  Returns the half-level correction in 'rep' layout
     (lane-doubled, GP-row-padded, shape (n_half + 2*GP, 2*n_half)) for
@@ -1058,7 +1065,7 @@ def cascade_prolong_relax(r1, r2, dia=0.0, *, nsweeps: int, coarsest: int,
     kern = functools.partial(
         _cascade_prolong_kernel, n_half=n_half, S=S, H=H,
         nsweeps=nsweeps, coarsest=coarsest, h2_half=h2_half, sgn=signs,
-        per_y=per_y, min_n=min(min_n, n_half // 2))
+        per_y=per_y, min_n=min(min_n, n_half // 2), omega=omega)
     dia_arr = jnp.asarray(dia, r1.dtype).reshape(1, 1)
     buf_rows = max(W + 2 * GP, n_half // 2)
     return pl.pallas_call(
@@ -1088,7 +1095,8 @@ def _cascade_prolong_kernel_pair(r10, r20, r11, r21, dia_ref,
                                  o0, o1, repsc, rb, r2b, stage, zb,
                                  sem, *,
                                  n_half, S, H, nsweeps, coarsest,
-                                 h2_half, sgn, per_y, min_n):
+                                 h2_half, sgn, per_y, min_n,
+                                 omega=1.0):
     """cascade_prolong_relax for both pair systems per strip iteration
     (the sub-cascade recomputes per system at strip 0)."""
     s = pl.program_id(0)
@@ -1100,17 +1108,18 @@ def _cascade_prolong_kernel_pair(r10, r20, r11, r21, dia_ref,
         _cp_core(s, r1h, r2h, oh, dia_ref[b, 0], repsc.at[b], rb, r2b,
                  stage, zb, sem, n_half=n_half, S=S, H=H,
                  nsweeps=nsweeps, coarsest=coarsest, h2_half=h2_half,
-                 sgn=sgn, per_y=per_y, min_n=min_n)
+                 sgn=sgn, per_y=per_y, min_n=min_n, omega=omega)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "nsweeps", "coarsest", "h2_half", "signs", "per_y", "min_n", "S",
-    "interpret"))
+    "interpret", "omega"))
 def cascade_prolong_relax_pair(r1s, r2s, dia, *, nsweeps: int,
                                coarsest: int, h2_half: float,
                                signs=(-1.0, -1.0, -1.0, -1.0),
                                per_y=False, min_n: int = 16, S: int = 64,
-                               interpret: bool = False):
+                               interpret: bool = False,
+                               omega: float = 1.0):
     """Pair cascade_prolong_relax: r1s/r2s 2-lists, dia (2,).
     Returns [rep0, rep1]."""
     n_half = r1s[0].shape[0]
@@ -1122,7 +1131,7 @@ def cascade_prolong_relax_pair(r1s, r2s, dia, *, nsweeps: int,
     kern = functools.partial(
         _cascade_prolong_kernel_pair, n_half=n_half, S=S, H=H,
         nsweeps=nsweeps, coarsest=coarsest, h2_half=h2_half, sgn=signs,
-        per_y=per_y, min_n=min(min_n, n_half // 2))
+        per_y=per_y, min_n=min(min_n, n_half // 2), omega=omega)
     dia_arr = jnp.asarray(dia, r1s[0].dtype).reshape(2, 1)
     buf_rows = max(W + 2 * GP, n_half // 2)
     oshape = jax.ShapeDtypeStruct((n_half + 2 * GP, 2 * n_half),

@@ -650,11 +650,11 @@ def fused_cycle(u, rhs, grid: Grid, fbc: bcs.FieldBC,
         r1, r2, d, nsweeps=nrelax,
         coarsest=max(params.coarsest_relax, 40),
         h2_half=4.0 * grid.h * grid.h, signs=signs,
-        per_y=fbc.is_periodic(1), min_n=16)
+        per_y=fbc.is_periodic(1), min_n=16, omega=params.omega)
     u = prolong_relax(rep, r0, d, u, nsweeps=nrelax,
                       h2=grid.h * grid.h, signs=signs,
                       periodic_y=fbc.is_periodic(1), add_u=True,
-                      pre_rep=True)
+                      pre_rep=True, omega=params.omega)
     return u, r0
 
 
@@ -700,7 +700,7 @@ def solve_relax_pair(us, rhss, grid: Grid, fbcs,
     zrep = jnp.zeros((n0 // 2 + 2 * GP, n1), dt_)
     us = prolong_relax_pair([zrep, zrep], r0, dia_vec, us,
                             nsweeps=nsweeps, h2=h2, signs=signs,
-                            periodic_y=per_y)
+                            periodic_y=per_y, omega=params.omega)
     stats = SolveStats(niter=jnp.asarray(1),
                        residual_before=norms(r0[0]),
                        residual_after=norms(r0[0]))
@@ -745,10 +745,11 @@ def solve_fixed_batched(us, rhss, grid: Grid, fbcs,
         rep = cascade_prolong_relax_pair(
             r1, r2, dia_vec, nsweeps=params.nrelax,
             coarsest=max(params.coarsest_relax, 40),
-            h2_half=4.0 * h2, signs=signs, per_y=per_y, min_n=16)
+            h2_half=4.0 * h2, signs=signs, per_y=per_y, min_n=16, omega=params.omega)
         U = prolong_relax_pair(rep, r0, dia_vec, U,
                                nsweeps=params.nrelax, h2=h2,
-                               signs=signs, periodic_y=per_y)
+                               signs=signs, periodic_y=per_y,
+                               omega=params.omega)
     stats = SolveStats(niter=jnp.asarray(params.ncycles),
                        residual_before=norms(r0[0]),
                        residual_after=norms(r0[0]))
