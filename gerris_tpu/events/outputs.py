@@ -28,6 +28,23 @@ from ..core import bc as bcs_mod
 from ..ops.stencils import norms, unbiased_error
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def open_output(name, mode="a"):
+    """Output stream for a GfsOutput file name: the names ``stdout`` /
+    ``stderr`` are the streams themselves, anything else a file
+    (reference: src/output.c gfs_output_open)."""
+    if name == "stdout":
+        yield sys.stdout
+    elif name == "stderr":
+        yield sys.stderr
+    else:
+        with open(name, mode) as f:
+            yield f
+
+
 def sim_field(sim, name):
     """Field at the finest resolution — uniform Simulation or
     AMRSimulation (which exposes ``fine``) — including the reference's
@@ -83,7 +100,7 @@ class OutputScalarNorm(Event):
         if self.sink:
             self.sink(sim, row)
         if self.file:
-            with open(self.file, "a") as f:
+            with open_output(self.file) as f:
                 f.write("%s time: %g first: %g second: %g infty: %g\n"
                         % (self.name, *row))
 
@@ -99,7 +116,7 @@ class OutputScalarSum(OutputScalarNorm):
         if self.sink:
             self.sink(sim, (sim.time.t, s))
         if self.file:
-            with open(self.file, "a") as f:
+            with open_output(self.file) as f:
                 f.write("%s time: %g sum: %.12g\n" % (self.name, sim.time.t, s))
 
 
@@ -136,7 +153,7 @@ class OutputErrorNorm(Event):
                float(n["infty"]))
         self.rows.append(row)
         if self.file:
-            with open(self.file, "a") as f:
+            with open_output(self.file) as f:
                 f.write("%s time: %g first: %g second: %g infty: %g\n"
                         % (self.name, *row))
 
@@ -172,7 +189,7 @@ class OutputAdaptStats(Event):
                 % (delta, c.min(), c.mean(), c.max(), len(c),
                    n / uniform))
         if self.file:
-            with open(self.file, "a") as f:
+            with open_output(self.file) as f:
                 f.write(line)
         else:
             sys.stderr.write(line)
@@ -193,7 +210,7 @@ class OutputBoundaries(Event):
         xf = np.asarray(grid.axis_faces(0))
         yf = np.asarray(grid.axis_faces(1))
         x0, x1, y0, y1 = xf[0], xf[-1], yf[0], yf[-1]
-        with open(format_filename(self.file, sim), "w") as f:
+        with open_output(format_filename(self.file, sim), "w") as f:
             for (ax, ay), (bx, by) in (((x0, y0), (x1, y0)),
                                        ((x1, y0), (x1, y1)),
                                        ((x1, y1), (x0, y1)),
@@ -235,7 +252,7 @@ class OutputProgress(Event):
         line = "%3.0f%% done, %.0f s elapsed, ETA %.0f s\n" \
             % (100.0 * frac, el, eta)
         if self.file:
-            with open(self.file, "a") as f:
+            with open_output(self.file) as f:
                 f.write(line)
         else:
             sys.stderr.write(line)
@@ -265,7 +282,7 @@ class OutputScalarMaxima(Event):
             row = (sim.time.t, k, *pos, float(flat[j]))
             self.rows.append(row)
             if self.file:
-                with open(self.file, "a") as fp:
+                with open_output(self.file) as fp:
                     fp.write("%s time: %g #: %d x: %g y: %g z: %g "
                              "value: %g\n" % (self.name, *row))
 
@@ -291,7 +308,7 @@ class OutputGrd(Event):
         nx, ny = f.shape
         x0 = float(np.asarray(grid.axis_faces(0))[0])
         y0 = float(np.asarray(grid.axis_faces(1))[0])
-        with open(format_filename(self.file, sim), "w") as fp:
+        with open_output(format_filename(self.file, sim), "w") as fp:
             fp.write("ncols          %d\n" % nx)
             fp.write("nrows          %d\n" % ny)
             fp.write("xllcorner      %g\n" % x0)
@@ -333,7 +350,7 @@ class OutputCorrelation(Event):
         corr = float(jnp.sum(v * ref)) / sumref if sumref > 0.0 else 0.0
         self.rows.append((sim.time.t, corr))
         if self.file:
-            with open(self.file, "a") as f:
+            with open_output(self.file) as f:
                 f.write("%s time: %g %10.3e\n"
                         % (self.name, sim.time.t, corr))
 
@@ -371,7 +388,7 @@ class OutputTime(Event):
                 % (sim.time.i, sim.time.t, sim.dt or 0.0,
                    _time.time() - self.t0))
         if self.file:
-            with open(self.file, "a") as f:
+            with open_output(self.file) as f:
                 f.write(line)
         else:
             sys.stderr.write(line)
@@ -397,7 +414,7 @@ class OutputLocation(Event):
                                        for v in self.variables]
             self.rows.append(row)
             if self.file:
-                with open(self.file, "a") as f:
+                with open_output(self.file) as f:
                     f.write(" ".join("%g" % x for x in row) + "\n")
 
 
@@ -525,7 +542,7 @@ class OutputProjectionStats(Event):
         line = ("residual.infty: %g first: %g second: %g t: %g\n"
                 % (row[3], row[1], row[2], row[0]))
         if self.file:
-            with open(self.file, "a") as f:
+            with open_output(self.file) as f:
                 f.write(line)
         else:
             sys.stderr.write(line)
@@ -553,7 +570,7 @@ class OutputDropletSums(Event):
             row = (sim.time.t, k + 1, float(vol[k]))
             self.rows.append(row)
             if self.file:
-                with open(self.file, "a") as f:
+                with open_output(self.file) as f:
                     f.write("%g %d %.12g\n" % row)
 
 
@@ -576,7 +593,7 @@ class OutputTiming(Event):
                          % (name, total, count, 1e3 * total / max(count, 1)))
         text = "\n".join(lines) + "\n"
         if self.file:
-            with open(self.file, "a") as f:
+            with open_output(self.file) as f:
                 f.write(text)
         else:
             sys.stderr.write(text)
@@ -666,7 +683,7 @@ class OutputSolidForce(Event):
         row = (sim.time.t, fpx, fpy, fvx, fvy, mp, mv)
         self.rows.append(row)
         if self.file:
-            with open(format_filename(self.file, sim), "a") as f:
+            with open_output(format_filename(self.file, sim)) as f:
                 f.write(" ".join("%g" % v for v in row) + "\n")
 
 
@@ -703,7 +720,7 @@ class OutputScalarHistogram(Event):
             rows.append(ysum / np.maximum(counts, 1e-300))
         self.last = np.stack(rows, axis=-1)
         if self.file:
-            with open(format_filename(self.file, sim), "a") as f:
+            with open_output(format_filename(self.file, sim)) as f:
                 for r in self.last:
                     f.write(" ".join("%g" % x for x in r) + "\n")
                 f.write("\n")
@@ -780,7 +797,7 @@ class OutputInterface(Event):
         T = sim_field(sim, self.tracer)
         self.segments = np.asarray(vof.facets(T, grid, fbc))
         if self.file:
-            with open(format_filename(self.file, sim), "a") as f:
+            with open_output(format_filename(self.file, sim)) as f:
                 for x1, y1, x2, y2 in self.segments:
                     f.write("%g %g %g %g %g\n" % (sim.time.t, x1, y1, x2, y2))
 
@@ -820,7 +837,7 @@ class OutputParticleList(Event):
         if self.sink:
             self.sink(sim, self.rows)
         if self.file:
-            with open(self.file, "a") as f:
+            with open_output(self.file) as f:
                 f.write("\n".join(lines) + "\n")
 
 
@@ -848,7 +865,7 @@ class OutputSpectra(Event):
         if self.sink:
             self.sink(sim, self.last)
         if self.file:
-            with open(self.file, "a") as f:
+            with open_output(self.file) as f:
                 f.write("# t = %g\n" % sim.time.t)
                 for kk, ee in zip(*self.last):
                     f.write("%g %g\n" % (kk, ee))

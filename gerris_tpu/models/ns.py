@@ -204,7 +204,7 @@ def velocity_advection_diffusion(U: list, uf: list, gmac: list, g_prev,
                     if (cfg.body_force is not None
                             and cfg.body_force[c] is not None):
                         bf = cfg.body_force[c]
-                        fv = fv + dt * (bf(*grid.centers, t)
+                        fv = fv + dt * (bf(*grid.centers, t=t)
                                         if callable(bf) else bf)
                 vals.append(fv)
             out, _ = diff.diffuse_pair(
@@ -238,7 +238,7 @@ def velocity_advection_diffusion(U: list, uf: list, gmac: list, g_prev,
                 fv = fv + dt * sources[c]
             if cfg.body_force is not None and cfg.body_force[c] is not None:
                 bf = cfg.body_force[c]
-                fv = fv + dt * (bf(*grid.centers, t) if callable(bf)
+                fv = fv + dt * (bf(*grid.centers, t=t) if callable(bf)
                                 else bf)
             if cfg.nu > 0.0:
                 rr = 1.0 if rho is None else rho
@@ -284,7 +284,7 @@ def velocity_advection_diffusion(U: list, uf: list, gmac: list, g_prev,
             fv = fv + dt * sources[c]
         if cfg.body_force is not None and cfg.body_force[c] is not None:
             bf = cfg.body_force[c]
-            fv = fv + dt * (bf(*grid.centers, t) if callable(bf) else bf)
+            fv = fv + dt * (bf(*grid.centers, t=t) if callable(bf) else bf)
         if cfg.nu > 0.0:
             rr = 1.0 if rho is None else rho
             if solid is not None:

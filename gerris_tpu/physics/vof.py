@@ -604,6 +604,15 @@ def curvature(f: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC, t=0.0):
     R = 3  # column half-height
     OFF = (0, -1, 1, -2, 2)   # window recentring, nearest first
     P = R + max(abs(o) for o in OFF) + 1
+    if min(grid.shape) < 2 * P:
+        # level too small for the height windows (coarse composite-AMR
+        # levels, e.g. a 4x12 capwave base): parabola fit only — the
+        # tension force at such levels is dominated by the fine-level
+        # solution anyway (sync_all overwrites covered regions)
+        mx_s, my_s = mycs_normals(bcs.apply_bc(f, grid, fbc, 1, t=t))
+        kap_fit = parabola_curvature(f, grid, fbc, mx_s, my_s, t=t)
+        interface_s = (f > FULL_TOL) & (f < 1.0 - FULL_TOL)
+        return jnp.where(interface_s, kap_fit, jnp.nan)
     f_pad = bcs.apply_bc(f, grid, fbc, P, t=t)
     n0, n1 = grid.shape
 

@@ -51,19 +51,27 @@ def tokenize(text: str):
             i += 1
             continue
         if ch == "(":
-            # capture a balanced parenthesized expression as one token
+            # capture a balanced parenthesized expression as one token;
+            # when an operator follows the close — e.g. the shear.gfs
+            # stream function (t < 2.5 ? 1. : -1.)*sin(...)/M_PI — keep
+            # consuming (word mode) so the whole product stays one token
             depth = 0
             j = i
             while j < n:
-                if text[j] == "(":
+                c = text[j]
+                if c == "(":
                     depth += 1
-                elif text[j] == ")":
+                elif c == ")":
                     depth -= 1
-                    if depth == 0:
+                    if depth == 0 and (j + 1 >= n or text[j + 1].isspace()
+                                       or text[j + 1] in "{}"):
+                        j += 1
                         break
+                elif depth == 0 and (c.isspace() or c in "{}"):
+                    break
                 j += 1
-            tokens.append(text[i:j + 1])
-            i = j + 1
+            tokens.append(text[i:j])
+            i = j
             continue
         j = i
         depth = 0
@@ -270,14 +278,40 @@ def translate_expr(expr: str, defines: dict = None, variables=()):
     if m:   # parenthesized C block: InitFraction T ({ ...; return e; })
         src = m.group(1)
     consts = {}
+    symbolic = []              # ordered (name, expr) for x/y-dependent decls
     if src.startswith("{"):
         body = src.strip("{}")
         # pull out simple declarations: int k = 3, l = 3;  double a = ...;
+        # non-constant declarations (double r2 = x*x + y*y;) are kept as
+        # ordered textual substitutions — the C sequential-decl semantics
+        def _split_decls(text):
+            # split on top-level commas only (atan2(y, x) stays whole)
+            out, depth, cur = [], 0, []
+            for ch in text:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                if ch == "," and depth == 0:
+                    out.append("".join(cur))
+                    cur = []
+                else:
+                    cur.append(ch)
+            out.append("".join(cur))
+            return out
+
         for m in re.finditer(r"\b(?:int|double|float)\s+([^;]+);", body):
-            for piece in m.group(1).split(","):
+            for piece in _split_decls(m.group(1)):
                 if "=" in piece:
-                    k, v = piece.split("=")
-                    consts[k.strip()] = float(eval(v.strip(), {}, {}))
+                    k, v = piece.split("=", 1)
+                    k, v = k.strip(), v.strip()
+                    try:
+                        consts[k] = float(eval(v, {}, {}))
+                    except Exception:
+                        for pk, pv in reversed(symbolic):
+                            v = re.sub(rf"\b{re.escape(pk)}\b",
+                                       f"({pv})", v)
+                        symbolic.append((k, v))
         stmts = [s.strip() for s in body.split(";")]
         ret = [s for s in stmts if s.startswith("return")]
         shifts = [s for s in stmts
@@ -297,6 +331,8 @@ def translate_expr(expr: str, defines: dict = None, variables=()):
             src = re.sub(rf"\b{re.escape(k)}\b", f"({defines[k]})", src)
     for k, v in consts.items():
         src = re.sub(rf"\b{re.escape(k)}\b", repr(v), src)
+    for k, v in reversed(symbolic):
+        src = re.sub(rf"\b{re.escape(k)}\b", f"({v})", src)
     py = _c_to_py(src)
 
     def fn(x, y, z=0.0, t=0.0, **vars):
@@ -371,6 +407,17 @@ class ParsedSim:
     particle_lists: list = field(default_factory=list)
     source_particulate: Optional[dict] = None          # two-way coupling
     init_spectra: Optional[dict] = None                # GfsInitSpectra
+    sources: dict = field(default_factory=dict)        # var -> rhs fn (GfsSource)
+    stream_function: Optional[tuple] = None            # (name, fn, sched)
+    surface_bcs: dict = field(default_factory=dict)    # var -> (kind, fn)
+    metric_spec: Optional[tuple] = None                # (kind, kv)
+    physical: dict = field(default_factory=dict)       # PhysicalParams kv
+    refine_solid: Optional[int] = None                 # RefineSolid level
+    tracer_gradients: dict = field(default_factory=dict)  # name -> limiter
+    advection_params: dict = field(default_factory=dict)  # AdvectionParams kv
+    beta: float = 1.0        # diffusion implicitness (NSConfig default)
+    solids_raw: list = field(default_factory=list)     # unnegated Solid fns
+    variables: list = field(default_factory=list)      # plain Variable names
 
 
 _SHAPES = {
@@ -585,6 +632,10 @@ def _parse_sim_body(sim: ParsedSim, toks, defines):
             blk, i = _read_block(toks, i + 1)
             kv = _kv_block(blk)
             sim.alpha_expr = kv.get("alpha")
+            sim.physical = kv                 # L / g for GfsRiver etc.
+        elif t == "AdvectionParams":
+            blk, i = _read_block(toks, i + 1)
+            sim.advection_params.update(_kv_block(blk))
         elif t in ("SourceDiffusion", "SourceViscosity"):
             if toks[i + 1] == "{":
                 _, i = _read_block(toks, i + 1)
@@ -600,12 +651,33 @@ def _parse_sim_body(sim: ParsedSim, toks, defines):
                 sim.nu = float(eval(toks[i + 2], {"__builtins__": {}},
                                     {}))
                 i += 3
+            if i < n and toks[i] == "{":
+                # trailing parameter block: { beta = 1 } — diffusion
+                # implicitness (gfs_diffusion_params_read, src/source.c;
+                # beta=0.5 Crank-Nicholson, 1 backward Euler)
+                blk, i = _read_block(toks, i)
+                kv = _kv_block(blk)
+                if "beta" in kv:
+                    sim.beta = float(kv["beta"])
         elif t in ("VariableTracerVOF", "VariableTracerVOFHeight"):
             sim.vof_tracers.append(toks[i + 1])
             i += 2
         elif t == "VariableTracer":
-            sim.tracers.append(toks[i + 1])
+            tname = toks[i + 1]
+            sim.tracers.append(tname)
             i += 2
+            if i < n and toks[i] == "{":
+                # advection-parameter block: { gradient = ... cfl = ... }
+                # (gfs_advection_params_read, src/advection.c)
+                blk, i = _read_block(toks, i)
+                kv = _kv_block(blk)
+                gmap = {"gfs_center_gradient": "centered",
+                        "gfs_center_van_leer_gradient": "van_leer",
+                        "gfs_center_minmod_gradient": "minmod",
+                        "gfs_center_sweby_gradient": "minmod"}
+                if "gradient" in kv:
+                    sim.tracer_gradients[tname] = \
+                        gmap.get(kv["gradient"], "van_leer")
         elif t == "VariableFiltered":
             # VariableFiltered T1 T 1 (src/variable.c GfsVariableFiltered)
             sim.filtered[toks[i + 1]] = (toks[i + 2], int(toks[i + 3]))
@@ -621,24 +693,58 @@ def _parse_sim_body(sim: ParsedSim, toks, defines):
             i += 4 if i + 3 < n and toks[i + 3] not in "{}" and \
                 not _is_directive(toks[i + 3]) else 3
         elif t == "InitFraction":
-            tracer = toks[i + 1]
-            expr = toks[i + 2]
+            j = i + 1
+            sched = {}
+            if toks[j] == "{":        # optional schedule block
+                sblk, j = _read_block(toks, j)
+                sched = _kv_block(sblk)
+            tracer = toks[j]
+            expr = toks[j + 1]
             if expr == "{":
-                blk, i2 = _read_block(toks, i + 2)
+                blk, j2 = _read_block(toks, j + 1)
                 expr = "{" + " ".join(blk) + "}"
-                i = i2
+                i = j2
             else:
-                i += 3
+                i = j + 2
             shape = _maybe_shape(expr, defines)
-            sim.init_fractions[tracer] = shape or translate_expr(expr, defines)
+            fn = shape or translate_expr(expr, defines)
+            if sched:
+                # re-initialisation event (InitFraction { start = end }
+                # Tref ... — the reference's error-reference trick); the
+                # runner applies it when the schedule fires
+                sim.events.append(("InitFraction", sched, (tracer, fn)))
+            else:
+                sim.init_fractions[tracer] = fn
+        elif t == "Variable":
+            # plain (non-advected) cell variable (src/variable.c
+            # GfsVariable); materialised as a zero field at init
+            sim.variables.append(toks[i + 1])
+            i += 2
         elif t == "Solid":
             expr = toks[i + 1]
             i += 2
-            shape = _maybe_shape(expr, defines)
+            if expr.endswith(".gts"):
+                # triangulated GTS surface input (src/surface.h:43-108;
+                # e.g. Solid hexagon.gts { scale = ... })
+                kv = {}
+                if i < n and toks[i] == "{":
+                    blk, i = _read_block(toks, i)
+                    kv = _kv_block(blk)
+                from ..physics import gts as gtsm
+                fn = gtsm.surface_phi(
+                    expr, dim=2,
+                    scale=float(kv.get("scale", 1.0)),
+                    translate=(float(kv.get("tx", 0.0)),
+                               float(kv.get("ty", 0.0)),
+                               float(kv.get("tz", 0.0))),
+                    flip=bool(int(float(kv.get("flip", 0)))))
+            else:
+                shape = _maybe_shape(expr, defines)
+                fn = shape or translate_expr(expr, defines)
             # Solid surfaces bound the SOLID region: fluid is outside,
             # so the fluid level set is the negation
-            fn = shape or translate_expr(expr, defines)
             sim.solids.append(lambda x, y, z=0.0, t=0.0, f=fn: -f(x, y, z, t))
+            sim.solids_raw.append(fn)
         elif t == "Init":
             _, i2 = _read_block(toks, i + 1)      # schedule block
             blk, i = _read_block(toks, i2)
@@ -673,6 +779,71 @@ def _parse_sim_body(sim: ParsedSim, toks, defines):
                 j += 1
             sim.conductivity = (var, expr, pot)
             i = j
+        elif t == "Source":
+            # GfsSource [{sched}] VAR <expr> (src/source.c gfs_source_read):
+            # constant/expression rhs added to the variable's equation.
+            j = i + 1
+            if toks[j] == "{":
+                _, j = _read_block(toks, j)   # schedule (unused: static)
+            var = toks[j]; j += 1
+            expr = toks[j]
+            if expr == "{":
+                blk, j = _read_block(toks, j)
+                expr = "{" + " ".join(blk) + "}"
+            else:
+                j += 1
+            sim.sources[var] = translate_expr(expr, defines)
+            i = j
+        elif t == "VariableStreamFunction":
+            # VariableStreamFunction [{sched}] Psi <expr> (src/variable.c):
+            # prescribes a discretely divergence-free velocity from the
+            # stream function sampled at cell corners.
+            j = i + 1
+            sched = {}
+            if toks[j] == "{":
+                blk, j = _read_block(toks, j)
+                sched = _kv_block(blk)
+            name = toks[j]; j += 1
+            expr = toks[j]
+            if expr == "{":
+                blk, j = _read_block(toks, j)
+                expr = "{" + " ".join(blk) + "}"
+            else:
+                j += 1
+            sim.stream_function = (name, translate_expr(expr, defines),
+                                   sched)
+            i = j
+        elif t == "SurfaceBc":
+            # SurfaceBc VAR Dirichlet|Neumann <expr> (src/boundary.c
+            # surface_bc_read): BC on the embedded solid surface.
+            var = toks[i + 1]
+            kind = toks[i + 2].lower()
+            j = i + 3
+            expr = toks[j]
+            if expr == "{":
+                blk, j = _read_block(toks, j)
+                expr = "{" + " ".join(blk) + "}"
+            else:
+                j += 1
+            sim.surface_bcs[var] = (kind, translate_expr(expr, defines))
+            i = j
+        elif t in ("MetricStretch", "MetricLonLat", "MetricCubed"):
+            # Metric* [{sched}] [name] { params } (src/metric.c)
+            j = i + 1
+            kv = {}
+            while j < n:
+                if toks[j] == "{":
+                    blk, j = _read_block(toks, j)
+                    kv = _kv_block(blk) or kv
+                elif not _is_directive(toks[j]) and toks[j] != "}":
+                    j += 1            # optional metric name token
+                else:
+                    break
+            sim.metric_spec = (t, kv)
+            i = j
+        elif t == "RefineSolid":
+            sim.refine_solid = int(toks[i + 1])
+            i += 2
         elif t == "EventStop":
             blk, i = _read_block(toks, i + 1)
             sched = _kv_block(blk)
@@ -781,6 +952,8 @@ def _parse_sim_body(sim: ParsedSim, toks, defines):
             continue
         elif t.startswith("Output") or t in ("EventScript", "GModule",
                                              "AdaptFunction", "AdaptError",
+                                             "AdaptGradient",
+                                             "AdaptVorticity",
                                              "EventBalance"):
             # schedule block, then positional args / extra blocks
             j = i + 1
@@ -990,6 +1163,55 @@ def build_simulation(sim: ParsedSim, dim: int = 2):
             return side_bc(t, lambda ax, sd: bcs.Neumann())
         return tbc
 
+    if sim.sim_class == "GfsAdvection":
+        # prescribed-velocity tracer advection (src/simulation.c:2061
+        # advection_run); velocity from VariableStreamFunction psi at
+        # cell corners — discretely divergence-free by construction
+        # (src/variable.c GfsVariableStreamFunction)
+        from ..models.classes import AdvectionSimulation
+        from ..models.simulation import Time as _Time
+        import jax.numpy as _jnp
+
+        if sim.stream_function is None:
+            raise ValueError("GfsAdvection needs VariableStreamFunction")
+        _, psi_fn, _psched = sim.stream_function
+        xf = grid.axis_faces(0)
+        yf = grid.axis_faces(1)
+
+        def u_face(t, fn=psi_fn):
+            Psi = fn(_jnp.asarray(xf)[:, None], _jnp.asarray(yf)[None, :],
+                     t=t) + _jnp.zeros((xf.size, yf.size))
+            uf = (Psi[:, 1:] - Psi[:, :-1]) / grid.h
+            vf = -(Psi[1:, :] - Psi[:-1, :]) / grid.h
+            return [uf, vf]
+
+        tracers = ([(nm, tracer_bc(nm), True) for nm in sim.vof_tracers]
+                   + [(nm, tracer_bc(nm), False) for nm in sim.tracers])
+        tkw = sim.time or {}
+        tend = float(tkw.get("end", 0.0))
+        breaks = []
+        if _psched.get("step"):
+            # the stream function is re-evaluated on this schedule and
+            # may jump there (shear.gfs flips sign at t = 2.5): a time
+            # step must land exactly on each firing
+            st = float(_psched["step"])
+            breaks = [k * st for k in range(1, int(tend / st) + 1)
+                      if k * st < tend]
+        adv_sim = AdvectionSimulation(
+            grid, u_face, tracers,
+            cfl=float(sim.advection_params.get("cfl", 0.8)),
+            gradients=sim.tracer_gradients, breaks=breaks,
+            time=_Time(**{k: (int(v) if k in ("i", "iend") else float(v))
+                          for k, v in tkw.items()}))
+        adv_sim.errors = sim.errors
+        fields = {}
+        for var, fn in sim.inits.items():
+            fields[var] = lambda *c, f=fn: f(*c)
+        for tracer, phi in sim.init_fractions.items():
+            fields[tracer] = vofm.fraction_from_levelset(grid, phi)
+        adv_sim.init(**fields)
+        return adv_sim
+
     def mk_params(d):
         kw = {}
         if "tolerance" in d:
@@ -1038,18 +1260,61 @@ def build_simulation(sim: ParsedSim, dim: int = 2):
                     out = _jnp.minimum(out, f(x, y, z, t))
                 return out
 
+    # generic GfsSource terms: velocity components -> body_force, tracer
+    # names -> the per-tracer source slot (src/source.c gfs_source_read)
+    vnames = ns.velocity_names(dim)
+    body_force = None
+    if any(v in sim.sources for v in vnames):
+        body_force = tuple(sim.sources.get(v) for v in vnames)
+
+    # AdvectionParams { cfl / gradient / scheme }
+    # (gfs_advection_params_read, src/advection.c:924-948)
+    from ..solvers import advection as advm
+    _gmap = {"gfs_center_gradient": "centered",
+             "gfs_center_van_leer_gradient": "van_leer",
+             "gfs_center_minmod_gradient": "minmod",
+             "gfs_center_sweby_gradient": "minmod"}
+    adv_kw = {}
+    if "cfl" in sim.advection_params:
+        adv_kw["cfl"] = float(sim.advection_params["cfl"])
+    if "gradient" in sim.advection_params:
+        adv_kw["gradient"] = _gmap.get(sim.advection_params["gradient"],
+                                       "van_leer")
+    if sim.advection_params.get("scheme") == "none":
+        adv_kw["scheme"] = "none"
+    advection = advm.AdvectionParams(**adv_kw)
+
+    # Metric* layers -> core/metric.py objects
+    metric = None
+    if sim.metric_spec is not None:
+        from ..core import metric as metm
+        kind, kv = sim.metric_spec
+        if kind == "MetricStretch":
+            metric = metm.MetricStretch(sx=float(kv.get("sx", 1.0)),
+                                        sy=float(kv.get("sy", 1.0)))
+        elif kind == "MetricLonLat":
+            metric = metm.MetricLonLat()
+        elif kind == "MetricCubed":
+            metric = metm.MetricCubed()
+
     cfg = ns.NSConfig(
         grid=grid,
         u_bcs=u_bcs,
         nu=sim.nu,
         vof_tracers=tuple((t, tracer_bc(t)) for t in sim.vof_tracers),
         tension=tuple(sim.tension),
-        tracers=tuple((t, tracer_bc(t), 0.0) for t in sim.tracers),
+        tracers=tuple((t, tracer_bc(t), sim.sources.get(t, 0.0))
+                      for t in sim.tracers),
         projection=mk_params(sim.projection),
         approx_projection=mk_params(sim.approx_projection),
         p_bc=side_bc("P", lambda ax, sd: bcs.Neumann()),
         density=density,
         solid_phi=solid_phi,
+        advection=advection,
+        beta=sim.beta,
+        body_force=body_force,
+        metric=metric,
+        surface_u=_surface_u_from_bcs(sim) if sim.surface_bcs else None,
         particle_coupling=bool(sim.source_particulate
                                and sim.particle_lists),
     )
@@ -1242,6 +1507,10 @@ def build_simulation(sim: ParsedSim, dim: int = 2):
             elif name == "AdaptError" and blocks and args:
                 adapt_spec = _make_adapt_error_spec(
                     sched, blocks[0], args[0], sim, cfg)
+            elif name in ("AdaptGradient", "AdaptVorticity") and blocks:
+                adapt_spec = _make_adapt_gradient_spec(
+                    sched, blocks[0], args[0] if args else "U",
+                    name == "AdaptVorticity", sim, cfg)
             # EventScript / GModule are intentionally skipped (shell
             # execution / module loading)
         except Exception as exc:  # surface, don't swallow (VERDICT r1)
@@ -1427,6 +1696,74 @@ def _make_adapt_spec(sched, params, expr, sim: ParsedSim, cfg):
         maxcells=None if maxcells is None else int(float(maxcells)))
 
 
+def _surface_u_from_bcs(sim: ParsedSim):
+    """SurfaceBc U/V/W Dirichlet exprs -> the per-component surface
+    velocity tuple of NSConfig.surface_u (src/boundary.c surface BCs;
+    test/couette's rotating inner cylinder)."""
+    out = []
+    found = False
+    for v in ("U", "V", "W"):
+        e = sim.surface_bcs.get(v)
+        if e is not None and e[0] == "dirichlet":
+            fn = e[1]
+            out.append(lambda x, y, t=0.0, f=fn: f(x, y, t=t))
+            found = True
+        else:
+            out.append(None)
+    return tuple(out) if found else None
+
+
+def _make_adapt_gradient_spec(sched, params, var, use_vorticity,
+                              sim: ParsedSim, cfg):
+    """GfsAdaptGradient v: refine where |grad v| per cell length exceeds
+    cmax (src/adaptive.c gradient_cost: sqrt(sum_c g_c^2) with g_c the
+    per-cell centred gradient).  GfsAdaptVorticity: cost |w| h / max|U|
+    (src/adaptive.c:350 cost_vorticity)."""
+    from ..models import amr_ns
+
+    def criterion(s):
+        import jax.numpy as jnp
+        from ..events.outputs import sim_field
+        from ..core import bc as _b
+        from ..ops import stencils as st
+        from ..ops.derived import vorticity
+        from ..models.ns import velocity_names
+
+        g = s.topo.grid(s.topo.lmax)
+        if use_vorticity:
+            # c1 channel: cost(l) = |w| h(l) / max|U|
+            U = [sim_field(s, nm) for nm in velocity_names(s.topo.dim)]
+            w = vorticity(U, g, list(s.cfg.u_bcs), t=s.time.t)
+            maxa = jnp.maximum(
+                jnp.sqrt(jnp.max(sum(u * u for u in U))), 1e-30)
+            c1 = jnp.abs(w) / maxa
+        else:
+            # c1 channel: cost(l) = |grad v| h(l) — the per-candidate-cell
+            # gradient of src/adaptive.c gradient_cost
+            v = sim_field(s, var)
+            fbc = None
+            for nm, bb in getattr(s.cfg, "vof_tracers", ()) or ():
+                if nm == var:
+                    fbc = bb
+            fbc = fbc or _b.default_scalar_bc(s.topo.dim)
+            vp = _b.apply_bc(v, g, fbc, t=s.time.t)
+            s2 = sum(st.center_gradient(vp, g, a) ** 2
+                     for a in range(s.topo.dim))
+            c1 = jnp.sqrt(s2)
+        return None, c1
+
+    maxlevel = int(float(params.get("maxlevel", sim.level)))
+    minlevel = int(float(params.get("minlevel", max(2, maxlevel - 4))))
+    maxcells = params.get("maxcells")
+    return amr_ns.AdaptSpec(
+        criterion=criterion,
+        cmax=float(params.get("cmax", 1e-2)),
+        cfactor=float(params.get("cfactor", 4.0)),
+        minlevel=minlevel, maxlevel=maxlevel,
+        istep=int(float(sched.get("istep", 1))),
+        maxcells=None if maxcells is None else int(float(maxcells)))
+
+
 def _make_adapt_error_spec(sched, params, var, sim: ParsedSim, cfg):
     """GfsAdaptError { istep } { cmax maxlevel [maxcells] } v: refine
     where the Richardson truncation-error estimate h^2 |D^2 v| exceeds
@@ -1488,6 +1825,15 @@ def _build_poisson(sim: ParsedSim):
         kw["erelax"] = int(d["erelax"])
     params = poisson.MultilevelParams(**kw)
     solid = sim.solids[0] if sim.solids else None
-    ps = PoissonSimulation(grid, p_bc=p_bc, params=params, solid_phi=solid)
+    sbc = sim.surface_bcs.get("P")
+    if solid is not None and sbc is not None and sbc[0] == "dirichlet":
+        # SurfaceBc P Dirichlet closes the domain: the reference's
+        # test/poisson/dirichlet solves INSIDE the boundary curve
+        # ("the boundary of the domain is r < 0.30 + 0.15cos(6t)"),
+        # i.e. the fluid is the Solid expression's positive side here.
+        solid = sim.solids_raw[0]
+    ps = PoissonSimulation(grid, p_bc=p_bc, params=params, solid_phi=solid,
+                           surface_bc=sbc)
+    ps.errors = sim.errors
     ps.init(Div=sim.inits["Div"])
     return ps
