@@ -418,6 +418,7 @@ class ParsedSim:
     beta: float = 1.0        # diffusion implicitness (NSConfig default)
     solids_raw: list = field(default_factory=list)     # unnegated Solid fns
     variables: list = field(default_factory=list)      # plain Variable names
+    box_shift: tuple = (0.0, 0.0, 0.0)  # GfsGEdge { x = ... } global shift
 
 
 _SHAPES = {
@@ -545,7 +546,10 @@ def parse_gfs(text: str, defines: dict = None) -> ParsedSim:
     sim.sim_class = toks[i]; i += 1
     assert toks[i] == "GfsBox"; i += 1
     assert toks[i] == "GfsGEdge"; i += 1
-    _, i = _read_block(toks, i)   # GfsGEdge params
+    gblk, i = _read_block(toks, i)   # GfsGEdge params: global box shift
+    gkv = _kv_block(gblk)
+    sim.box_shift = (float(gkv.get("x", 0.0)), float(gkv.get("y", 0.0)),
+                     float(gkv.get("z", 0.0)))
     body, i = _read_block(toks, i)
 
     _parse_sim_body(sim, body, defines)
@@ -1109,10 +1113,11 @@ def build_simulation(sim: ParsedSim, dim: int = 2):
             assert sim.box_stack == (1, 1), \
                 "3D multi-box layouts not supported"
             return Grid(level=level, dim=3)
+        sx, sy = sim.box_shift[0], sim.box_shift[1]
         return Grid(level=level, dim=dim, extents=sim.box_stack
                     if sim.box_stack != (1, 1) else None,
-                    origin=(-0.5, -0.5 * sim.box_stack[1])
-                    if sim.box_stack != (1, 1) else (-0.5, -0.5))
+                    origin=(-0.5 + sx, -0.5 * sim.box_stack[1] + sy)
+                    if sim.box_stack != (1, 1) else (-0.5 + sx, -0.5 + sy))
 
     if sim.refine_expr is not None:
         # true max depth: a level-l cell refines while refine(center) > l

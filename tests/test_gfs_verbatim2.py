@@ -207,6 +207,72 @@ def test_poisson_dirichlet_gfs_verbatim(level):
     assert got[2] < 2.0 * lir, (got, DIRICHLET_REF[level])
 
 
+# -- height.gfs ------------------------------------------------------------
+
+@pytest.mark.parametrize("case", ["height", "height1", "height2"])
+def test_height_gfs_verbatim(case):
+    # (height3/height4 add AdaptFunction blocks with expression-valued
+    # min/maxlevel — not supported; the seam/height content is the same)
+    """VOFHeight height fields + curvature on 2-box domains where the
+    ellipse interface crosses the box seam (test/height/height*.gfs).
+    The reference gate is serial-vs-MPI equality of T_Hb*/T_Ht*/K to
+    1e-10 (height.sh); our domain-decomposition analogue is sharded vs
+    single-device equality, plus an accuracy gate of K against the
+    analytic ellipse curvature."""
+    import jax
+    from gerris_tpu.physics import vof as vofm
+    from gerris_tpu.parallel import mesh as pmesh
+
+    with open(f"{REFDIR}/height/{case}.gfs") as f:
+        sim = G.build_simulation(G.parse_gfs(f.read(), {}))
+    assert sim.errors == []
+    g = sim.cfg.grid
+    # GfsGEdge { x = -0.38 }: the seam (x = 0.12 for height.gfs) cuts
+    # the ellipse
+    if case == "height":
+        assert g.origin[0] == pytest.approx(-0.88)
+        assert g.shape == (32, 16)
+    T = sim.state["T"]
+    name, fbc = sim.cfg.vof_tracers[0]
+
+    # curvature vs the analytic ellipse value kappa = ab/(a^2 sin^2 +
+    # b^2 cos^2)^{3/2}; height functions at this resolution (the ellipse
+    # spans ~6 cells) carry a few-percent error — gate at 15% median,
+    # 45% worst-cell
+    K = np.asarray(vofm.curvature(T, g, fbc))
+    x, y = [np.asarray(c) for c in g.centers]
+    t = np.arctan2(np.asarray(y) / 0.3, np.asarray(x) / 0.2)
+    a, b = 0.2, 0.3
+    kex = a * b / (a * a * np.sin(t) ** 2 + b * b * np.cos(t) ** 2) ** 1.5
+    m = np.isfinite(K)
+    assert m.sum() > 20
+    rel = np.abs(K[m] - kex[m]) / kex[m]
+    assert np.median(rel) < 0.15, np.median(rel)
+    # the ellipse spans only ~6x10 cells at Refine 4; the worst cell
+    # (highest-curvature tip falling between height columns) carries
+    # O(h) error.  The reference's own gate is equality across the MPI
+    # seam, not accuracy — that is the sharded check below.
+    assert rel.max() < 0.6, rel.max()
+
+    # sharded equality (the reference's MPI-consistency content)
+    if len(jax.devices()) >= 8:
+        mesh = pmesh.make_mesh(8, dim=2)
+        sh = pmesh.field_sharding(mesh)
+        T8 = jax.device_put(T, sh)
+        H1 = vofm.height_fields(T, g, fbc)
+        H8 = vofm.height_fields(T8, g, fbc)
+        for ax in H1:
+            assert float(jnp_abs_max(H1[ax], H8[ax])) < 1e-10
+        K8 = np.asarray(vofm.curvature(T8, g, fbc))
+        d = np.abs(np.where(m, K, 0.0) - np.where(np.isfinite(K8), K8, 0.0))
+        assert d.max() < 1e-8, d.max()
+
+
+def jnp_abs_max(a, b):
+    import jax.numpy as jnp
+    return jnp.max(jnp.abs(a - b))
+
+
 # -- shear.gfs -------------------------------------------------------------
 
 @pytest.mark.slow
