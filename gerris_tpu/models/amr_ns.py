@@ -196,7 +196,7 @@ def amr_step(state: dict, leaf: dict, dt, t, cfg: ns.NSConfig, topo: Topo,
             lv = {name: st[name][l] for name, _ in cfg.vof_tracers}
             fs[l] = ns.tension_sources(
                 lv, cfg, t, alpha=None if alpha is None else alpha[l],
-                grid=topo.grid(l))
+                grid=topo.grid(l), off_max=0)
 
     # 1. predicted face velocities (BCG) per level
     uf = {l: ns.predicted_face_velocities([st[n][l] for n in names],

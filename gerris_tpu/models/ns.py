@@ -396,7 +396,7 @@ def density_fields(state: dict, cfg: NSConfig, t, grid: Grid = None):
 
 
 def tension_sources(state: dict, cfg: NSConfig, t, alpha=None,
-                    grid: Grid = None):
+                    grid: Grid = None, off_max: int = 2):
     """Curvature + well-balanced tension face sources from the current VOF
     fields (reference: GfsVariableCurvature event + tension_coeff; the
     face coefficient carries alpha=1/rho, src/poisson.c:907).
@@ -411,7 +411,7 @@ def tension_sources(state: dict, cfg: NSConfig, t, alpha=None,
     for name, sigma in cfg.tension:
         fbc = dict((v[0], v[1]) for v in cfg.vof_tracers)[name]
         T = state[name]
-        kap = vofm.curvature(T, grid, fbc, t=t)
+        kap = vofm.curvature(T, grid, fbc, t=t, off_max=off_max)
         kap = vofm.fill_curvature(kap, None, niter=2)
         dp = tens.tension_face_sources(T, kap, sigma, grid, fbc,
                                        alpha=alpha, t=t)

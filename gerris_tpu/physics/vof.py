@@ -584,7 +584,8 @@ def advect(f: jnp.ndarray, u_face: list, grid: Grid, fbc: bcs.FieldBC,
 # Height-function curvature
 # ---------------------------------------------------------------------------
 
-def curvature(f: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC, t=0.0):
+def curvature(f: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC, t=0.0,
+              off_max: int = 2):
     """Interface curvature on interface cells (NaN elsewhere).
 
     New-style height-function method (the GfsVariableTracerVOFHeight
@@ -602,17 +603,17 @@ def curvature(f: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC, t=0.0):
     if dim == 3:
         return curvature_3d(f, grid, fbc, t=t)
     R = 3  # column half-height
-    OFF = (0, -1, 1, -2, 2)   # window recentring, nearest first
-    P = R + max(abs(o) for o in OFF) + 1
-    if min(grid.shape) < 2 * P:
-        # level too small for the height windows (coarse composite-AMR
-        # levels, e.g. a 4x12 capwave base): parabola fit only — the
-        # tension force at such levels is dominated by the fine-level
-        # solution anyway (sync_all overwrites covered regions)
-        mx_s, my_s = mycs_normals(bcs.apply_bc(f, grid, fbc, 1, t=t))
-        kap_fit = parabola_curvature(f, grid, fbc, mx_s, my_s, t=t)
-        interface_s = (f > FULL_TOL) & (f < 1.0 - FULL_TOL)
-        return jnp.where(interface_s, kap_fit, jnp.nan)
+    # Window recentring offsets, nearest first.  ``off_max=0`` selects
+    # the plain centred estimator: on composite-AMR level stacks the
+    # coarse restrictions of an under-resolved interface let an offset
+    # window "validate" against the WRONG crossing (a different branch
+    # of the same droplet), which shifted the verbatim oscillation fit
+    # frequency -8.8% — the AMR tension path requests 0.  The offsets
+    # also shrink with level resolution so the ghost padding never
+    # exceeds the array (the 4-row capwave base level).
+    o_max = min(off_max, max(0, (min(grid.shape) - 2 * R) // 2))
+    OFF = (0,) + sum(((-o, o) for o in range(1, o_max + 1)), ())
+    P = R + o_max + 1
     f_pad = bcs.apply_bc(f, grid, fbc, P, t=t)
     n0, n1 = grid.shape
 
