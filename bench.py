@@ -38,6 +38,46 @@ LEVEL = int(os.environ.get("BENCH_LEVEL", "11"))   # 2048^2
 STEPS = int(os.environ.get("BENCH_STEPS", "10"))
 
 
+def _probe_backend(timeout_s: float) -> str:
+    """Probe backend initialization in a SUBPROCESS (a bare jax.devices()
+    can hang indefinitely when the axon tunnel is down — round-3 BENCH
+    rc=1 / judge-reproduced >120s hang).  Returns the platform name or
+    raises."""
+    import subprocess
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; d = jax.devices(); print(d[0].platform)"],
+        capture_output=True, text=True, timeout=timeout_s,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr.strip().splitlines()[-1][:300]
+                           if r.stderr.strip() else f"rc={r.returncode}")
+    return r.stdout.strip()
+
+
+def _wait_for_backend() -> str:
+    """Retry backend init with backoff; structured failure if the tunnel
+    stays down so the driver always gets a parseable JSON line."""
+    import subprocess
+    delays = [0, 20, 40, 60, 90, 120]  # ~5.5 min budget + probe time
+    last = None
+    for d in delays:
+        if d:
+            time.sleep(d)
+        try:
+            return _probe_backend(timeout_s=180)
+        except subprocess.TimeoutExpired:
+            last = "backend init hang (>180s)"
+        except Exception as e:  # noqa: BLE001
+            last = str(e)
+    print(json.dumps({
+        "metric": f"cell-updates/sec/chip on {2**LEVEL}^2 cavity",
+        "value": 0.0, "unit": "cell-updates/s/chip", "vs_baseline": 0.0,
+        "error": f"TPU backend unavailable after {len(delays)} attempts: {last}",
+    }))
+    sys.exit(0)
+
+
 def main():
     import dataclasses
     from gerris_tpu.core.grid import Grid
@@ -148,4 +188,15 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    platform = _wait_for_backend()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — always emit a parseable line
+        print(json.dumps({
+            "metric": f"cell-updates/sec/chip on {2**LEVEL}^2 cavity",
+            "value": 0.0, "unit": "cell-updates/s/chip",
+            "vs_baseline": 0.0,
+            "error": f"bench failed on {platform}: "
+                     f"{type(e).__name__}: {str(e)[:300]}",
+        }))
+        sys.exit(0)
