@@ -15,14 +15,6 @@ import os
 import sys
 import time
 
-# production smoothing schedule (measured 2048^2, idle box): projections
-# at 5 over-relaxed sweeps/level (omega 1.5) instead of the 8-sweep
-# omega-1 default — 356.2M -> 368.4M cell-updates/s.  Steady-state
-# convergence at 1 cycle/solve re-validated by the CPU probe (L9-L10)
-# and the fixed-vs-adaptive honesty check below.  Must be set before the
-# solvers import (module-level env read).
-os.environ.setdefault("GERRIS_NRELAX_BOOST", "5")
-
 import jax
 import jax.numpy as jnp
 
@@ -93,9 +85,15 @@ def main():
     # (measured), so warmup runs a fixed-3 config first; the
     # fixed-vs-adaptive check below validates that 1 cycle/solve is
     # converged at steady state (steady-state adaptive niter == 1).
+    # production smoothing schedule (measured 2048^2, idle box):
+    # projections at 5 over-relaxed sweeps/level (omega 1.5) instead of
+    # the 8-sweep omega-1 default — 356.2M -> 368.4M cell-updates/s.
+    # Steady-state convergence at 1 cycle/solve re-validated by the CPU
+    # probe (L9-L10) and the fixed-vs-adaptive honesty check below.
     omega = float(os.environ.get("GERRIS_OMEGA", "1.5"))
+    nr5 = int(os.environ.get("GERRIS_TPU_NRELAX", "5"))
     mp1 = poisson.MultilevelParams(tolerance=1e-3, nitermax=100, ncycles=1,
-                                   omega=omega)
+                                   omega=omega, tpu_nrelax=nr5)
     mp3 = dataclasses.replace(mp1, ncycles=3)
     # diffusion: the fused 3-launch MG chain.  (A relax-only schedule
     # needs ~20 fine sweeps to meet tolerance at 2048^2 — measured 85M
@@ -106,6 +104,9 @@ def main():
     # probe shows the over-relaxed 6-sweep schedule leaves the diffusion
     # pair at niter=2 while both projections reach niter=1 (the
     # projections are the ones omega helps).
+    # (inherits tpu_nrelax=5: reproduces the recorded r3 schedule —
+    # nrelax=max(8,5)=8 sweeps, coarsest=max(8,10)=10 — byte-identical
+    # HLO to the cached programs)
     mpd = dataclasses.replace(mp1, nrelax=8, omega=1.0)
 
     def make_cfg(mp, mpdiff):
@@ -117,9 +118,11 @@ def main():
     cfg_warm = make_cfg(mp3, dataclasses.replace(mp3, solver="relax",
                                                  nrelax=20))
     cfg_ada = make_cfg(poisson.MultilevelParams(tolerance=1e-3,
-                                                nitermax=100),
+                                                nitermax=100,
+                                                tpu_nrelax=nr5),
                        poisson.MultilevelParams(tolerance=1e-3,
-                                                nitermax=100))
+                                                nitermax=100,
+                                                tpu_nrelax=nr5))
 
     z = jnp.zeros(grid.shape, jnp.float32)
     names = list(ns.velocity_names(2)) + ["P", "Pmac"] + \

@@ -136,8 +136,7 @@ class AdvectionSimulation:
         dt = cfl * grid.h / max(umax, 1e-300)
         nsteps = max(1, int(math.ceil((t_end - self.t) / dt)))
         dt = (t_end - self.t) / nsteps
-        for k in range(nsteps):
-            uf = self._faces(self.t)
+        def advance(uf, dt):
             for name, fbc, is_vof in self.tracers:
                 T = self.state[name]
                 if is_vof:
@@ -156,6 +155,25 @@ class AdvectionSimulation:
                 self.state[name] = T
             self.t += dt
             self.i += 1
+
+        for k in range(nsteps):
+            uf = self._faces(self.t)
+            # a time-dependent velocity can grow within the segment past
+            # the start-of-segment CFL sizing: re-check per step and
+            # subdivide (keeps the 0.45 VOF bound honest)
+            nsub = 1
+            if callable(self.u_face):
+                umax_k = max(float(jnp.max(jnp.abs(u))) for u in uf)
+                bound = cfl * grid.h / max(umax_k, 1e-300)
+                if dt > bound:
+                    nsub = int(math.ceil(dt / bound))
+            if nsub == 1:
+                advance(uf, dt)
+            else:
+                t_sub_end = self.t + dt
+                for j in range(nsub):
+                    advance(self._faces(self.t), dt / nsub)
+                self.t = t_sub_end
         # pin the segment endpoint: accumulated dt sums land a few ulp
         # short, and a break time (velocity discontinuity) reached a few
         # ulp short would integrate the wrong branch for one full step

@@ -104,6 +104,10 @@ class NSConfig:
     # Cubed) — cell/face factors composed into the face coefficients
     # exactly like axi (reference: domain metric hooks src/domain.h:94-110)
     metric: object = None
+    # route MAC faces through the packed Pallas layout end-to-end
+    # (ops/pallas/facepack.py); measured slower at 2048^2, kept as an
+    # A/B seam (formerly the GERRIS_PACK_FACES env knob)
+    pack_faces: bool = False
 
     def __post_init__(self):
         if self.p_bc is None:
@@ -171,7 +175,11 @@ def velocity_advection_diffusion(U: list, uf: list, gmac: list, g_prev,
 
     # batched U+V fast path: both components' BCG kernels + ONE batched
     # implicit-diffusion launch chain (fixed-cycle schedules only)
+    # beta must be exactly 1 (fully implicit): diffuse_pair's rhs
+    # -dia*(v+fv) omits the Crank-Nicolson explicit term
+    # (1-beta)*dt*lap(u_old) that diffuse() adds when beta < 1
     if (solid is None and dim == 2 and rho is None and cfg.nu > 0.0
+            and cfg.beta == 1.0
             and cfg.diffusion_params is not None
             and cfg.diffusion_params.ncycles > 0
             and bcg.applicable(U[0], grid, cfg.advection)):
@@ -621,15 +629,13 @@ def ns_step(state: dict, dt, t, cfg: NSConfig, cstart: int = 0,
         solid = _weights(cfg)
         sfrac = solid[1]
 
-    # 1. prediction.  GERRIS_PACK_FACES=1 routes the MAC faces through
-    # the packed kernel layout end-to-end (ops/pallas/facepack.py).
+    # 1. prediction.  cfg.pack_faces routes the MAC faces through the
+    # packed kernel layout end-to-end (ops/pallas/facepack.py).
     # Default OFF: measured A/B at 2048^2 (315M packed vs 338M unpacked)
     # shows the packed producers' ANY-memory-space staged output DMAs
     # serialize per strip, costing ~1.4 ms/step — more than the
     # pad/concat launches they remove.
-    import os as _os
-    use_pk = (sfrac is None and dim == 2
-              and bool(_os.environ.get("GERRIS_PACK_FACES")))
+    use_pk = sfrac is None and dim == 2 and cfg.pack_faces
     uf = predicted_face_velocities(U, grid, cfg, dt, t, packed=use_pk)
     if sfrac is not None:
         uf = [jnp.where(sfrac[c] > 0.0, uf[c], 0.0) for c in range(dim)]

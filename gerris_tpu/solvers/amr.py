@@ -293,10 +293,13 @@ def cycle(u, rhs, topo: Topo, leaf, fbc: bcs.FieldBC,
 
 
 def leaf_volume_mean(f: Dict[int, jnp.ndarray], topo: Topo, leaf):
+    # keep the field dtype: bool mask * python float would promote f32
+    # fields to f64 under x64 (and poison the solve carry types)
+    dt = jnp.result_type(*(f[l] for l in topo.levels))
     vol = 0.0
     tot = 0.0
     for l in topo.levels:
-        w = leaf[l] * topo.grid(l).cell_volume
+        w = leaf[l].astype(dt) * jnp.asarray(topo.grid(l).cell_volume, dt)
         vol = vol + jnp.sum(w)
         tot = tot + jnp.sum(f[l] * w)
     return tot / vol
@@ -387,6 +390,8 @@ def solve_block(rhs, topo: Topo, leaf, fbc: bcs.FieldBC,
                     for ax in fbc.sides for b in ax)
     if not dirichlet and dia is None:
         rhs_b = brtm.demean_leaf(rhs_b, btables, brt)
+        mean = leaf_volume_mean(rhs, topo, leaf)
+        rhs = {l: rhs[l] - mean for l in rhs}
     u0_b = None
     if u0 is not None:
         u0_b = {l: brtm.gather_blocks(u0[l], btables[l], B)
@@ -399,4 +404,14 @@ def solve_block(rhs, topo: Topo, leaf, fbc: bcs.FieldBC,
         dense = u0[l] if u0 is not None else jnp.zeros_like(rhs[l])
         u[l] = brtm.scatter_blocks(dense, u_b[l], btables[l], B)
     u = sync(u, topo, leaf, fbc, t=t)
-    return u, jnp.asarray(ncycles), jnp.asarray(0.0)
+    # honest convergence report for the fixed schedule (ADVICE r3): one
+    # leaf-residual evaluation so under-convergence is visible to callers
+    # (amr_ns records it in projection stats) instead of a silent 0.0
+    dia_d = (None if dia is None else
+             (dia if isinstance(dia, dict) else
+              {l: dia for l in topo.levels}))
+    res = leaf_residual(u, rhs, topo, leaf, fbc, dia=dia_d, t=t)
+    rinf = 0.0
+    for l in topo.levels:
+        rinf = jnp.maximum(rinf, jnp.max(jnp.abs(res[l])))
+    return u, jnp.asarray(ncycles), rinf

@@ -63,6 +63,18 @@ class MultilevelParams:
     # launches).  0 = adaptive tolerance loop (the default; the
     # reference's nitermin/nitermax semantics).
     ncycles: int = 0
+    # --- TPU Pallas-path tuning (formerly GERRIS_* env knobs) ---
+    # smoothing depth per fused launch: on the launch-bound remote TPU
+    # deeper in-kernel sweeps are ~free, so the Pallas path raises
+    # nrelax to at least this (and coarsest_relax to 2x)
+    tpu_nrelax: int = 8
+    # grid size at/below which the whole remaining V-cascade collapses
+    # into the single-launch ops/pallas/rbgs.coarse_vcycle kernel
+    coarse_top: int = 512
+    # max unknowns for the dense direct coarse eigensolve (0 disables);
+    # CPU runs cap this at 1024 (trace-time eigh of 4096 unknowns costs
+    # minutes of host time)
+    dense_coarse_max: int = 4096
 
 
 # -----------------------------------------------------------------------------
@@ -411,18 +423,8 @@ def _coeff_hierarchy(grid: Grid, minlevel: int, alpha, dia):
     return alphas, dias
 
 
-# Max unknowns for the direct coarse eigensolve (0 disables).  4096
-# (a 64^2 level) keeps every level below the Pallas smoother's 128-lane
-# floor out of the hierarchy entirely: on the launch-bound remote TPU a
-# single eigenbasis matmul pair replaces dozens of tiny relax kernels.
-DENSE_COARSE_MAX = int(__import__("os").environ.get(
-    "GERRIS_DENSE_COARSE_MAX", "4096"))
-# TPU-path smoothing depth per launch and the single-launch coarse
-# cascade's top level (tuning knobs; see solve() / correction())
-_NRELAX_BOOST = int(__import__("os").environ.get(
-    "GERRIS_NRELAX_BOOST", "8"))
-_COARSE_TOP = int(__import__("os").environ.get(
-    "GERRIS_COARSE_TOP", "512"))
+# Tuning knobs live on MultilevelParams (tpu_nrelax / coarse_top /
+# dense_coarse_max) — checkpoint-visible config fields, not env vars.
 
 
 @functools.lru_cache(maxsize=32)
@@ -468,21 +470,22 @@ def _coarse_eig(grid: Grid, kinds: tuple):
     return w, Q
 
 
-def _dense_max() -> int:
+def _dense_max(params: "MultilevelParams") -> int:
     """Big direct-solve levels only pay off on the launch-bound TPU; the
     trace-time eigh of a 4096-unknown level costs minutes of host CPU,
     so CPU (test) runs keep the small cap."""
     try:
         if jax.default_backend() == "tpu":
-            return DENSE_COARSE_MAX
+            return params.dense_coarse_max
     except Exception:
         pass
-    return min(DENSE_COARSE_MAX, 1024)
+    return min(params.dense_coarse_max, 1024)
 
 
-def _dense_coarse_eligible(g: Grid, alpha, dia) -> bool:
+def _dense_coarse_eligible(g: Grid, alpha, dia,
+                           params: "MultilevelParams") -> bool:
     return (alpha is None and (dia is None or jnp.ndim(dia) == 0)
-            and int(np.prod(g.shape)) <= _dense_max())
+            and int(np.prod(g.shape)) <= _dense_max(params))
 
 
 def correction(r: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
@@ -502,17 +505,17 @@ def correction(r: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
     fused_coarse = (
         alpha is None and (dia is None or jnp.ndim(dia) == 0)
         and grid.dim == 2 and not fbc.is_periodic(0)
-        and grid.shape[0] > _COARSE_TOP
+        and grid.shape[0] > params.coarse_top
         and _pallas_relax_applicable(r, grid, fbc, None, dia, True))
     if fused_coarse:
-        minlevel = _COARSE_TOP.bit_length() - 1
+        minlevel = params.coarse_top.bit_length() - 1
     # with unit face coefficients, stop descending once the dense direct
     # solve takes over (two matvecs replace several latency-bound tiny
     # levels); scalar dia (implicit diffusion) rides the same eigenbasis
     elif alpha is None and (dia is None or jnp.ndim(dia) == 0):
         while minlevel < grid.level:
             g = dataclasses.replace(grid, level=minlevel + 1)
-            if int(np.prod(g.shape)) > _dense_max():
+            if int(np.prod(g.shape)) > _dense_max(params):
                 break
             minlevel += 1
     grids = _level_grids(grid, minlevel)
@@ -536,7 +539,7 @@ def correction(r: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
             coarsest=max(params.coarsest_relax, 40),
             h2=grids[-1].h ** 2, signs=signs,
             per_y=fbc.is_periodic(1), min_n=16)
-    elif _dense_coarse_eligible(grids[-1], alphas[-1], dias[-1]):
+    elif _dense_coarse_eligible(grids[-1], alphas[-1], dias[-1], params):
         kinds = tuple(tuple(b.kind for b in ax) for ax in fbc.sides)
         w, Q = _coarse_eig(grids[-1], kinds)
         rc = rs[-1]
@@ -721,8 +724,9 @@ def solve_fixed_batched(us, rhss, grid: Grid, fbcs,
     assert len(us) == 2
     if _pallas_relax_applicable(us[0], grid, fbcs[0], None, None, True):
         params = dataclasses.replace(
-            params, nrelax=max(params.nrelax, _NRELAX_BOOST),
-            coarsest_relax=max(params.coarsest_relax, 2 * _NRELAX_BOOST))
+            params, nrelax=max(params.nrelax, params.tpu_nrelax),
+            coarsest_relax=max(params.coarsest_relax,
+                               2 * params.tpu_nrelax))
     signs, _ = _signs_offs(grid, fbcs[0], False)
     per_y = fbcs[0].is_periodic(1)
     dt_ = us[0].dtype
@@ -914,9 +918,9 @@ def solve(u: jnp.ndarray, rhs: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
     if params.ncycles > 0 and params.solver == "multigrid":
         if _pallas_relax_applicable(u, grid, fbc, alpha, dia, True):
             params = dataclasses.replace(
-                params, nrelax=max(params.nrelax, _NRELAX_BOOST),
+                params, nrelax=max(params.nrelax, params.tpu_nrelax),
                 coarsest_relax=max(params.coarsest_relax,
-                                   2 * _NRELAX_BOOST))
+                                   2 * params.tpu_nrelax))
         if _fused_cycle_eligible(u, grid, fbc, alpha, dia):
             sub = 0.0 if rhs_sub is None else rhs_sub
             r0 = None
@@ -947,8 +951,9 @@ def solve(u: jnp.ndarray, rhs: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
     # reference sweep counts.
     if _pallas_relax_applicable(u, grid, fbc, alpha, dia, True):
         params = dataclasses.replace(
-            params, nrelax=max(params.nrelax, _NRELAX_BOOST),
-            coarsest_relax=max(params.coarsest_relax, 2 * _NRELAX_BOOST))
+            params, nrelax=max(params.nrelax, params.tpu_nrelax),
+            coarsest_relax=max(params.coarsest_relax,
+                               2 * params.tpu_nrelax))
     r0 = residual_jit(u, rhs, grid, fbc, alpha, dia, t=t)
     res_before = norms(r0)
     scale = jnp.maximum(jnp.max(jnp.abs(rhs)), 1e-300)

@@ -311,6 +311,12 @@ def translate_expr(expr: str, defines: dict = None, variables=()):
                         for pk, pv in reversed(symbolic):
                             v = re.sub(rf"\b{re.escape(pk)}\b",
                                        f"({pv})", v)
+                        # earlier numeric consts must be substituted NOW:
+                        # the final consts pass runs on src before the
+                        # symbolic pass re-introduces their names
+                        for pk, pv in consts.items():
+                            v = re.sub(rf"\b{re.escape(pk)}\b",
+                                       repr(pv), v)
                         symbolic.append((k, v))
         stmts = [s.strip() for s in body.split(";")]
         ret = [s for s in stmts if s.startswith("return")]
