@@ -72,6 +72,34 @@ def sim_field(sim, name):
                                         t=sim.time.t)
         # reference normalisation: cell-size-weighted flux sum / h
         return divergence(uf, grid)
+    # curvature variables K (+Kmax) registered by VariableCurvature
+    # (src/tension.c variable_curvature_from_fraction + diffuse passes)
+    cvars = getattr(sim, "curvature_vars", None) or {}
+    hit = None
+    for kname, (tracer, kmax) in cvars.items():
+        if name == kname:
+            hit = (tracer, False)
+        elif name == kmax:
+            hit = (tracer, True)
+    if hit is not None:
+        from ..physics import vof as vofm
+        from ..core import bc as _b
+        tracer, want_kmax = hit
+        grid = sim.cfg.grid if not hasattr(sim, "fine") \
+            else sim.topo.grid(sim.topo.lmax)
+        fbc = dict(sim.cfg.vof_tracers).get(
+            tracer, _b.default_scalar_bc(grid.dim))
+        T = get(tracer)
+        kap = vofm.curvature(T, grid, fbc, t=sim.time.t)
+        if want_kmax:
+            # kmax: |kappa| diffused with the f(1-f) weighting
+            # (diffuse_kmax, src/tension.c:540-565); in 2D the single
+            # principal curvature makes kmax = |kappa|
+            k = vofm.fill_curvature_weighted(jnp.abs(kap), jnp.asarray(T),
+                                             niter=2)
+            return jnp.where(jnp.isfinite(k), k, 0.0)
+        kap = vofm.fill_curvature(kap, None, niter=2)
+        return jnp.where(jnp.isfinite(kap), kap, 0.0)
     return get(name)
 
 

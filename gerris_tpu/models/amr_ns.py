@@ -86,10 +86,14 @@ def mac_projection_amr(uf, p, topo: Topo, leaf, cov, p_bc, dt,
               for l in topo.levels}
         uf = amr.sync_faces(uf, topo, leaf, cov)
     div = {l: divergence(uf[l], topo.grid(l)) / dt for l in topo.levels}
-    if brt is not None and alpha is None:
-        # leaf-proportional block engine (VERDICT r2 item 2)
+    if brt is not None:
+        # leaf-proportional block engine (VERDICT r2 item 2); two-phase
+        # face coefficients ride the variable-alpha block kernels
+        # (VERDICT r3 item 3, src/poisson.c:604-631 relaxes leaves-only
+        # for ALL systems)
         p, niter, _ = amr.solve_block(div, topo, leaf, p_bc, params,
-                                      brt, btables, u0=p, t=t)
+                                      brt, btables, u0=p, t=t,
+                                      alpha=alpha)
     else:
         p, niter, _ = amr.solve(div, topo, leaf, p_bc, params,
                                 alpha=alpha, u0=p, t=t)
@@ -110,13 +114,14 @@ def mac_projection_amr(uf, p, topo: Topo, leaf, cov, p_bc, dt,
 
 def amr_diffuse(v, fv, topo: Topo, leaf, fbc, dt, D, rho=None,
                 beta: float = 1.0, params=None, t=0.0,
-                brt=None, btables=None):
+                brt=None, btables=None, mu=None):
     """Composite implicit diffusion: rho u - beta dt div(D grad u) =
     rho u_old + extra (reference: gfs_diffusion src/timestep.c:735 via the
     tree multigrid).  ``v``/``fv``: per-level value / advection increment;
-    ``rho``: per-level density arrays or None (=1)."""
+    ``rho``: per-level density arrays or None (=1); ``mu``: optional
+    per-level face-viscosity tuples (variable viscosity — overrides D)."""
     params = params or poisson.MultilevelParams(tolerance=1e-3, nitermax=10)
-    if rho is None:
+    if rho is None and mu is None:
         # scalar system: divide through by beta*dt*D -> unit alpha, scalar
         # dia (keeps the Pallas smoother eligible, solvers/diffusion.py)
         scale = beta * dt * D
@@ -137,17 +142,78 @@ def amr_diffuse(v, fv, topo: Topo, leaf, fbc, dt, D, rho=None,
         u, niter, _ = amr.solve(rhs, topo, leaf, fbc, params, dia=dia,
                                 u0=v, t=t)
         return u
+    if brt is not None and mu is None:
+        # variable-density system divided through by beta*dt*D: unit
+        # face alpha + PER-CELL dia = rho/scale — algebraically the
+        # same Helmholtz system, in the form the leaf-proportional
+        # block engine relaxes (VERDICT r3 item 3)
+        scale = beta * dt * D
+        rhs = {l: -(rho[l] * (v[l] + fv[l])) / scale for l in topo.levels}
+        dia = {l: rho[l] / scale for l in topo.levels}
+        u, niter, _ = amr.solve_block(rhs, topo, leaf, fbc, params,
+                                      brt, btables, dia=dia, u0=v, t=t)
+        return u
     rhs, dia, alpha = {}, {}, {}
     for l in topo.levels:
         grid = topo.grid(l)
-        a = tuple(jnp.full(grid.face_shape(c), beta * dt * D,
-                           dtype=v[l].dtype) for c in range(topo.dim))
+        if mu is not None:
+            a = tuple(beta * dt * mu[l][c] for c in range(topo.dim))
+        else:
+            a = tuple(jnp.full(grid.face_shape(c), beta * dt * D,
+                               dtype=v[l].dtype) for c in range(topo.dim))
         alpha[l] = a
-        dia[l] = rho[l]
-        rhs[l] = -(rho[l] * v[l] + rho[l] * fv[l])
+        rl = rho[l] if rho is not None else 1.0
+        dia[l] = rl
+        rhs[l] = -(rl * (v[l] + fv[l]))
     u, niter, _ = amr.solve(rhs, topo, leaf, fbc, params, alpha=alpha,
                             dia=dia, u0=v, t=t)
     return u
+
+
+def amr_advect_vof(T, uf, topo: Topo, leaf, cov, fbc, dt, cstart: int,
+                   t=0.0):
+    """Geometric VOF advection on the composite mesh: per-level
+    direction-split sweeps with fine-coarse flux matching — at any face
+    bordering a refined region the coarse fraction flux is the
+    volume-weighted restriction of the fine geometric fluxes (the
+    reference's fine/coarse VOF flux branches, src/vof.c:1214-1272), so
+    mass is conserved exactly across level interfaces and the interface
+    may live at ANY level (not pinned to lmax).
+
+    ``T``: {level: fraction}; ``uf``: {level: MAC velocity list}
+    (sync_faces-consistent: a coarse face velocity is the mean of its
+    fine faces, which makes the dilation-field dV bookkeeping telescope
+    across levels without extra correction)."""
+    from ..physics import vof as vofm
+    dim = topo.dim
+    T = dict(T)
+    dV = {l: jnp.ones_like(T[l]) for l in topo.levels}
+    for k in range(dim):
+        c = (cstart + k) % dim
+        T = amr.sync(T, topo, leaf, fbc, t=t, cov=cov)
+        fluxes = {}
+        for l in topo.levels:
+            fluxes[l] = vofm.sweep_flux(T[l], uf[l], topo.grid(l), fbc,
+                                        c, dt, t=t)
+        for l in range(topo.lmax - 1, topo.lmin - 1, -1):
+            flux_l, un_l = fluxes[l]
+            # sum of 2 fine-face volumes / coarse face volume:
+            # (f1+f2) h_f^2 / h_c^2 = 0.5 * mean(f1,f2)
+            rf = 0.5 * amr._face_restrict(fluxes[l + 1][0], c, dim)
+            pad = [(0, 0)] * dim
+            pad[c] = (1, 1)
+            cp = jnp.pad(cov[l], pad)
+            nn = cp.shape[c]
+            lo = [slice(None)] * dim
+            lo[c] = slice(0, nn - 1)
+            hi = [slice(None)] * dim
+            hi[c] = slice(1, nn)
+            covf = cp[tuple(lo)] | cp[tuple(hi)]
+            fluxes[l] = (jnp.where(covf, rf, flux_l), un_l)
+        for l in topo.levels:
+            T[l], dV[l] = vofm.sweep_update(T[l], dV[l], fluxes[l][0],
+                                            fluxes[l][1], c)
+    return amr.sync(T, topo, leaf, fbc, t=t, cov=cov)
 
 
 # ---------------------------------------------------------------------------
@@ -197,6 +263,28 @@ def amr_step(state: dict, leaf: dict, dt, t, cfg: ns.NSConfig, topo: Topo,
             fs[l] = ns.tension_sources(
                 lv, cfg, t, alpha=None if alpha is None else alpha[l],
                 grid=topo.grid(l), off_max=0)
+    # variable viscosity: per-level face-averaged mu + the explicit
+    # transpose-stress accelerations (src/source.c:1412-1438)
+    mu_l = None
+    tsrc = None
+    if cfg.nu_var is not None:
+        mu_l, tsrc = {}, {}
+        for l in topo.levels:
+            grid_l = topo.grid(l)
+            lv = {}
+            for nm, parent, _np in cfg.nu_var_fields:
+                src_name = parent if parent is not None else nm
+                if src_name in st:
+                    lv[src_name] = st[src_name][l]
+            mu_c = ns.viscosity_field(lv, cfg, t, grid=grid_l)
+            mu_pad = bcs.apply_bc(mu_c, grid_l,
+                                  bcs.default_scalar_bc(dim), 1, t=t)
+            mu_l[l] = tuple(face_average(mu_pad, grid_l, a)
+                            for a in range(dim))
+            rhol = None if rho is None else rho[l]
+            tsrc[l] = ns.viscous_transpose_sources(
+                [st[n][l] for n in names], mu_c, grid_l, cfg,
+                None if rhol is None else 1.0 / rhol, t)
 
     # 1. predicted face velocities (BCG) per level
     uf = {l: ns.predicted_face_velocities([st[n][l] for n in names],
@@ -237,13 +325,15 @@ def amr_step(state: dict, leaf: dict, dt, t, cfg: ns.NSConfig, topo: Topo,
             f = adv.flux_divergence(v_faces, uf[l], grid, dt)
             if g_prev is not None:
                 f = f - dt * g_prev[c][l]
+            if tsrc is not None:
+                f = f + dt * tsrc[l][c]
             fv[l] = f
-        if cfg.nu > 0.0:
+        if cfg.nu > 0.0 or mu_l is not None:
             U_c = amr_diffuse({l: st[names[c]][l] for l in topo.levels},
                               fv, topo, leaf, cfg.u_bcs[c], dt, cfg.nu,
                               rho=rho, beta=cfg.beta,
                               params=cfg.diffusion_params, t=t,
-                              brt=brt, btables=btables)
+                              brt=brt, btables=btables, mu=mu_l)
         else:
             U_c = {l: st[names[c]][l] + fv[l] for l in topo.levels}
         if gc:
@@ -278,14 +368,9 @@ def amr_step(state: dict, leaf: dict, dt, t, cfg: ns.NSConfig, topo: Topo,
                                      cfg, dt, t)
         new[tr[0]] = amr.sync(Tl, topo, leaf, tr[1], t=t, cov=cov)
     if cfg.vof_tracers:
-        from ..physics import vof as vofm
         for name, fbc in cfg.vof_tracers:
-            Tf = vofm.advect(st[name][topo.lmax], uf2[topo.lmax],
-                             topo.grid(topo.lmax), fbc, dt, cstart=cstart,
-                             t=t)
-            stack = dict(st[name])
-            stack[topo.lmax] = Tf
-            new[name] = amr.sync(stack, topo, leaf, fbc, t=t, cov=cov)
+            new[name] = amr_advect_vof(st[name], uf2, topo, leaf, cov,
+                                       fbc, dt, cstart, t=t)
     return new
 
 
@@ -502,6 +587,70 @@ def interface_vorticity_criterion(sim: "AMRSimulation", vof_name="T"):
     return c0, jnp.abs(w)
 
 
+def streamline_curvature_cost(sim: "AMRSimulation"):
+    """|(u.grad)u| / |u|^2, normalized by the cell size — the cost of
+    GfsAdaptStreamlineCurvature (src/adaptive.c:390-412 over
+    gfs_streamline_curvature, src/fluid.c:2785-2811).  Returned as a c0
+    (dimensionless) channel at the finest level."""
+    topo = sim.topo
+    grid = topo.grid(topo.lmax)
+    names = ns.velocity_names(topo.dim)
+    t = sim.time.t
+    U = [sim.fine(n) for n in names]
+    pads = [bcs.apply_bc(U[j], grid, sim.cfg.u_bcs[j], 1, t=t,
+                         corners=False) for j in range(topo.dim)]
+    u2 = sum(u * u for u in U)
+    ugu2 = 0.0
+    from ..ops.stencils import center_gradient
+    for i in range(topo.dim):
+        gi = sum(U[j] * center_gradient(pads[i], grid, j)
+                 for j in range(topo.dim))
+        ugu2 = ugu2 + gi * gi
+    # gradients are per length; *h normalizes the curvature by cell size
+    # exactly like gfs_center_gradient's h-scaled convention
+    return jnp.where(u2 > 0.0,
+                     jnp.sqrt(ugu2) * grid.h / jnp.maximum(u2, 1e-300),
+                     0.0)
+
+
+def thickness_cost(sim: "AMRSimulation", vof_name="T"):
+    """1 / interface-sheet thickness (in cells) — the cost of
+    GfsAdaptThickness (src/adaptive.c:665-790: thickness = |hb + ht|
+    from the height functions; default cmax = 1/3 refines filaments
+    thinner than 3 cells).  On dense arrays the equivalent of hb+ht is
+    the fluid column sum where the (2R+1)-column is empty at BOTH ends
+    (a sheet fully crossed by the column); columns hitting fluid at an
+    end see a simple interface -> thickness large -> cost ~ 0."""
+    from ..physics import vof as vofm
+    topo = sim.topo
+    grid = topo.grid(topo.lmax)
+    fbc = dict(sim.cfg.vof_tracers)[vof_name]
+    T = sim.fine(vof_name)
+    t = sim.time.t
+    R = 3
+    P = R + 1
+    f_pad = bcs.apply_bc(T, grid, fbc, P, t=t)
+    H = vofm.height_fields(T, grid, fbc, t=t, R=R)
+    n0, n1 = grid.shape
+    big = jnp.asarray(1e30, T.dtype)
+
+    def ends_empty(axis):
+        if axis == 0:
+            lo = f_pad[0:n0, P:P + n1]
+            hi = f_pad[2 * P:2 * P + n0, P:P + n1]
+        else:
+            lo = f_pad[P:P + n0, 0:n1]
+            hi = f_pad[P:P + n0, 2 * P:2 * P + n1]
+        return (lo < 1e-6) & (hi < 1e-6)
+
+    thick = big
+    for axis in (0, 1):
+        ta = jnp.where(ends_empty(axis), H[axis], big)
+        thick = jnp.minimum(thick, ta)
+    interfacial = (T > 1e-6) & (T < 1.0 - 1e-6)
+    return jnp.where(interfacial, 1.0 / jnp.maximum(thick, 1e-3), 0.0)
+
+
 class AMRSimulation:
     """Host-side driver for the adaptive composite NS solver.
 
@@ -533,16 +682,17 @@ class AMRSimulation:
                                  adapt.maxlevel, np.int32)
         self.adapt = adapt
         self.leaf = self._masks_from_depth(self.depth)
-        # leaf-proportional block solves (solvers/blockrt.py) when the
-        # projections/diffusion are unit-alpha scalar systems on a 2D
-        # single box with constant BC values (VERDICT r2 item 2);
-        # anything else stays on the dense mask engine
+        # leaf-proportional block solves (solvers/blockrt.py) on 2D
+        # single boxes with constant BC values (VERDICT r2 item 2);
+        # round 4 extended the block kernels to per-face alpha and
+        # per-cell dia, so two-phase density rides them too (VERDICT r3
+        # item 3).  Solids stay on the dense mask engine.
         self._brt = None
         self._btables = None
         self._use_blocks = (
             cfg.grid.dim == 2
             and getattr(cfg.grid, "extents", (1, 1)) in (None, (1, 1))
-            and cfg.density is None and cfg.solid_phi is None
+            and cfg.solid_phi is None
             and not any(callable(b.value)
                         for ax in cfg.p_bc.sides for b in ax)
             # solve_block also runs the velocity diffusion solves:

@@ -71,6 +71,10 @@ class NSConfig:
     vof_tracers: tuple = ()           # (name, FieldBC) pairs
     # surface tension (GfsSourceTension, src/tension.c): (vof_name, sigma)
     tension: tuple = ()
+    # CSS tension variant (GfsSourceTensionCSS, src/tension.c:181-305):
+    # (vof_name, sigma) — centred capillary-stress-divergence
+    # accelerations instead of well-balanced face sources
+    tension_css: tuple = ()
     # two-way particle coupling: read reaction-force fields PFx/PFy(/PFz)
     # from the state (GfsSourceParticulate, modules/particulatecommon.c:2089)
     particle_coupling: bool = False
@@ -92,6 +96,12 @@ class NSConfig:
     # sources (divergence_mac_hook_order_1 moving.c:1053,
     # divergence_approx_hook moving.c:1027).
     moving_solid: bool = False
+    # moving-solid scheme order (AdvectionParams { moving_order = 2 },
+    # src/advection.h:60 + src/moving2.c): order 2 uses time-centred
+    # face fractions for the advection fluxes (face_fraction_half,
+    # moving2.c:563-570) and fills freshly-uncovered cells by fluid
+    # neighbour extrapolation instead of the solid surface velocity.
+    moving_order: int = 1
     # axisymmetric metric (GfsAxi, src/simulation.c + src/metric.c): y is
     # the radial coordinate; cell/face metric factors r enter the same
     # face-coefficient machinery as solid fractions (domain metric hooks,
@@ -108,6 +118,17 @@ class NSConfig:
     # (ops/pallas/facepack.py); measured slower at 2048^2, kept as an
     # A/B seam (formerly the GERRIS_PACK_FACES env knob)
     pack_faces: bool = False
+    # variable dynamic viscosity (GfsSourceViscosity with a GfsFunction,
+    # src/source.c source_viscosity_read; e.g. MU(T1) in
+    # test/capwave/air-water): callable (x, y[, z], t=..., **fields) ->
+    # per-cell viscosity.  The implicit solve uses face-averaged mu; the
+    # transpose-stress remainder sum_j (d_c u_j)(d_j mu) / rho is added
+    # explicitly (source_viscosity_non_diffusion_value,
+    # src/source.c:1412-1438).  nu_var_fields: (name, parent, npass)
+    # triples naming the state fields the function reads (parent+npass
+    # materialize VariableFiltered derived fields).
+    nu_var: object = None
+    nu_var_fields: tuple = ()
 
     def __post_init__(self):
         if self.p_bc is None:
@@ -159,7 +180,8 @@ def predicted_face_velocities(U: list, grid: Grid, cfg: NSConfig, dt, t,
 
 def velocity_advection_diffusion(U: list, uf: list, gmac: list, g_prev,
                                  grid: Grid, cfg: NSConfig, dt, t,
-                                 sources=None, rho=None, solid=None):
+                                 sources=None, rho=None, solid=None,
+                                 mu=None):
     """Reference: src/timestep.c:976-1017 + variable_sources:872-921.
 
     With gc=TRUE (the reference default), the previous approximate
@@ -175,11 +197,20 @@ def velocity_advection_diffusion(U: list, uf: list, gmac: list, g_prev,
 
     # batched U+V fast path: both components' BCG kernels + ONE batched
     # implicit-diffusion launch chain (fixed-cycle schedules only)
+    # per-axis face viscosity for the variable-viscosity implicit solve
+    # (gfs_diffusion_coefficients face evaluation, src/poisson.c:1280)
+    Dfaces = None
+    if mu is not None:
+        from ..ops.stencils import face_average as _favg
+        mu_pad = bcs.apply_bc(mu, grid, bcs.default_scalar_bc(dim), 1,
+                              t=t)
+        Dfaces = tuple(_favg(mu_pad, grid, a) for a in range(dim))
+
     # beta must be exactly 1 (fully implicit): diffuse_pair's rhs
     # -dia*(v+fv) omits the Crank-Nicolson explicit term
     # (1-beta)*dt*lap(u_old) that diffuse() adds when beta < 1
     if (solid is None and dim == 2 and rho is None and cfg.nu > 0.0
-            and cfg.beta == 1.0
+            and cfg.beta == 1.0 and mu is None
             and cfg.diffusion_params is not None
             and cfg.diffusion_params.ncycles > 0
             and bcg.applicable(U[0], grid, cfg.advection)):
@@ -248,10 +279,12 @@ def velocity_advection_diffusion(U: list, uf: list, gmac: list, g_prev,
                 bf = cfg.body_force[c]
                 fv = fv + dt * (bf(*grid.centers, t=t) if callable(bf)
                                 else bf)
-            if cfg.nu > 0.0:
+            if cfg.nu > 0.0 or Dfaces is not None:
                 rr = 1.0 if rho is None else rho
                 v_new, _ = diff.diffuse(U[c], grid, cfg.u_bcs[c], dt,
-                                        cfg.nu, rho=rr, beta=cfg.beta,
+                                        Dfaces if Dfaces is not None
+                                        else cfg.nu,
+                                        rho=rr, beta=cfg.beta,
                                         params=cfg.diffusion_params,
                                         extra_rhs=(rr * fv
                                                    if rho is not None
@@ -281,10 +314,13 @@ def velocity_advection_diffusion(U: list, uf: list, gmac: list, g_prev,
             # divides by the (clamped) fluid volume weight
             # (the reference merges cells with a < 0.5 instead,
             # src/advection.c:784 gfs_advection_update)
-            a_s, s_s, ds_s, a_cl = solid
+            a_s, s_s, ds_s, a_cl = solid[:4]
+            # moving_order=2: time-centred face fractions for the
+            # advection fluxes (face_fraction_half, moving2.c:563-570)
+            s_adv = solid[4] if len(solid) > 4 else s_s
             fv = adv.flux_divergence(
-                [s_s[ax] * v_faces[ax] for ax in range(dim)],
-                [s_s[ax] * uf[ax] for ax in range(dim)], grid, dt)
+                [s_adv[ax] * v_faces[ax] for ax in range(dim)],
+                [s_adv[ax] * uf[ax] for ax in range(dim)], grid, dt)
             fv = jnp.where(a_s > 0.0, fv / a_cl, 0.0)
         if g_prev is not None:
             fv = fv - dt * g_prev[c]
@@ -293,10 +329,10 @@ def velocity_advection_diffusion(U: list, uf: list, gmac: list, g_prev,
         if cfg.body_force is not None and cfg.body_force[c] is not None:
             bf = cfg.body_force[c]
             fv = fv + dt * (bf(*grid.centers, t=t) if callable(bf) else bf)
-        if cfg.nu > 0.0:
+        if cfg.nu > 0.0 or Dfaces is not None:
             rr = 1.0 if rho is None else rho
             if solid is not None:
-                a_s, s_s, ds_s, a_cl = solid
+                a_s, s_s, ds_s, a_cl = solid[:4]
                 us_c = 0.0 if cfg.surface_u is None else cfg.surface_u[c]
                 extra_dia = None
                 if cfg.axi and c == 1:
@@ -310,7 +346,9 @@ def velocity_advection_diffusion(U: list, uf: list, gmac: list, g_prev,
                     rr * a_s * fv, t, extra_dia=extra_dia)
             else:
                 v_new, _ = diff.diffuse(U[c], grid, cfg.u_bcs[c], dt,
-                                        cfg.nu, rho=rr, beta=cfg.beta,
+                                        Dfaces if Dfaces is not None
+                                        else cfg.nu,
+                                        rho=rr, beta=cfg.beta,
                                         params=cfg.diffusion_params,
                                         extra_rhs=(rr * fv
                                                    if rho is not None
@@ -401,6 +439,51 @@ def density_fields(state: dict, cfg: NSConfig, t, grid: Grid = None):
         Tf = jnp.clip(face_average(T1p, grid, ax), 0.0, 1.0)
         alpha.append(1.0 / (rho2 + Tf * (rho1 - rho2)))
     return rho_c, tuple(alpha)
+
+
+def viscosity_field(state: dict, cfg: NSConfig, t, grid: Grid = None):
+    """Per-cell dynamic viscosity from cfg.nu_var (GfsSourceViscosity
+    with a GfsFunction, src/source.c source_viscosity_read).  Derived
+    (VariableFiltered) fields named in nu_var_fields are materialized
+    from their parent tracer."""
+    if cfg.nu_var is None:
+        return None
+    grid = grid or cfg.grid
+    vof_bc = dict((v[0], v[1]) for v in cfg.vof_tracers)
+    tr_bc = dict((tr[0], tr[1]) for tr in cfg.tracers)
+    fields = {}
+    for name, parent, npass in cfg.nu_var_fields:
+        if parent is None or name in state:
+            fields[name] = state[name]
+        else:
+            fbc = vof_bc.get(parent) or tr_bc.get(parent) \
+                or bcs.default_scalar_bc(grid.dim)
+            fields[name] = filtered(state[parent], grid, fbc, npass, t=t)
+    return jnp.asarray(cfg.nu_var(*grid.centers, t=t, **fields))
+
+
+def viscous_transpose_sources(U, mu, grid: Grid, cfg: NSConfig,
+                              alpha_cell, t):
+    """Explicit remainder of the variable-viscosity stress divergence:
+    src_c = (1/rho) sum_j (d_c u_j)(d_j mu) — the div(mu grad(u)^T) part
+    the implicit div(mu grad u_c) solve does not see
+    (source_viscosity_non_diffusion_value, src/source.c:1412-1438;
+    exactly their centered-gradient product form)."""
+    from ..ops.stencils import center_gradient
+    dim = grid.dim
+    mu_pad = bcs.apply_bc(mu, grid, bcs.default_scalar_bc(dim), 1, t=t)
+    dmu = [center_gradient(mu_pad, grid, j) for j in range(dim)]
+    u_pads = [bcs.apply_bc(U[j], grid, cfg.u_bcs[j], 1, t=t,
+                           corners=False) for j in range(dim)]
+    srcs = []
+    for c in range(dim):
+        s = 0.0
+        for j in range(dim):
+            s = s + center_gradient(u_pads[j], grid, c) * dmu[j]
+        if alpha_cell is not None:
+            s = s * alpha_cell
+        srcs.append(s)
+    return srcs
 
 
 def tension_sources(state: dict, cfg: NSConfig, t, alpha=None,
@@ -522,7 +605,7 @@ def _moving_solid_ctx(cfg: NSConfig, U: list, dt, t, solid_args=None):
     grid = cfg.grid
     dim = grid.dim
     extra = tuple(solid_args) if solid_args is not None else ()
-    a_old, _ = solid_fractions(
+    a_old, s_old = solid_fractions(
         grid, lambda x, y: cfg.solid_phi(x, y, t, *extra))
     ds = DirichletSurface(
         grid, lambda x, y: cfg.solid_phi(x, y, t + dt, *extra))
@@ -536,17 +619,65 @@ def _moving_solid_ctx(cfg: NSConfig, U: list, dt, t, solid_args=None):
     else:
         us = [_eval_surface_u(cfg.surface_u[c] if cfg.surface_u else 0.0,
                               x, y, t + dt) for c in range(dim)]
-    U = [jnp.where((a > 0.0) & (a_old > 0.0), U[c],
-                   jnp.broadcast_to(jnp.asarray(us[c], U[c].dtype),
-                                    U[c].shape))
-         for c in range(dim)]
-    mac_div = _redistribute_small(2.0 * (a - a_old) / (dt * dt), a, s)
+    if cfg.moving_order >= 2:
+        # second-order scheme (moving2.c): freshly-uncovered cells get
+        # the average of their old-fluid neighbours (the merged-cell
+        # interpolation analogue, moving2.c:488-560) — the solid
+        # surface velocity is only the fallback where no fluid
+        # neighbour exists; solid interior keeps us
+        valid = (a > 0.0) & (a_old > 0.0)
+        Uf = []
+        for c in range(dim):
+            u_c = U[c]
+            vmask = valid
+            for _ in range(2):
+                up = jnp.pad(jnp.where(vmask, u_c, 0.0), 1)
+                vp = jnp.pad(vmask.astype(u_c.dtype), 1)
+                ssum = (up[:-2, 1:-1] + up[2:, 1:-1]
+                        + up[1:-1, :-2] + up[1:-1, 2:])
+                cnt = (vp[:-2, 1:-1] + vp[2:, 1:-1]
+                       + vp[1:-1, :-2] + vp[1:-1, 2:])
+                fill = jnp.where(cnt > 0.0,
+                                 ssum / jnp.maximum(cnt, 1.0),
+                                 jnp.asarray(us[c], u_c.dtype))
+                fresh = (a > 0.0) & ~vmask
+                u_c = jnp.where(fresh, fill, u_c)
+                vmask = vmask | (fresh & (cnt > 0.0))
+            u_c = jnp.where(a > 0.0, u_c,
+                            jnp.broadcast_to(
+                                jnp.asarray(us[c], u_c.dtype), u_c.shape))
+            Uf.append(u_c)
+        U = Uf
+        # time-centred face fractions for the advection fluxes
+        # (face_fraction_half, moving2.c:563-570)
+        s_half = tuple(0.5 * (s_old[c] + s[c]) for c in range(dim))
+    else:
+        U = [jnp.where((a > 0.0) & (a_old > 0.0), U[c],
+                       jnp.broadcast_to(jnp.asarray(us[c], U[c].dtype),
+                                        U[c].shape))
+             for c in range(dim)]
+        s_half = None
+    if s_half is not None:
+        # order 2: the MAC projection runs on the time-centred face
+        # fractions with the OLD cell fraction (swap_face_fractions
+        # around gfs_mac_projection, moving2.c:744-751 + moving.c:1095);
+        # in our div-source convention the compatible source for the
+        # half fractions is the same centred swept-volume rate
+        # (div(s_half u_s) ~ (a_new - a_old)/dt), redistributed with the
+        # OLD fractions (moving_divergence_distribution_second_order,
+        # moving2.c:780)
+        mac_div = _redistribute_small(2.0 * (a - a_old) / (dt * dt),
+                                      a_old, s_half)
+    else:
+        mac_div = _redistribute_small(2.0 * (a - a_old) / (dt * dt), a, s)
     h = grid.h
     approx_div = -(us[0] * (s[0][1:, :] - s[0][:-1, :]) +
                    us[1] * (s[1][:, 1:] - s[1][:, :-1])) / (h * dt)
     approx_div = _redistribute_small(jnp.where(a > 0.0, approx_div, 0.0),
                                      a, s)
-    return (a, s, ds, a_cl), U, mac_div, approx_div
+    solid = (a, s, ds, a_cl) if s_half is None else \
+        (a, s, ds, a_cl, s_half, a_old)
+    return solid, U, mac_div, approx_div
 
 
 @functools.lru_cache(maxsize=32)
@@ -617,6 +748,23 @@ def ns_step(state: dict, dt, t, cfg: NSConfig, cstart: int = 0,
     g_prev = [state[n] for n in gradient_names(dim)] if gc else None
     rho_c, alpha = density_fields(state, cfg, t)
     fs = tension_sources(state, cfg, t, alpha=alpha)
+    if cfg.tension_css:
+        from ..physics import tension as tens
+        for name, sigma in cfg.tension_css:
+            fbc_t = dict((v[0], v[1]) for v in cfg.vof_tracers)[name]
+            css = tens.css_tension_sources(
+                state[name], sigma, grid, fbc_t,
+                alpha_cell=None if rho_c is None else 1.0 / rho_c, t=t)
+            sources = css if sources is None else \
+                [css[c] + sources[c] for c in range(dim)]
+    mu = viscosity_field(state, cfg, t)
+    if mu is not None:
+        assert cfg.solid_phi is None and not cfg.moving_solid, \
+            "variable viscosity + embedded solids not composed"
+        tsrc = viscous_transpose_sources(
+            U, mu, grid, cfg, None if rho_c is None else 1.0 / rho_c, t)
+        sources = tsrc if sources is None else \
+            [tsrc[c] + sources[c] for c in range(dim)]
     solid = None
     sfrac = None
     mac_div_src = approx_div_src = None
@@ -637,16 +785,24 @@ def ns_step(state: dict, dt, t, cfg: NSConfig, cstart: int = 0,
     # pad/concat launches they remove.
     use_pk = sfrac is None and dim == 2 and cfg.pack_faces
     uf = predicted_face_velocities(U, grid, cfg, dt, t, packed=use_pk)
-    if sfrac is not None:
-        uf = [jnp.where(sfrac[c] > 0.0, uf[c], 0.0) for c in range(dim)]
+    # moving_order=2: the MAC projection runs on the time-centred face
+    # fractions + OLD cell fraction (swap_face_fractions, moving2.c)
+    mac_sfrac = sfrac
+    mac_vfrac = None if solid is None else solid[0]
+    if solid is not None and len(solid) > 4:
+        mac_sfrac = solid[4]
+        mac_vfrac = solid[5]
+    if mac_sfrac is not None:
+        uf = [jnp.where(mac_sfrac[c] > 0.0, uf[c], 0.0)
+              for c in range(dim)]
 
     # 2. MAC projection at dt/2 on Pmac (reference swaps P<->Pmac around it,
     #    src/simulation.c:498-504)
     uf, pmac, gmac, _ = proj.mac_projection(
         uf, state["Pmac"], grid, cfg.p_bc, dt / 2.0, cfg.projection,
         alpha=alpha, div_source=mac_div_src, face_sources=fs,
-        face_frac=sfrac,
-        vol_frac=None if solid is None else solid[0], t=t)
+        face_frac=mac_sfrac,
+        vol_frac=mac_vfrac, t=t)
 
     # 3. centred advection + diffusion (momentum rhs includes -dt*g_prev);
     # at i==0 the gc gradient role is played by this step's gmac
@@ -659,7 +815,7 @@ def ns_step(state: dict, dt, t, cfg: NSConfig, cstart: int = 0,
             [ps[c] + sources[c] for c in range(dim)]
     U = velocity_advection_diffusion(U, uf, gmac, g_prev, grid, cfg, dt, t,
                                      sources=sources, rho=rho_c,
-                                     solid=solid)
+                                     solid=solid, mu=mu)
     # 4. approximate projection at dt.  The gc gradient re-add
     # (gfs_correct_centered_velocities with -dt, src/simulation.c:520)
     # folds into the face-interpolation launch; the post-solve centred

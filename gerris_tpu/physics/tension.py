@@ -81,3 +81,48 @@ def stability_dt(grid: Grid, sigma: float, rho1: float = 1.0,
         return math.inf
     rho = 0.5 * (rho1 + rho2)
     return math.sqrt(rho * grid.h ** 3 / (math.pi * sigma))
+
+def _youngs_gradient(a_pad: jnp.ndarray):
+    """2D Youngs (3x3, 1-2-1 weighted) gradient of a 1-ghost-padded
+    field, h-scaled per-cell units (gfs_youngs_gradient, src/fluid.c)."""
+    gx = ((a_pad[2:, :-2] + 2.0 * a_pad[2:, 1:-1] + a_pad[2:, 2:])
+          - (a_pad[:-2, :-2] + 2.0 * a_pad[:-2, 1:-1] + a_pad[:-2, 2:])
+          ) / 8.0
+    gy = ((a_pad[:-2, 2:] + 2.0 * a_pad[1:-1, 2:] + a_pad[2:, 2:])
+          - (a_pad[:-2, :-2] + 2.0 * a_pad[1:-1, :-2] + a_pad[2:, :-2])
+          ) / 8.0
+    return gx, gy
+
+
+def css_tension_sources(T: jnp.ndarray, sigma, grid: Grid,
+                        fbc: bcs.FieldBC, alpha_cell=None, t=0.0):
+    """Continuum-Surface-Stress surface tension (GfsSourceTensionCSS,
+    src/tension.c:181-305, 2D only): the capillary stress tensor
+    sigma (|n| I - n n/|n|) is assembled from Youngs gradients and its
+    divergence returned as per-component CELL accelerations —
+      g0 = (sigma/h) nx^2/|n|, g1 = (sigma/h) ny^2/|n|,
+      g2 = (sigma/h) nx ny/|n|,
+      t_x = alpha (dx g1 - dy g2)/h,  t_y = alpha (dy g0 - dx g2)/h
+    (foreach_cell_normal / foreach_cell_tension_css).  Unlike the
+    well-balanced CSF default, CSS needs no curvature estimate; it is
+    the reference's alternative for comparison studies."""
+    assert grid.dim == 2, "CSS tension is 2D only (reference parity)"
+    h = grid.h
+    Tp = bcs.apply_bc(T, grid, fbc, 1, t=t)
+    nx, ny = _youngs_gradient(Tp)
+    nn = jnp.sqrt(nx * nx + ny * ny + 1e-50)
+    sigh = sigma / h
+    g0 = sigh * nx * nx / nn
+    g1 = sigh * ny * ny / nn
+    g2 = sigh * nx * ny / nn
+    gbc = bcs.default_scalar_bc(2)
+    g0p = bcs.apply_bc(g0, grid, gbc, 1, t=t)
+    g1p = bcs.apply_bc(g1, grid, gbc, 1, t=t)
+    g2p = bcs.apply_bc(g2, grid, gbc, 1, t=t)
+    g1x, g1y = _youngs_gradient(g1p)
+    g0x, g0y = _youngs_gradient(g0p)
+    g2x, g2y = _youngs_gradient(g2p)
+    a = 1.0 if alpha_cell is None else alpha_cell
+    tx = a * (g1x - g2y) / h
+    ty = a * (g0y - g2x) / h
+    return [tx, ty]

@@ -512,72 +512,82 @@ def advect(f: jnp.ndarray, u_face: list, grid: Grid, fbc: bcs.FieldBC,
         return out
     for k in range(dim):
         c = (cstart + k) % dim
-        f_pad = bcs.apply_bc(f, grid, fbc, 1, t=t)
-        pad2 = bcs.apply_bc(f, grid, fbc, 2, t=t)
-        un = u_face[c] * dt / grid.h
-        if dim == 3:
-            m_pads = mycs_normals_3d(pad2)
-            flux = _face_flux_3d(f_pad, m_pads, un, c)
-            nfc3 = flux.shape[c]
-            hi3 = [slice(None)] * dim
-            hi3[c] = slice(1, nfc3)
-            lo3 = [slice(None)] * dim
-            lo3[c] = slice(0, nfc3 - 1)
-            fv = -(flux[tuple(hi3)] - flux[tuple(lo3)])
-            volflux = -(un[tuple(hi3)] - un[tuple(lo3)])
-            if cq is not None:
-                cq = _conc_sweep(cq, f, dV, flux, volflux, un, c, hi3, lo3)
-            f = f * dV + fv
-            dV = dV + volflux
-            f = f / jnp.maximum(dV, EPS)
-            f = jnp.where(f < FULL_TOL, 0.0,
-                          jnp.where(f > 1.0 - FULL_TOL, 1.0, f))
-            continue
-        mx, my = mycs_normals(pad2)     # on the +1 ring layout
-        # mx,my have ring shape (n+2); f_pad too
-        # transverse velocity-gradient increment for the band refinement
-        # (reference: grad_u src/vof.c:1595 + dun interpolation :1491)
-        o = 1 - c if dim == 2 else None
-        uf = u_face[c]
-        nfc = uf.shape[c]
-        s_lo = [slice(None)] * dim
-        s_lo[c] = slice(0, nfc - 1)
-        s_hi = [slice(None)] * dim
-        s_hi[c] = slice(1, nfc)
-        ucm = 0.5 * (uf[tuple(s_lo)] + uf[tuple(s_hi)])   # cell means
-        ue = jnp.pad(ucm, [(1, 1)] * dim, mode="edge")
-        sl = [slice(1, s - 1) for s in ue.shape]
-        slo = list(sl)
-        slo[o] = slice(0, ue.shape[o] - 2)
-        shi = list(sl)
-        shi[o] = slice(2, ue.shape[o])
-        du_cell = (ue[tuple(shi)] - ue[tuple(slo)]) / (2.0 * grid.h)
-        dup = jnp.pad(du_cell, [(1, 1) if a == c else (0, 0)
-                                for a in range(dim)], mode="edge")
-        nf2 = dup.shape[c]
-        f_lo = [slice(None)] * dim
-        f_lo[c] = slice(0, nf2 - 1)
-        f_hi = [slice(None)] * dim
-        f_hi[c] = slice(1, nf2)
-        dun = 0.5 * (dup[tuple(f_lo)] + dup[tuple(f_hi)]) * dt
-        flux = _face_flux_1d(f_pad, mx, my, un, c, dun=dun if dim == 2 else None)
+        flux, un = sweep_flux(f, u_face, grid, fbc, c, dt, t=t)
         n = flux.shape[c]
         hi = [slice(None)] * dim
         hi[c] = slice(1, n)
         lo = [slice(None)] * dim
         lo[c] = slice(0, n - 1)
-        fv = -(flux[tuple(hi)] - flux[tuple(lo)])
         volflux = -(un[tuple(hi)] - un[tuple(lo)])
         if cq is not None:
             cq = _conc_sweep(cq, f, dV, flux, volflux, un, c, hi, lo)
-        f = f * dV + fv
-        dV = dV + volflux
-        f = f / jnp.maximum(dV, EPS)
-        f = jnp.where(f < FULL_TOL, 0.0, jnp.where(f > 1.0 - FULL_TOL, 1.0, f))
+        f, dV = sweep_update(f, dV, flux, un, c)
     if cq is not None:
         return f, [jnp.where(f > EPS, q / jnp.maximum(f, EPS), 0.0)
                    for q in cq]
     return f
+
+
+def sweep_flux(f: jnp.ndarray, u_face: list, grid: Grid, fbc: bcs.FieldBC,
+               c: int, dt, t=0.0):
+    """Geometric fraction flux (fraction * CFL per face) + face CFL for
+    ONE direction-split sweep along ``c`` — factored out of ``advect``
+    so the composite-AMR advection can restrict fine fluxes onto coarse
+    faces (gfs_vof_flux fine/coarse branches, src/vof.c:1214-1272)."""
+    dim = grid.dim
+    f_pad = bcs.apply_bc(f, grid, fbc, 1, t=t)
+    pad2 = bcs.apply_bc(f, grid, fbc, 2, t=t)
+    un = u_face[c] * dt / grid.h
+    if dim == 3:
+        m_pads = mycs_normals_3d(pad2)
+        return _face_flux_3d(f_pad, m_pads, un, c), un
+    mx, my = mycs_normals(pad2)     # on the +1 ring layout
+    # transverse velocity-gradient increment for the band refinement
+    # (reference: grad_u src/vof.c:1595 + dun interpolation :1491)
+    o = 1 - c
+    uf = u_face[c]
+    nfc = uf.shape[c]
+    s_lo = [slice(None)] * dim
+    s_lo[c] = slice(0, nfc - 1)
+    s_hi = [slice(None)] * dim
+    s_hi[c] = slice(1, nfc)
+    ucm = 0.5 * (uf[tuple(s_lo)] + uf[tuple(s_hi)])   # cell means
+    ue = jnp.pad(ucm, [(1, 1)] * dim, mode="edge")
+    sl = [slice(1, s - 1) for s in ue.shape]
+    slo = list(sl)
+    slo[o] = slice(0, ue.shape[o] - 2)
+    shi = list(sl)
+    shi[o] = slice(2, ue.shape[o])
+    du_cell = (ue[tuple(shi)] - ue[tuple(slo)]) / (2.0 * grid.h)
+    dup = jnp.pad(du_cell, [(1, 1) if a == c else (0, 0)
+                            for a in range(dim)], mode="edge")
+    nf2 = dup.shape[c]
+    f_lo = [slice(None)] * dim
+    f_lo[c] = slice(0, nf2 - 1)
+    f_hi = [slice(None)] * dim
+    f_hi[c] = slice(1, nf2)
+    dun = 0.5 * (dup[tuple(f_lo)] + dup[tuple(f_hi)]) * dt
+    return _face_flux_1d(f_pad, mx, my, un, c, dun=dun), un
+
+
+def sweep_update(f: jnp.ndarray, dV, flux, un, c: int):
+    """Apply one sweep's flux divergence with the dilation-field
+    bookkeeping (f_times_dV/f_over_dV, src/vof.c:1577-1640).
+    Returns (f, dV)."""
+    dim = f.ndim
+    n = flux.shape[c]
+    hi = [slice(None)] * dim
+    hi[c] = slice(1, n)
+    lo = [slice(None)] * dim
+    lo[c] = slice(0, n - 1)
+    fv = -(flux[tuple(hi)] - flux[tuple(lo)])
+    volflux = -(un[tuple(hi)] - un[tuple(lo)])
+    f = f * dV + fv
+    dV = dV + volflux
+    f = f / jnp.maximum(dV, EPS)
+    f = jnp.where(f < FULL_TOL, 0.0,
+                  jnp.where(f > 1.0 - FULL_TOL, 1.0, f))
+    return f, dV
 
 
 # ---------------------------------------------------------------------------
@@ -854,6 +864,35 @@ def parabola_curvature(f: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
     return jnp.where(ok, kap, jnp.nan)
 
 
+def fill_curvature_weighted(kap: jnp.ndarray, T: jnp.ndarray,
+                            niter: int = 2, fmin: float = 0.01):
+    """f(1-f)-weighted curvature extension — the reference's kmax
+    diffusion (diffuse_kmax, src/tension.c:540-565): cells where the
+    fraction is well inside the interface band (f(1-f) > fmin(1-fmin))
+    keep their value; other cells take the f(1-f)-weighted average of
+    such neighbours.  nD."""
+    dim = kap.ndim
+    thr = fmin * (1.0 - fmin)
+    for _ in range(niter):
+        w_core = jnp.where(jnp.isfinite(kap) & (T * (1.0 - T) > thr),
+                           T * (1.0 - T), 0.0)
+        k0 = jnp.where(w_core > 0.0, kap, 0.0)
+        pad_k = jnp.pad(k0 * w_core, 1)
+        pad_w = jnp.pad(w_core, 1)
+        s = 0.0
+        w = 0.0
+        for ax in range(dim):
+            for off in (0, 2):
+                idx = [slice(1, -1)] * dim
+                idx[ax] = slice(off, pad_k.shape[ax] - 2 + off)
+                s = s + pad_k[tuple(idx)]
+                w = w + pad_w[tuple(idx)]
+        avg = s / jnp.maximum(w, 1e-30)
+        keep = w_core > 0.0
+        kap = jnp.where(keep, kap, jnp.where(w > 0.0, avg, kap))
+    return kap
+
+
 def fill_curvature(kap: jnp.ndarray, interface_band: jnp.ndarray,
                    niter: int = 4):
     """Propagate defined curvature to neighbouring cells by averaging
@@ -882,7 +921,7 @@ def fill_curvature(kap: jnp.ndarray, interface_band: jnp.ndarray,
 # Fraction initialization from an implicit function
 # ---------------------------------------------------------------------------
 
-def fraction_from_levelset(grid: Grid, phi):
+def fraction_from_levelset(grid: Grid, phi, refine: int = 0):
     """Volume fraction of {phi > 0} by per-cell linearization of the level
     set sampled at cell vertices — exact for linear phi, O(h^2 kappa)
     smooth error for curved interfaces.
@@ -893,8 +932,23 @@ def fraction_from_levelset(grid: Grid, phi):
     reference's fraction-from-levelset helpers) and, unlike pointwise
     subsampling, produces smooth fractions usable for height-function
     curvature.
+
+    ``refine``: evaluate ``refine`` levels finer and average-pool back —
+    the dense analogue of the reference's ``RefineSurface N`` high-res
+    initial fractions (test/spurious/spurious.gfs:7).
     """
     import numpy as np
+
+    if refine > 0:
+        import dataclasses
+        gf = dataclasses.replace(grid, level=grid.level + refine)
+        f = fraction_from_levelset(gf, phi)
+        r = 1 << refine
+        sh = []
+        for ax in range(grid.dim):
+            sh += [f.shape[ax] // r, r]
+        return f.reshape(sh).mean(
+            axis=tuple(2 * a + 1 for a in range(grid.dim)))
 
     if grid.dim == 3:
         ax = np.asarray(grid.axis_faces(0))

@@ -368,22 +368,38 @@ def flatten(u, topo: Topo, leaf, fbc: bcs.FieldBC, t: float = 0.0):
 
 def solve_block(rhs, topo: Topo, leaf, fbc: bcs.FieldBC,
                 params: poisson.MultilevelParams, brt, btables,
-                dia=None, u0=None, t: float = 0.0):
+                dia=None, u0=None, t: float = 0.0, alpha=None):
     """Leaf-proportional composite solve through the runtime-table block
     engine (solvers/blockrt.py) with the same in/out conventions as
     ``solve``: dense per-level arrays, slaves synced on return.  The
     relax/residual work per cycle is O(active blocks) — the reference's
     leaf-only tree relax (src/poisson.c:604-631) — while ``solve``
-    touches every level's full domain.  Scalar dia, unit alpha, 2D
-    single box.  Returns (u, ncycles, 0.0)."""
+    touches every level's full domain.  2D single box; ``alpha``:
+    optional {level: (ax, ay)} dense face coefficients (two-phase
+    density); ``dia``: None, scalar, or {level: scalar|dense array}
+    (variable-density diffusion).  Returns (u, ncycles, rinf)."""
     from . import blockrt as brtm
 
     params = params or poisson.MultilevelParams()
     B = brt.B
-    d = dia
-    if isinstance(d, dict):
-        d = d[topo.lmax]
-    d = 0.0 if d is None else d
+    # dia: normalize to scalar or per-level block arrays
+    d = 0.0
+    dia_dense0 = None
+    if dia is not None:
+        if isinstance(dia, dict):
+            if jnp.ndim(dia[topo.lmax]) == 0:
+                d = dia[topo.lmax]
+            else:
+                d = {l: brtm.gather_blocks(dia[l], btables[l], B)
+                     for l in topo.levels}
+                dia_dense0 = dia[topo.lmin]
+        else:
+            d = dia
+    alphab = alpha_dense0 = None
+    if alpha is not None:
+        alphab = {l: brtm.gather_face_blocks(alpha[l], btables[l], B)
+                  for l in topo.levels}
+        alpha_dense0 = alpha[topo.lmin]
     rhs_b = {l: brtm.gather_blocks(rhs[l], btables[l], B)
              for l in topo.levels}
     dirichlet = any(b.kind == bcs.DIRICHLET
@@ -398,20 +414,26 @@ def solve_block(rhs, topo: Topo, leaf, fbc: bcs.FieldBC,
                 for l in topo.levels}
     ncycles = params.ncycles if params.ncycles > 0 else 3
     u_b = brtm.solve(rhs_b, btables, brt, fbc, params, dia=d, u0=u0_b,
-                     ncycles=ncycles)
+                     ncycles=ncycles, alphab=alphab,
+                     alpha_dense0=alpha_dense0, dia_dense0=dia_dense0)
     u = {}
     for l in topo.levels:
         dense = u0[l] if u0 is not None else jnp.zeros_like(rhs[l])
         u[l] = brtm.scatter_blocks(dense, u_b[l], btables[l], B)
     u = sync(u, topo, leaf, fbc, t=t)
     # honest convergence report for the fixed schedule (ADVICE r3): one
-    # leaf-residual evaluation so under-convergence is visible to callers
-    # (amr_ns records it in projection stats) instead of a silent 0.0
-    dia_d = (None if dia is None else
-             (dia if isinstance(dia, dict) else
-              {l: dia for l in topo.levels}))
-    res = leaf_residual(u, rhs, topo, leaf, fbc, dia=dia_d, t=t)
+    # leaf-residual evaluation so under-convergence is visible to
+    # callers instead of a silent 0.0.  Evaluated with the BLOCK
+    # engine's own operator: its fine-coarse interface stencil
+    # (parent-interpolated ghosts + pair-mean reflux) is a consistent
+    # discretization but NOT identical to the dense engine's, so the
+    # dense residual of a fully-converged block solution is O(1) at
+    # interface cells — meaningless as a convergence measure.
+    fbck = brtm._bc_kinds(fbc)
+    res_b = brtm.leaf_residual(
+        u_b, rhs_b, btables, brt.base, fbck, d, brt.lmin, brt.lmax, B,
+        brt.caps_dict, alphab=alphab)
     rinf = 0.0
     for l in topo.levels:
-        rinf = jnp.maximum(rinf, jnp.max(jnp.abs(res[l])))
+        rinf = jnp.maximum(rinf, jnp.max(jnp.abs(res_b[l])))
     return u, jnp.asarray(ncycles), rinf

@@ -267,10 +267,32 @@ def _halo(u, up, idx, B: int, bvals=None, homogeneous=True, h=None):
     return pad
 
 
-def _lap(pad, h):
+def _lap(pad, h, fxy=None):
     c = pad[:, 1:-1, 1:-1]
-    return (pad[:, :-2, 1:-1] + pad[:, 2:, 1:-1] + pad[:, 1:-1, :-2]
-            + pad[:, 1:-1, 2:] - 4.0 * c) / (h * h)
+    if fxy is None:
+        return (pad[:, :-2, 1:-1] + pad[:, 2:, 1:-1] + pad[:, 1:-1, :-2]
+                + pad[:, 1:-1, 2:] - 4.0 * c) / (h * h)
+    nsum, den = _nsum_den(pad, fxy)
+    return (nsum - den * c) / (h * h)
+
+
+def _nsum_den(pad, fxy):
+    """(sum_d alpha_d u_d, sum_d alpha_d) of the 5-point stencil on
+    ghost-padded blocks; ``fxy = (fx [n,B+1,B], fy [n,B,B+1])`` face
+    coefficients (the variable-coefficient two-phase systems,
+    src/poisson.c:756-901 gfs_poisson_coefficients), or None for unit
+    coefficients."""
+    if fxy is None:
+        nsum = (pad[:, :-2, 1:-1] + pad[:, 2:, 1:-1]
+                + pad[:, 1:-1, :-2] + pad[:, 1:-1, 2:])
+        return nsum, 4.0
+    fx, fy = fxy
+    nsum = (fx[:, :-1, :] * pad[:, :-2, 1:-1]
+            + fx[:, 1:, :] * pad[:, 2:, 1:-1]
+            + fy[:, :, :-1] * pad[:, 1:-1, :-2]
+            + fy[:, :, 1:] * pad[:, 1:-1, 2:])
+    den = fx[:, :-1, :] + fx[:, 1:, :] + fy[:, :, :-1] + fy[:, :, 1:]
+    return nsum, den
 
 
 def _restrict_children(u_f, ch):
@@ -321,7 +343,7 @@ def _prolong_parent(du_c, idxf, B):
     return out
 
 
-def _reflux_to_parent(u_pad, idx, B, n_coarse, h_f):
+def _reflux_to_parent(u_pad, idx, B, n_coarse, h_f, af4=None):
     """Flux-conservative corrections from this (fine) level into the
     parent level's leaf cells: replace the coarse interface-face gradient
     by the mean of the fine one-sided gradients (src/fluid.c:905,
@@ -330,6 +352,10 @@ def _reflux_to_parent(u_pad, idx, B, n_coarse, h_f):
     For every direction the correction to the coarse lap reduces to
     -(pairmean((ghost - own_edge)/h) - (c_nbr - own_restricted)/H)/H
     (orientation and hi/lo-face signs cancel; zero for linear fields).
+    ``af4``: optional [n,4,B] fine-boundary-face coefficients — fluxes
+    are alpha-weighted, with the coarse face coefficient taken as the
+    fine-pair mean (= coarsen_face_coeff's value at that face, keeping
+    the correction consistent with the dense engine).
     Returns a [n_coarse,B,B] array to ADD to the coarse lap at leaves."""
     H = 2.0 * h_f
     corr = jnp.zeros((n_coarse, B, B), u_pad.dtype)
@@ -341,7 +367,6 @@ def _reflux_to_parent(u_pad, idx, B, n_coarse, h_f):
         ghost = _edge(u_pad, k)[:, 1:-1]
         own = _edge(interior, k, 0)
         gf = (ghost - own) / h_f
-        gpair = 0.5 * (gf[:, 0::2] + gf[:, 1::2])       # [n, B/2]
         own_e1 = _edge(interior, k, 1)
         own_r = 0.25 * (own[:, 0::2] + own[:, 1::2]
                         + own_e1[:, 0::2] + own_e1[:, 1::2])  # 2x2 restrict
@@ -349,7 +374,15 @@ def _reflux_to_parent(u_pad, idx, B, n_coarse, h_f):
         parity = idx["parity"][:, tax]
         halfsel = parity[:, None] * (B // 2) + jnp.arange(B // 2)[None]
         cnb = idx["_pn_edge"][:, k]                     # [n, B/2]
-        gc = (cnb - own_r) / H
+        if af4 is None:
+            gpair = 0.5 * (gf[:, 0::2] + gf[:, 1::2])   # [n, B/2]
+            gc = (cnb - own_r) / H
+        else:
+            af = af4[:, k]                              # [n, B]
+            gfw = af * gf
+            gpair = 0.5 * (gfw[:, 0::2] + gfw[:, 1::2])
+            ac = 0.5 * (af[:, 0::2] + af[:, 1::2])
+            gc = ac * (cnb - own_r) / H
         delta = jnp.where(valid[:, None], gpair - gc, 0.0)
         opp = (1, 0, 3, 2)[k]
         cells = halfsel                                 # transverse idx

@@ -12,10 +12,13 @@ granularity, and the answer to VERDICT r2 item 2: the relax/residual
 work per cycle is O(active blocks) = O(leaves), the reference's
 defining AMR cost property (leaf-only tree relax, src/poisson.c:604-631).
 
-Scope: 2D single-box meshes, unit face coefficients, scalar ``dia``
-(the uniform-density composite projections and the scalar implicit
-diffusion systems of models/amr_ns.py); constant Dirichlet/Neumann box
-BCs.  Everything else stays on the dense mask engine (solvers/amr.py).
+Scope: 2D single-box meshes with constant Dirichlet/Neumann box BCs.
+Coefficients: unit OR per-face ``alpha`` blocks (two-phase density
+projections, gfs_poisson_coefficients src/poisson.c:756-901) and scalar
+OR per-cell ``dia`` blocks (variable-density implicit diffusion) — the
+reference relaxes leaves-only for ALL these systems
+(src/poisson.c:604-631); so does this engine.  Everything else stays on
+the dense mask engine (solvers/amr.py).
 """
 from __future__ import annotations
 
@@ -29,9 +32,9 @@ import numpy as np
 from ..core.grid import Grid
 from ..core import bc as bcs
 from . import poisson
-from .blockmg import (BlockMesh, _halo, _lap, _restrict_children,
-                      _prolong_parent, _reflux_to_parent, _pn_edge_cache,
-                      _edge)
+from .blockmg import (BlockMesh, _halo, _lap, _nsum_den,
+                      _restrict_children, _prolong_parent,
+                      _reflux_to_parent, _pn_edge_cache, _edge)
 
 
 def bucket(n: int) -> int:
@@ -93,13 +96,42 @@ def gather_blocks(dense: jnp.ndarray, t: dict, B: int) -> jnp.ndarray:
 
 def scatter_blocks(dense: jnp.ndarray, u: jnp.ndarray, t: dict,
                    B: int) -> jnp.ndarray:
-    """Write active blocks back into the dense level array (pad blocks
-    masked; their bx/by alias block 0 so they must not win)."""
-    ii = t["bx"][:, None, None] * B + jnp.arange(B)[None, :, None]
-    jj = t["by"][:, None, None] * B + jnp.arange(B)[None, None, :]
+    """Write active blocks back into the dense level array.
+
+    Pad rows alias block (0,0) (their bx/by are clamped to 0), and XLA
+    scatter with duplicate indices has no deterministic winner — a pad
+    row writing the old value could overwrite the real block-0 update
+    (it DID, whenever the domain-corner block was an active leaf).  Pad
+    rows are therefore routed out of bounds and dropped."""
+    n = dense.shape[0]
     act = t["active"][:, None, None]
-    cur = dense[ii, jj]
-    return dense.at[ii, jj].set(jnp.where(act, u, cur))
+    ii = jnp.where(act, t["bx"][:, None, None] * B
+                   + jnp.arange(B)[None, :, None], n)
+    jj = t["by"][:, None, None] * B + jnp.arange(B)[None, None, :]
+    return dense.at[ii, jj].set(jnp.where(act, u, 0.0), mode="drop")
+
+
+def gather_face_blocks(alpha_l, t: dict, B: int):
+    """Dense per-axis face-coefficient arrays ((N+1,N), (N,N+1)) ->
+    block face arrays (fx [cap,B+1,B], fy [cap,B,B+1]).  A block's B+1
+    face strips cover every face it touches, so the 5-point stencil
+    needs no face halo."""
+    ax, ay = alpha_l
+    ii = t["bx"][:, None, None] * B + jnp.arange(B + 1)[None, :, None]
+    jj = t["by"][:, None, None] * B + jnp.arange(B)[None, None, :]
+    fx = ax[ii, jj]
+    ii2 = t["bx"][:, None, None] * B + jnp.arange(B)[None, :, None]
+    jj2 = t["by"][:, None, None] * B + jnp.arange(B + 1)[None, None, :]
+    fy = ay[ii2, jj2]
+    return fx, fy
+
+
+def _edge_alpha(fxy, B: int):
+    """[n,4,B] boundary-face coefficients of each block (directions
+    -x,+x,-y,+y) for the alpha-weighted reflux."""
+    fx, fy = fxy
+    return jnp.stack([fx[:, 0, :], fx[:, B, :],
+                      fy[:, :, 0], fy[:, :, B]], axis=1)
 
 
 def _bc_kinds(fbc: bcs.FieldBC):
@@ -126,21 +158,20 @@ def _bvals_rt(t: dict, isdir, dval, homogeneous: bool, cap: int, B: int):
     return (isd, None, dv)
 
 
-def _relax_blocks(du, r, t, up, bv0, B, h, dia, nswp):
+def _relax_blocks(du, r, t, up, bv0, B, h, dia, nswp, fxy=None):
     """nswp red-black sweeps on [cap,B,B] blocks (homogeneous BCs).
     B is even, so the global cell parity is (i+j) % 2 independent of the
-    block coordinates."""
+    block coordinates.  ``dia``: scalar or [cap,B,B]; ``fxy``: optional
+    per-face coefficient blocks."""
     i = jnp.arange(B)[:, None] + jnp.arange(B)[None, :]
-    denom = 4.0 + dia * h * h
     for _ in range(nswp):
         for color in (0, 1):
             idx = dict(t)
             if up is not None:
                 idx["_pn_edge"] = _pn_edge_cache(up, t, B)
             pad = _halo(du, up, idx, B, bvals=bv0, homogeneous=True)
-            nsum = (pad[:, :-2, 1:-1] + pad[:, 2:, 1:-1]
-                    + pad[:, 1:-1, :-2] + pad[:, 1:-1, 2:])
-            new = (nsum - h * h * r) / denom
+            nsum, den = _nsum_den(pad, fxy)
+            new = (nsum - h * h * r) / (den + dia * h * h)
             red = jnp.asarray((i % 2) == color)[None]
             du = jnp.where(red, new, du)
     return du
@@ -158,9 +189,11 @@ def sync_up(u, tables, lmin, lmax):
 
 
 def leaf_residual(u, rhs, tables, base: Grid, fbck, dia, lmin, lmax, B,
-                  caps):
+                  caps, alphab=None):
     """Leaf-masked composite residual with flux-conservative reflux at
-    fine-coarse faces (src/poisson.c:634-747 + src/fluid.c:905)."""
+    fine-coarse faces (src/poisson.c:634-747 + src/fluid.c:905).
+    ``dia``: scalar or {level: [cap,B,B]}; ``alphab``: optional
+    {level: (fx, fy)} face-coefficient blocks."""
     isdir, dval = fbck
     u = sync_up(dict(u), tables, lmin, lmax)
     res = {}
@@ -174,25 +207,32 @@ def leaf_residual(u, rhs, tables, base: Grid, fbck, dia, lmin, lmax, B,
             idx["_pn_edge"] = _pn_edge_cache(up, t, B)
         bv = _bvals_rt(t, isdir, dval, False, caps[l], B)
         pad = _halo(u[l], up, idx, B, bvals=bv, homogeneous=False)
-        r = rhs[l] - _lap(pad, h) + dia * u[l]
+        fxy = None if alphab is None else alphab[l]
+        dl = dia[l] if isinstance(dia, dict) else dia
+        r = rhs[l] - _lap(pad, h, fxy) + dl * u[l]
         if l in reflux:
             r = r - reflux[l]
         if up is not None:
-            reflux[l - 1] = _reflux_to_parent(pad, idx, B,
-                                              caps[l - 1], h)
+            reflux[l - 1] = _reflux_to_parent(
+                pad, idx, B, caps[l - 1], h,
+                af4=None if fxy is None else _edge_alpha(fxy, B))
         res[l] = jnp.where((t["leaf"] & t["active"])[:, None, None],
                            r, 0.0)
     return res
 
 
 def cycle(u, rhs, tables, base: Grid, fbc: bcs.FieldBC,
-          params: poisson.MultilevelParams, dia, lmin, lmax, B, caps):
+          params: poisson.MultilevelParams, dia, lmin, lmax, B, caps,
+          alphab=None, alpha_dense0=None, dia_dense0=None):
     """One composite sawtooth cycle — pure jittable function of the
-    runtime tables (adaptation changes table VALUES only)."""
+    runtime tables (adaptation changes table VALUES only).
+    ``alphab``/``dia`` may carry per-level face/cell coefficient blocks;
+    ``alpha_dense0``/``dia_dense0``: the base level's DENSE coefficient
+    arrays for the uniform coarse solve."""
     fbck = _bc_kinds(fbc)
     u = sync_up(dict(u), tables, lmin, lmax)
     res = leaf_residual(u, rhs, tables, base, fbck, dia, lmin, lmax, B,
-                        caps)
+                        caps, alphab=alphab)
     # residual stack: restrict into covered blocks
     r = {}
     acc = None
@@ -214,10 +254,18 @@ def cycle(u, rhs, tables, base: Grid, fbc: bcs.FieldBC,
     ii = t0["bx"][:, None, None] * B + jnp.arange(B)[None, :, None]
     jj = t0["by"][:, None, None] * B + jnp.arange(B)[None, None, :]
     dense_r = dense_r.at[ii, jj].set(r[lmin])
-    du0 = poisson.correction(dense_r, g0, fbc, params, dia=dia)
-    rl0 = poisson.residual(du0, dense_r, g0, fbc, dia=dia,
-                           homogeneous=True)
-    du0 = du0 + poisson.correction(rl0, g0, fbc, params, dia=dia)
+    if dia_dense0 is None:
+        assert not isinstance(dia, dict), \
+            "per-cell dia blocks need dia_dense0 (dense base-level array)"
+        dia0 = dia
+    else:
+        dia0 = dia_dense0
+    du0 = poisson.correction(dense_r, g0, fbc, params, alpha=alpha_dense0,
+                             dia=dia0)
+    rl0 = poisson.residual(du0, dense_r, g0, fbc, alpha=alpha_dense0,
+                           dia=dia0, homogeneous=True)
+    du0 = du0 + poisson.correction(rl0, g0, fbc, params,
+                                   alpha=alpha_dense0, dia=dia0)
     dus = {lmin: du0[ii, jj]}
     # upward: prolong + relax per level (homogeneous)
     isdir, dval = fbck
@@ -227,7 +275,10 @@ def cycle(u, rhs, tables, base: Grid, fbc: bcs.FieldBC,
         du = _prolong_parent(dus[l - 1], t, B)
         bv0 = _bvals_rt(t, isdir, dval, True, caps[l], B)
         nswp = params.nrelax * (params.erelax ** (lmax - l))
-        du = _relax_blocks(du, r[l], t, dus[l - 1], bv0, B, h, dia, nswp)
+        du = _relax_blocks(du, r[l], t, dus[l - 1], bv0, B, h,
+                           dia[l] if isinstance(dia, dict) else dia,
+                           nswp,
+                           fxy=None if alphab is None else alphab[l])
         dus[l] = du
     out = {}
     for l in range(lmin, lmax + 1):
@@ -286,15 +337,20 @@ def demean_leaf(rhs_blocks, tables, rt: "BlockRT"):
 
 def solve(rhs_blocks, tables, rt: BlockRT, fbc: bcs.FieldBC,
           params: poisson.MultilevelParams, dia=0.0, u0=None,
-          ncycles: int = None):
+          ncycles: int = None, alphab=None, alpha_dense0=None,
+          dia_dense0=None):
     """Fixed-cycle composite solve on block arrays (jittable).
-    rhs/u0: {level: [cap, B, B]}."""
+    rhs/u0: {level: [cap, B, B]}; ``dia``: scalar or {level: blocks}
+    (with ``dia_dense0`` the dense base-level array); ``alphab``:
+    {level: (fx, fy)} face-coefficient blocks (with ``alpha_dense0``
+    the dense base-level face arrays)."""
     n = ncycles if ncycles is not None else max(params.nitermin, 2)
     u = u0 if u0 is not None else {
         l: jnp.zeros_like(rhs_blocks[l]) for l in rhs_blocks}
     for _ in range(n):
         u = cycle(u, rhs_blocks, tables, rt.base, fbc, params, dia,
-                  rt.lmin, rt.lmax, rt.B, rt.caps_dict)
+                  rt.lmin, rt.lmax, rt.B, rt.caps_dict, alphab=alphab,
+                  alpha_dense0=alpha_dense0, dia_dense0=dia_dense0)
     return u
 
 

@@ -387,6 +387,11 @@ class ParsedSim:
     refine_expr: Optional[object] = None               # spatial Refine fn
     time: dict = field(default_factory=dict)
     nu: float = 0.0
+    nu_expr: Optional[object] = None     # SourceViscosity GfsFunction
+    refine_surface: int = 0              # RefineSurface N (init fractions)
+    curvature_vars: list = field(default_factory=list)  # (K, tracer, Kmax)
+    tension_css: list = field(default_factory=list)     # (tracer, sigma)
+    solver_backend: Optional[str] = None  # GModule hypre/lis/agmg -> mgcg
     tension: list = field(default_factory=list)       # (tracer, sigma)
     vof_tracers: list = field(default_factory=list)   # names
     tracers: list = field(default_factory=list)
@@ -406,6 +411,7 @@ class ParsedSim:
     source_electric: bool = False
     conductivity: Optional[tuple] = None               # (var, expr, potential)
     n_boxes: int = 1
+    unknown_directives: list = field(default_factory=list)
     box_stack: tuple = (1, 1)
     errors: list = field(default_factory=list)         # build diagnostics
     # the fork's module classes (modules/particulatecommon.c,
@@ -518,8 +524,111 @@ def _expand_func_macros(text: str, macros: dict) -> str:
     return text
 
 
-def parse_gfs(text: str, defines: dict = None) -> ParsedSim:
-    """Parse a .gfs file subset into a ParsedSim description."""
+def _reduce_c_body(body: str) -> str:
+    """Reduce a simple C function body (sequential declarations + one
+    return) to a single C expression by textual back-substitution —
+    the same sequential-decl semantics translate_expr applies to
+    GfsFunction blocks."""
+    decls = []
+    ret = None
+    for s in (p.strip() for p in body.split(";")):
+        if s.startswith("return"):
+            ret = s[len("return"):].strip()
+            break
+        m = re.match(r"(?:static\s+)?(?:const\s+)?(?:double|float|int)\s+(.+)",
+                     s, re.DOTALL)
+        if m:
+            for piece in _split_top(m.group(1), (",",)):
+                if "=" in piece:
+                    k, v = piece.split("=", 1)
+                    decls.append((k.strip(), v.strip()))
+    if ret is None:
+        raise ValueError(f"unsupported Global function body (no return): "
+                         f"{body[:120]!r}")
+    for k, v in reversed(decls):
+        ret = re.sub(rf"\b{re.escape(k)}\b", f"({v})", ret)
+    return f"({ret})"
+
+
+def _parse_global_body(body: str, defines: dict, func_macros: dict):
+    """Digest one GfsGlobal C block (reference: src/utils.c:382-398 —
+    the block is prepended to every compiled GfsFunction).  Supported:
+    #define constants and function-like macros, global const
+    declarations, and single-return function definitions — all become
+    textual substitutions visible to every GfsFunction, exactly the
+    visibility the reference's C compilation gives them."""
+    for m in re.finditer(r"#\s*define\s+(\w+)(\([^)]*\))?[ \t]+(.+)", body):
+        name, params, val = m.groups()
+        if params:
+            func_macros[name] = (
+                [p.strip() for p in params.strip("()").split(",")],
+                val.strip())
+        else:
+            defines[name] = val.strip()
+    body = re.sub(r"#\s*define.*", "", body)
+    # function definitions: [static] double f(double x, ...) { ... }
+    fpat = re.compile(
+        r"(?:static\s+)?(?:double|float|int)\s+(\w+)\s*\(([^)]*)\)\s*\{")
+    spans = []
+    pos = 0
+    while True:
+        m = fpat.search(body, pos)
+        if m is None:
+            break
+        depth = 0
+        k = m.end() - 1
+        for k in range(m.end() - 1, len(body)):
+            if body[k] == "{":
+                depth += 1
+            elif body[k] == "}":
+                depth -= 1
+                if depth == 0:
+                    break
+        params = [p.split()[-1].lstrip("*")
+                  for p in m.group(2).split(",") if p.strip()]
+        func_macros[m.group(1)] = (
+            params, _reduce_c_body(body[m.end():k]))
+        spans.append((m.start(), k + 1))
+        pos = k + 1
+    for s, e in reversed(spans):
+        body = body[:s] + body[e:]
+    # remaining global declarations: [static] double a = <expr>;
+    for m in re.finditer(
+            r"(?:static\s+)?(?:const\s+)?(?:double|float|int)\s+"
+            r"(\w+)\s*=\s*([^;]+);", body):
+        v = m.group(2).strip()
+        defines[m.group(1)] = v if _isnum(v) else f"({v})"
+
+
+def _extract_globals(text: str, defines: dict, func_macros: dict) -> str:
+    """Pull every ``[Gfs]Global { ... }`` block out of the raw text (before
+    tokenization — the contents are C, not .gfs directives)."""
+    pat = re.compile(r"(?:^|\s)(?:Gfs)?Global\s*\{")
+    while True:
+        m = pat.search(text)
+        if m is None:
+            return text
+        start = text.index("{", m.start())
+        depth = 0
+        k = start
+        for k in range(start, len(text)):
+            if text[k] == "{":
+                depth += 1
+            elif text[k] == "}":
+                depth -= 1
+                if depth == 0:
+                    break
+        _parse_global_body(text[start + 1:k], defines, func_macros)
+        text = text[:m.start()] + text[k + 1:]
+
+
+def parse_gfs(text: str, defines: dict = None,
+              strict: bool = False) -> ParsedSim:
+    """Parse a .gfs file subset into a ParsedSim description.
+
+    ``strict``: unknown directives raise instead of warning (the
+    verbatim test suites run strict so silently-ignored physics cannot
+    pass a gate)."""
     defines = dict(defines or {})
     func_macros = {}
     # Define macros (the reference pipes through m4, src/gerris.c:245-259)
@@ -534,8 +643,13 @@ def parse_gfs(text: str, defines: dict = None) -> ParsedSim:
             defines[name] = body.strip()
     text = re.sub(r"^\s*Define.*$", "", text, flags=re.MULTILINE)
     # GModule lines load compiled plugins in the reference (src/gerris.c);
-    # here every module is built in, so the directive is dropped.
+    # here every module is built in.  The external-solver modules select
+    # the AMG-class backend (modules/hypre.c replacing poisson_solve).
+    mods = set(re.findall(r"^\s*GModule\s+(\w+)\s*$", text, re.MULTILINE))
+    solver_backend = "mgcg" if mods & {"hypre", "lis", "agmg"} else None
     text = re.sub(r"^\s*GModule\s+\w+\s*$", "", text, flags=re.MULTILINE)
+    # GfsGlobal C blocks feed the GfsFunction namespace (src/utils.c:382)
+    text = _extract_globals(text, defines, func_macros)
     # -DNAME=VALUE textual substitution
     for k, v in defines.items():
         if re.match(r"^\w+$", str(k)):
@@ -544,6 +658,7 @@ def parse_gfs(text: str, defines: dict = None) -> ParsedSim:
         text = _expand_func_macros(text, func_macros)
     toks = tokenize(text)
     sim = ParsedSim()
+    sim.solver_backend = solver_backend
 
     # header: NB NE Class GfsBox GfsGEdge {}
     i = 0
@@ -558,7 +673,7 @@ def parse_gfs(text: str, defines: dict = None) -> ParsedSim:
                      float(gkv.get("z", 0.0)))
     body, i = _read_block(toks, i)
 
-    _parse_sim_body(sim, body, defines)
+    _parse_sim_body(sim, body, defines, strict=strict)
 
     # GfsElectroHydro carries a second read block with the electric
     # parameters (modules/electrohydro.c:93-210 gfs_electro_hydro_read):
@@ -608,7 +723,7 @@ def parse_gfs(text: str, defines: dict = None) -> ParsedSim:
     return sim
 
 
-def _parse_sim_body(sim: ParsedSim, toks, defines):
+def _parse_sim_body(sim: ParsedSim, toks, defines, strict: bool = False):
     i = 0
     n = len(toks)
     while i < n:
@@ -631,6 +746,22 @@ def _parse_sim_body(sim: ParsedSim, toks, defines):
                 m = re.findall(r"\d+", expr)
                 sim.level = max(int(x) for x in m) if m else sim.level
                 sim.refine_expr = translate_expr(expr, defines)
+        elif t == "RefineSurface":
+            # RefineSurface LEVEL|{return N;} SURFACE-EXPR: high-res
+            # initial fractions near the surface (src/refine.c); dense
+            # arrays supersample InitFraction globally instead
+            i += 1
+            if toks[i] == "{":
+                blk, i = _read_block(toks, i)
+                nums = [int(float(re.sub(r"[^0-9.]", "", x)))
+                        for x in blk if re.search(r"\d", x)]
+                lvl = nums[0] if nums else sim.level
+            else:
+                lvl = int(float(toks[i]))
+                i += 1
+            if i < n and not _is_directive(toks[i]) and toks[i] not in "{}":
+                i += 1          # the surface expression token
+            sim.refine_surface = max(sim.refine_surface, lvl)
         elif t in ("ProjectionParams", "ApproxProjectionParams"):
             blk, i = _read_block(toks, i + 1)
             d = {k: float(v) for k, v in _kv_block(blk).items()}
@@ -650,11 +781,22 @@ def _parse_sim_body(sim: ParsedSim, toks, defines):
             if toks[i + 1] == "{":
                 _, i = _read_block(toks, i + 1)
                 i -= 1
-            if _isnum(toks[i + 1]) or "/" in toks[i + 1]:
+            if t == "SourceViscosity" or _isnum(toks[i + 1]) \
+                    or "/" in toks[i + 1]:
                 # GfsSourceViscosity reads just the viscosity
-                # (src/source.c gfs_source_viscosity_read)
-                sim.nu = float(eval(toks[i + 1], {"__builtins__": {}},
-                                    {}))
+                # (src/source.c gfs_source_viscosity_read): a constant
+                # expression (possibly using math functions, e.g.
+                # sqrt(0.8/LAPLACE) in test/spurious) stays a float;
+                # anything referencing cell fields becomes a
+                # field-dependent GfsFunction (MU(T1) in
+                # test/capwave/air-water)
+                fn = translate_expr(toks[i + 1], defines)
+                free = set(re.findall(r"\b([A-Za-z_]\w*)\b", fn.source))
+                free -= set(_FUNS) | {"where", "return"}
+                if free:
+                    sim.nu_expr = fn
+                else:
+                    sim.nu = float(fn.np(0.0, 0.0))
                 i += 2
             else:
                 var = toks[i + 1]
@@ -692,16 +834,40 @@ def _parse_sim_body(sim: ParsedSim, toks, defines):
             # VariableFiltered T1 T 1 (src/variable.c GfsVariableFiltered)
             sim.filtered[toks[i + 1]] = (toks[i + 2], int(toks[i + 3]))
             i += 4
-        elif t in ("VariableCurvature", "VariablePosition"):
-            # implicit here: curvature is evaluated by the tension source;
+        elif t == "VariableCurvature":
+            # VariableCurvature K T [Kmax]: the curvature itself is
+            # evaluated by the tension source; the names are recorded so
+            # outputs/adapt criteria can read K (and the f(1-f)-diffused
+            # maximum-curvature variable Kmax, src/tension.c:427-482)
+            kname, tracer = toks[i + 1], toks[i + 2]
+            i += 3
+            kmax = None
+            if i < n and toks[i] not in "{}" \
+                    and _is_directive(toks[i]) \
+                    and not re.match(
+                        r"^(Gfs)?(Output|Source|Variable|Init|Adapt|"
+                        r"Event|Refine|Time|Physical|Projection|Approx|"
+                        r"Advection|Solid|Surface|Metric|Global|Define|"
+                        r"GModule|Particle|Force)", toks[i]):
+                kmax = toks[i]
+                i += 1
+            sim.curvature_vars.append((kname, tracer, kmax))
+        elif t == "VariablePosition":
             # Position is an output-only helper
-            i += 3 if t == "VariableCurvature" else 4
+            i += 4
         elif t == "SourceTension":
             tracer = toks[i + 1]
             sigma = float(eval(toks[i + 2], {"__builtins__": {}}, {}))
             sim.tension.append((tracer, sigma))
             i += 4 if i + 3 < n and toks[i + 3] not in "{}" and \
                 not _is_directive(toks[i + 3]) else 3
+        elif t in ("SourceTensionCSS", "GfsSourceTensionCSS"):
+            # CSS variant (gfs_source_tension_css_read,
+            # src/tension.c:181-196): no curvature variable argument
+            tracer = toks[i + 1]
+            sigma = float(eval(toks[i + 2], {"__builtins__": {}}, {}))
+            sim.tension_css.append((tracer, sigma))
+            i += 3
         elif t == "InitFraction":
             j = i + 1
             sched = {}
@@ -859,8 +1025,13 @@ def _parse_sim_body(sim: ParsedSim, toks, defines):
             sched = _kv_block(blk)
             var = toks[i]; tol = float(toks[i + 1])
             i += 2
-            if i < n and not _is_directive(toks[i]) and toks[i] not in "{}":
-                i += 1  # optional diff variable name
+            # optional diff variable name (gfs_event_stop_read): an
+            # ALL-CAPS identifier like DU is a variable, not a
+            # CamelCase directive
+            if i < n and toks[i] not in "{}" \
+                    and (not _is_directive(toks[i])
+                         or re.match(r"^[A-Z][A-Z0-9]*$", toks[i])):
+                i += 1
             sim.events.append(("EventStop", sched, (var, tol)))
         elif t in ("GfsParticleList", "ParticleList"):
             # the fork's Lagrangian container (gfs_particle_list_read,
@@ -964,6 +1135,8 @@ def _parse_sim_body(sim: ParsedSim, toks, defines):
                                              "AdaptFunction", "AdaptError",
                                              "AdaptGradient",
                                              "AdaptVorticity",
+                                             "AdaptThickness",
+                                             "AdaptStreamlineCurvature",
                                              "EventBalance"):
             # schedule block, then positional args / extra blocks
             j = i + 1
@@ -981,6 +1154,23 @@ def _parse_sim_body(sim: ParsedSim, toks, defines):
                     args.append(toks[j])
                     j += 1
             sim.events.append((t, sched, (args, blocks)))
+            i = j
+        elif _is_directive(t):
+            # unknown directive: consume its argument shape (optional
+            # {} blocks + positional args) so parsing stays aligned,
+            # then raise (strict) or warn — never silently skip physics
+            j = i + 1
+            while j < n and toks[j] != "}" and not _is_directive(toks[j]):
+                if toks[j] == "{":
+                    _, j = _read_block(toks, j)
+                else:
+                    j += 1
+            msg = f"unsupported .gfs directive {t!r}"
+            if strict:
+                raise ValueError(msg)
+            import warnings
+            warnings.warn(msg + " — skipped", RuntimeWarning, stacklevel=2)
+            sim.unknown_directives.append(t)
             i = j
         else:
             i += 1
@@ -1219,7 +1409,9 @@ def build_simulation(sim: ParsedSim, dim: int = 2):
         for var, fn in sim.inits.items():
             fields[var] = lambda *c, f=fn: f(*c)
         for tracer, phi in sim.init_fractions.items():
-            fields[tracer] = vofm.fraction_from_levelset(grid, phi)
+            fields[tracer] = vofm.fraction_from_levelset(
+                grid, phi,
+                refine=max(0, min(sim.refine_surface - grid.level, 5)))
         adv_sim.init(**fields)
         return adv_sim
 
@@ -1235,6 +1427,10 @@ def build_simulation(sim: ParsedSim, dim: int = 2):
             kw["erelax"] = int(d["erelax"])
         if "nrelax" in d:
             kw["nrelax"] = int(d["nrelax"])
+        if sim.solver_backend:
+            # GModule hypre/lis/agmg -> the AMG-class MG-preconditioned
+            # Krylov backend (solvers/poisson.solve_mgcg)
+            kw["solver"] = sim.solver_backend
         return poisson.MultilevelParams(**kw)
 
     density = None
@@ -1294,6 +1490,7 @@ def build_simulation(sim: ParsedSim, dim: int = 2):
     if sim.advection_params.get("scheme") == "none":
         adv_kw["scheme"] = "none"
     advection = advm.AdvectionParams(**adv_kw)
+    moving_order = int(float(sim.advection_params.get("moving_order", 1)))
 
     # Metric* layers -> core/metric.py objects
     metric = None
@@ -1308,12 +1505,34 @@ def build_simulation(sim: ParsedSim, dim: int = 2):
         elif kind == "MetricCubed":
             metric = metm.MetricCubed()
 
+    # variable viscosity (SourceViscosity with a GfsFunction): the
+    # expression's free field names become nu_var_fields, with
+    # VariableFiltered derivations resolved to (name, parent, npass)
+    nu_var = None
+    nu_var_fields = ()
+    if sim.nu_expr is not None:
+        nu_var = sim.nu_expr
+        names_in = set(re.findall(r"\b([A-Za-z_]\w*)\b",
+                                  sim.nu_expr.source))
+        names_in -= set(_FUNS) | {"x", "y", "z", "t", "where", "return"}
+        triples = []
+        for v in sorted(names_in):
+            if v in sim.filtered:
+                parent, npass = sim.filtered[v]
+                triples.append((v, parent, npass))
+            else:
+                triples.append((v, None, 0))
+        nu_var_fields = tuple(triples)
+
     cfg = ns.NSConfig(
         grid=grid,
         u_bcs=u_bcs,
         nu=sim.nu,
+        nu_var=nu_var,
+        nu_var_fields=nu_var_fields,
         vof_tracers=tuple((t, tracer_bc(t)) for t in sim.vof_tracers),
         tension=tuple(sim.tension),
+        tension_css=tuple(sim.tension_css),
         tracers=tuple((t, tracer_bc(t), sim.sources.get(t, 0.0))
                       for t in sim.tracers),
         projection=mk_params(sim.projection),
@@ -1322,6 +1541,7 @@ def build_simulation(sim: ParsedSim, dim: int = 2):
         density=density,
         solid_phi=solid_phi,
         advection=advection,
+        moving_order=moving_order,
         beta=sim.beta,
         body_force=body_force,
         metric=metric,
@@ -1522,6 +1742,12 @@ def build_simulation(sim: ParsedSim, dim: int = 2):
                 adapt_spec = _make_adapt_gradient_spec(
                     sched, blocks[0], args[0] if args else "U",
                     name == "AdaptVorticity", sim, cfg)
+            elif name in ("AdaptThickness",
+                          "AdaptStreamlineCurvature") and blocks:
+                adapt_spec = _make_adapt_misc_spec(
+                    sched, blocks[0], args[0] if args else None,
+                    "Thickness" if name == "AdaptThickness"
+                    else "StreamlineCurvature", sim, cfg)
             # EventScript / GModule are intentionally skipped (shell
             # execution / module loading)
         except Exception as exc:  # surface, don't swallow (VERDICT r1)
@@ -1538,7 +1764,10 @@ def build_simulation(sim: ParsedSim, dim: int = 2):
         for var, fn in sim.inits.items():
             fields[var] = lambda *c, f=fn: f(*c)
         for tracer, phi in sim.init_fractions.items():
-            fields[tracer] = vofm.fraction_from_levelset(target_grid, phi)
+            fields[tracer] = vofm.fraction_from_levelset(
+                target_grid, phi,
+                refine=max(0, min(sim.refine_surface - target_grid.level,
+                                  5)))
         return fields
 
     # adaptive / statically-refined runs use the composite AMR driver
@@ -1559,6 +1788,8 @@ def build_simulation(sim: ParsedSim, dim: int = 2):
             s = amr_ns.AMRSimulation(cfg, mesh=mesh, time=time,
                                      events=events)
         s.errors = sim.errors
+        s.curvature_vars = {k: (tr, km)
+                            for k, tr, km in sim.curvature_vars}
         s.init(**init_fields(fine_grid))
         return s
 
@@ -1596,6 +1827,7 @@ def build_simulation(sim: ParsedSim, dim: int = 2):
     if particle_systems and not getattr(s, "particle_systems", None):
         s.particle_systems = particle_systems
     s.errors = sim.errors
+    s.curvature_vars = {k: (tr, km) for k, tr, km in sim.curvature_vars}
     s.init(**init_fields(fine_grid))
     if sim.init_spectra is not None:
         _apply_init_spectra(s, sim.init_spectra)
@@ -1770,6 +2002,35 @@ def _make_adapt_gradient_spec(sched, params, var, use_vorticity,
         criterion=criterion,
         cmax=float(params.get("cmax", 1e-2)),
         cfactor=float(params.get("cfactor", 4.0)),
+        minlevel=minlevel, maxlevel=maxlevel,
+        istep=int(float(sched.get("istep", 1))),
+        maxcells=None if maxcells is None else int(float(maxcells)))
+
+
+def _make_adapt_misc_spec(sched, params, var, kind, sim: ParsedSim, cfg):
+    """GfsAdaptThickness v: refine interface sheets thinner than 1/cmax
+    cells (src/adaptive.c:665-790, default cmax=1/3).
+    GfsAdaptStreamlineCurvature: refine where the streamline curvature
+    normalized by the cell size exceeds cmax (src/adaptive.c:390-412)."""
+    from ..models import amr_ns
+
+    if kind == "Thickness":
+        def criterion(s):
+            return amr_ns.thickness_cost(s, vof_name=var or "T"), None
+        default_cmax = 1.0 / 3.0
+        default_cfactor = 1.1
+    else:
+        def criterion(s):
+            return amr_ns.streamline_curvature_cost(s), None
+        default_cmax = 1e-2
+        default_cfactor = 4.0
+    maxlevel = int(float(params.get("maxlevel", sim.level)))
+    minlevel = int(float(params.get("minlevel", max(2, maxlevel - 4))))
+    maxcells = params.get("maxcells")
+    return amr_ns.AdaptSpec(
+        criterion=criterion,
+        cmax=float(params.get("cmax", default_cmax)),
+        cfactor=float(params.get("cfactor", default_cfactor)),
         minlevel=minlevel, maxlevel=maxlevel,
         istep=int(float(sched.get("istep", 1))),
         maxcells=None if maxcells is None else int(float(maxcells)))

@@ -154,3 +154,63 @@ def test_adapt_error_hessian_criterion():
     # for a linear field)
     far = D[np.asarray((x < -0.25) & (x > -0.45) & (np.abs(y) < 0.3))]
     assert (far == 4).all(), np.unique(far)
+
+
+def test_thickness_and_streamline_curvature_costs():
+    """GfsAdaptThickness / GfsAdaptStreamlineCurvature cost functions
+    (src/adaptive.c:665-790, 390-412)."""
+    from gerris_tpu.core.grid import Grid
+    from gerris_tpu.core import bc as bcs
+    from gerris_tpu.models import ns, amr_ns
+    from gerris_tpu.solvers.amr import Topo
+    import jax.numpy as jnp
+    import numpy as np
+
+    grid = Grid(level=6, dim=2)
+    x, y = grid.centers
+
+    class Stub:
+        pass
+
+    s = Stub()
+    s.topo = Topo(base=Grid(level=4, dim=2), lmin=4, lmax=6)
+
+    class T_:
+        t = 0.0
+    s.time = T_()
+    u_bc = bcs.FieldBC.uniform(bcs.Neumann(), 2)
+    tbc = bcs.default_scalar_bc(2)
+    s.cfg = ns.NSConfig(grid=grid, u_bcs=(u_bc, u_bc),
+                        vof_tracers=(("T", tbc),))
+    # thin horizontal fluid sheet (2 cells thick) + a fat blob
+    h = grid.h
+    sheet = ((jnp.abs(jnp.asarray(y)) < 1.0 * h)
+             & (jnp.asarray(x) < 0.0)).astype(jnp.float64)
+    blob = ((jnp.asarray(x) - 0.25) ** 2 + jnp.asarray(y) ** 2
+            < 0.15 ** 2).astype(jnp.float64)
+    T = jnp.clip(sheet + blob, 0.0, 1.0)
+    # smear one cell so there are interfacial cells
+    p = jnp.pad(T, 1, mode="edge")
+    T = 0.5 * T + 0.125 * (p[:-2, 1:-1] + p[2:, 1:-1]
+                           + p[1:-1, :-2] + p[1:-1, 2:])
+    fields = {"T": T,
+              "U": -jnp.asarray(y), "V": jnp.asarray(x)}
+    s.fine = lambda n: fields[n]
+
+    c = amr_ns.thickness_cost(s, "T")
+    on_sheet = (jnp.abs(jnp.asarray(y)) < 3 * h) & (jnp.asarray(x) < -0.1)
+    on_blob = (jnp.abs(jnp.asarray(x) - 0.25) < 0.1) \
+        & (jnp.abs(jnp.asarray(y)) < 0.1)
+    # the thin sheet must trip the default cmax=1/3 (thickness < 3
+    # cells); the blob interior/interface must not
+    assert float(jnp.max(jnp.where(on_sheet, c, 0.0))) > 1.0 / 3.0
+    assert float(jnp.max(jnp.where(on_blob, c, 0.0))) < 1.0 / 3.0
+
+    # rigid rotation: streamline curvature = 1/r, cost = h/r
+    k = amr_ns.streamline_curvature_cost(s)
+    r = jnp.sqrt(jnp.asarray(x) ** 2 + jnp.asarray(y) ** 2)
+    ring = (r > 0.2) & (r < 0.45)
+    got = jnp.where(ring, k, 0.0)
+    want = jnp.where(ring, grid.h / r, 0.0)
+    err = float(jnp.max(jnp.abs(got - want))) / float(jnp.max(want))
+    assert err < 0.15, err

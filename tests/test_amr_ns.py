@@ -203,3 +203,73 @@ def test_oscillation_amr_frequency():
     assert abs(c - REF_C[level]) / REF_C[level] < 0.015
     assert b > 0
     assert ratio < 0.55   # the adaptive mesh must actually save cells
+
+
+def test_amr_vof_flux_matching_across_levels():
+    """Composite VOF advection (VERDICT r3 item 4): a droplet advected
+    ACROSS a refinement boundary by a uniform flow.  Fine-coarse flux
+    restriction (src/vof.c:1214-1272) must conserve mass to roundoff
+    and track the uniform-grid solution — with interface cells NOT
+    pinned to maxlevel."""
+    from gerris_tpu.solvers import amr
+    from gerris_tpu.solvers.composite import grade_depth_map
+
+    lmin, lmax = 4, 6
+    base = Grid(level=lmin, dim=2)
+    topo = Topo(base=base, lmin=lmin, lmax=lmax)
+    gf = topo.grid(lmax)
+    x, y = gf.centers
+    # refined patch on the left half only; droplet starts inside it and
+    # exits into the coarse half
+    D = np.where(np.asarray(x) < 0.0, lmax, lmin).astype(np.int32)
+    D = grade_depth_map(D)
+    leaf = CompositeGrid.from_depth_map(base, lmax, D,
+                                        graded=True).leaf_arrays()
+    cov = amr.covered_masks(leaf, topo)
+    fbc = bcs.default_scalar_bc(2)
+
+    r0 = 0.12
+    T = {lmax: vof.fraction_from_levelset(
+        gf, lambda xx, yy: r0 - jnp.sqrt((xx + 0.2) ** 2 + yy ** 2))}
+    for l in range(lmax - 1, lmin - 1, -1):
+        T[l] = poisson.restrict(T[l + 1], 2)
+    uf = {l: [jnp.ones(topo.grid(l).face_shape(0)),
+              jnp.zeros(topo.grid(l).face_shape(1))]
+          for l in topo.levels}
+
+    def mass(Td):
+        m = 0.0
+        for l in topo.levels:
+            m += float(jnp.sum(jnp.where(leaf[l], Td[l], 0.0))
+                       * topo.grid(l).cell_volume)
+        return m
+
+    m0 = mass(T)
+    dt = 0.4 * topo.grid(lmax).h          # per-sweep CFL 0.4 at lmax
+    nsteps = int(round(0.4 / dt))         # droplet ends at x ~ +0.2
+    Tu = T[lmax]
+    for i in range(nsteps):
+        T = amr_ns.amr_advect_vof(T, uf, topo, leaf, cov, fbc, dt,
+                                  cstart=i % 2, t=0.0)
+        Tu = vof.advect(Tu, uf[lmax], gf, fbc, dt, cstart=i % 2)
+    m1 = mass(T)
+    assert abs(m1 - m0) / m0 < 1e-10, (m0, m1)
+
+    # the coarse-half solution tracks the uniform run's restriction:
+    # compare at the COARSE level where the droplet now lives
+    Tu_c = Tu
+    for l in range(lmax - 1, lmin - 1, -1):
+        Tu_c = poisson.restrict(Tu_c, 2)
+        if l == lmin:
+            break
+    err = float(jnp.max(jnp.abs(jnp.where(leaf[lmin],
+                                          T[lmin] - Tu_c, 0.0))))
+    # O(h) interface position agreement on the coarse mesh
+    assert err < 0.35, err
+    # centroid within half a coarse cell of the uniform answer
+    xc, yc = topo.grid(lmin).centers
+    w = jnp.where(leaf[lmin], T[lmin], 0.0)
+    cx = float(jnp.sum(w * xc) / jnp.sum(w))
+    wu = Tu_c
+    cxu = float(jnp.sum(wu * xc) / jnp.sum(wu))
+    assert abs(cx - cxu) < 0.5 * topo.grid(lmin).h, (cx, cxu)

@@ -221,3 +221,126 @@ def test_blockrt_walltime_scales_with_leaves():
     print(f"solve time {times} active {actives}: time x{growth:.2f} "
           f"vs leaves x{leaf_growth:.2f} (uniform would be x4)")
     assert growth < 3.0, (times, actives)
+
+
+# ---------------------------------------------------------------------------
+# Variable-coefficient block solves (VERDICT r3 item 3): per-face alpha
+# (two-phase density projections) and per-cell dia (variable-density
+# diffusion) must reproduce the dense mask engine on mixed-depth meshes.
+# Reference: leaf-only relax covers ALL systems (src/poisson.c:604-631).
+# ---------------------------------------------------------------------------
+
+def _mixed_topo(lmin=4, lmax=6):
+    from gerris_tpu.solvers.amr import Topo
+    from gerris_tpu.solvers.composite import CompositeGrid, grade_depth_map
+    import numpy as np
+    base = Grid(level=lmin, dim=2)
+    topo = Topo(base=base, lmin=lmin, lmax=lmax)
+    gf = topo.grid(lmax)
+    x, y = gf.centers
+    D = np.where(np.asarray(x) ** 2 + np.asarray(y) ** 2 < 0.04,
+                 lmax, lmin).astype(np.int32)
+    D = grade_depth_map(D)
+    leaf = CompositeGrid.from_depth_map(base, lmax, D,
+                                        graded=True).leaf_arrays()
+    return topo, D, leaf
+
+
+def _twophase_alpha(topo):
+    """1000x-jump face coefficients built exactly like amr_step: finest
+    evaluation + coarsen_face_coeff down the stack."""
+    from gerris_tpu.solvers import poisson as psn
+    gf = topo.grid(topo.lmax)
+    x, y = gf.centers
+    T = jnp.where(y + 0.1 * jnp.cos(2 * jnp.pi * x) < 0.0, 1.0, 0.0)
+    rho = 1.0 * T + 1e-3 * (1.0 - T)
+    af = []
+    for c in range(2):
+        pad = jnp.pad(rho, [(1, 1) if a == c else (0, 0)
+                            for a in range(2)], mode="edge")
+        lo = pad[tuple(slice(0, -1) if a == c else slice(None)
+                       for a in range(2))]
+        hi = pad[tuple(slice(1, None) if a == c else slice(None)
+                       for a in range(2))]
+        af.append(2.0 / (lo + hi))
+    alpha = {topo.lmax: tuple(af)}
+    rhod = {topo.lmax: rho}
+    for l in range(topo.lmax - 1, topo.lmin - 1, -1):
+        alpha[l] = psn.coarsen_face_coeff(alpha[l + 1], 2)
+        rhod[l] = psn.restrict(rhod[l + 1], 2)
+    return alpha, rhod
+
+
+def test_blockrt_variable_alpha_matches_dense():
+    """Two-phase Neumann projection system: block engine == dense mask
+    engine to solver tolerance on a mixed-depth mesh."""
+    from gerris_tpu.solvers import amr as amrs
+    topo, D, leaf = _mixed_topo()
+    alpha, _ = _twophase_alpha(topo)
+    rt, tables, _ = blockrt.make_blockrt(topo.base, topo.lmax, D, B=8)
+    fbc = bcs.FieldBC.uniform(bcs.Neumann(), 2)
+    params = poisson.MultilevelParams(tolerance=1e-9, nitermax=60,
+                                      nrelax=4)
+    rhs = {}
+    for l in topo.levels:
+        x, y = topo.grid(l).centers
+        rhs[l] = (jnp.sin(2 * math.pi * x) * jnp.cos(2 * math.pi * y)
+                  ).astype(jnp.float64)
+    u_d, n_d, r_d = amrs.solve(rhs, topo, leaf, fbc, params, alpha=alpha)
+    u_b, n_b, r_b = amrs.solve_block(rhs, topo, leaf, fbc,
+                                     poisson.MultilevelParams(
+                                         tolerance=1e-9, ncycles=25,
+                                         nrelax=4),
+                                     rt, tables, alpha=alpha)
+    # the block engine must CONVERGE on its own operator ...
+    assert float(r_b) < 1e-8 * float(jnp.max(jnp.abs(rhs[topo.lmax]))), \
+        float(r_b)
+    # ... and agree with the dense engine to the interface-stencil
+    # difference (the two engines discretize fine-coarse faces with
+    # different-but-both-consistent stencils; measured scalar baseline
+    # ~3e-2 relative at interface-adjacent leaves)
+    gscale = max(float(jnp.max(jnp.abs(jnp.where(jnp.asarray(leaf[l]),
+                                                 u_d[l], 0.0))))
+                 for l in topo.levels) + 1e-30
+    for l in topo.levels:
+        m = jnp.asarray(leaf[l])
+        du = jnp.where(m, u_b[l] - u_d[l], 0.0)
+        ofs = jnp.sum(du) / jnp.maximum(jnp.sum(m), 1)
+        err = float(jnp.max(jnp.abs(jnp.where(m, du - ofs, 0.0))))
+        assert err / gscale < 0.08, (l, err, gscale)
+
+
+def test_blockrt_cell_dia_matches_dense():
+    """Variable-density Helmholtz (diffusion) system: per-cell dia blocks
+    == dense engine."""
+    from gerris_tpu.solvers import amr as amrs
+    topo, D, leaf = _mixed_topo()
+    _, rhod = _twophase_alpha(topo)
+    rt, tables, _ = blockrt.make_blockrt(topo.base, topo.lmax, D, B=8)
+    fbc = bcs.FieldBC.uniform(bcs.Dirichlet(0.0), 2)
+    scale = 0.05
+    rhs, dia = {}, {}
+    for l in topo.levels:
+        x, y = topo.grid(l).centers
+        rhs[l] = -(rhod[l] * jnp.cos(2 * math.pi * x)
+                   * jnp.sin(math.pi * y)) / scale
+        dia[l] = rhod[l] / scale
+    params = poisson.MultilevelParams(tolerance=1e-10, nitermax=60,
+                                      nrelax=4)
+    u_d, _, _ = amrs.solve(rhs, topo, leaf, fbc, params, dia=dia)
+    u_b, _, r_b = amrs.solve_block(rhs, topo, leaf, fbc,
+                                   poisson.MultilevelParams(
+                                       tolerance=1e-10, ncycles=25,
+                                       nrelax=4),
+                                   rt, tables, dia=dia)
+    # own-operator convergence + dense agreement to the
+    # interface-stencil difference (see the alpha test above)
+    assert float(r_b) < 1e-8 * float(jnp.max(jnp.abs(rhs[topo.lmax]))), \
+        float(r_b)
+    gscale = max(float(jnp.max(jnp.abs(jnp.where(jnp.asarray(leaf[l]),
+                                                 u_d[l], 0.0))))
+                 for l in topo.levels) + 1e-30
+    for l in topo.levels:
+        m = jnp.asarray(leaf[l])
+        err = float(jnp.max(jnp.abs(jnp.where(m, u_b[l] - u_d[l], 0.0))))
+        assert err / gscale < 0.08, (l, err, gscale)

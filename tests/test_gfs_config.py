@@ -123,3 +123,55 @@ GfsBox { front = Boundary { BcDirichlet T 0 } }
     # front BC parsed onto the tracer's z-axis
     tb = sim.cfg.tracers[0][1]
     assert tb.sides[2][1].kind == "dirichlet"
+
+
+def test_gfs_global_block():
+    """GfsGlobal C blocks feed the GfsFunction namespace
+    (src/utils.c:382-398): #define constants, function-like macros,
+    single-return C functions, and global const declarations all become
+    visible to every expression in the file."""
+    gfs = """1 0 GfsSimulation GfsBox GfsGEdge {} {
+  Time { end = 1 }
+  Refine 4
+  Global {
+      #define A0 0.5
+      #define SQ(a) ((a)*(a))
+      double channel (double x) {
+          double y1 = 0.2/4.;
+          double y2 = 1e-6/4.;
+          return x <= -0.25 ? y1 : x < 0.25 ?
+              y2 + 0.5*(y1 - y2)*(1. + cos (2.*M_PI*(x + 0.25))) : y2;
+      }
+      static double B = A0*2.;
+  }
+  Init {} { U = A0*channel(x) + SQ(y) + B }
+}
+GfsBox {}
+"""
+    sim = G.parse_gfs(gfs, {}, strict=True)
+    fn = sim.inits["U"]
+    x = np.array([0.0, -0.3, 0.3])
+    y = np.array([1.0, 2.0, 0.0])
+    y1, y2 = 0.2 / 4.0, 1e-6 / 4.0
+    ch = np.array([y2 + 0.5 * (y1 - y2) * (1 + np.cos(2 * np.pi * 0.25)),
+                   y1, y2])
+    want = 0.5 * ch + y ** 2 + 1.0
+    assert np.allclose(fn.np(x, y), want)
+
+
+def test_strict_mode_raises_on_unknown_directive():
+    bad = """1 0 GfsSimulation GfsBox GfsGEdge {} {
+  Time { end = 1 }
+  FrobnicateQuux { istep = 1 } 3.0
+}
+GfsBox {}
+"""
+    import warnings
+
+    with pytest.raises(ValueError, match="FrobnicateQuux"):
+        G.parse_gfs(bad, {}, strict=True)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        sim = G.parse_gfs(bad, {})
+    assert sim.unknown_directives == ["FrobnicateQuux"]
+    assert any("FrobnicateQuux" in str(x.message) for x in w)

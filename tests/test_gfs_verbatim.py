@@ -33,7 +33,7 @@ def test_capwave_gfs_verbatim(tmp_path):
     level = 4
     txt = _read(f"{REFDIR}/capwave/capwave.gfs")
     os.chdir(tmp_path)
-    sim = G.build_simulation(G.parse_gfs(txt, {"LEVEL": str(level)}))
+    sim = G.build_simulation(G.parse_gfs(txt, {"LEVEL": str(level)}, strict=True))
     assert type(sim).__name__ == "AMRSimulation"
     assert sim.cfg.nu == pytest.approx(0.0182571749236)
     assert sim.cfg.tension == (("T", 1.0),)
@@ -72,7 +72,8 @@ def test_oscillation_gfs_verbatim(tmp_path):
     txt = _read(f"{REFDIR}/oscillation/oscillation.gfs")
     os.chdir(tmp_path)
     sim = G.build_simulation(G.parse_gfs(txt, {"LEVEL": str(level),
-                                               "DIAMETER": "0.2"}))
+                                               "DIAMETER": "0.2"},
+                                       strict=True))
     assert type(sim).__name__ == "AMRSimulation"
     assert sim.cfg.density[1:] == pytest.approx((1e-3, 1.0, 1))
     ks = [e for e in sim.events if "ScalarSum" in type(e).__name__]
@@ -104,7 +105,7 @@ def test_reynolds_skew_gfs_verbatim(tmp_path):
     level = 5
     txt = _read(f"{REFDIR}/reynolds/skew/skew.gfs")
     os.chdir(tmp_path)
-    sim = G.build_simulation(G.parse_gfs(txt, {"LEVEL": str(level)}))
+    sim = G.build_simulation(G.parse_gfs(txt, {"LEVEL": str(level)}, strict=True))
     assert type(sim).__name__ == "SkewSimulation"
     assert sim.cfg.grid.level == level
     ks = [e for e in sim.events if "ScalarSum" in type(e).__name__]
@@ -118,3 +119,60 @@ def test_reynolds_skew_gfs_verbatim(tmp_path):
     # final relative L2 error against the steady TG solution
     erows = np.array(errs[0].rows)
     assert erows[-1, 2] < 0.1, erows[-1]
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.isdir(REFDIR), reason="reference not mounted")
+def test_capwave_air_water_gfs_verbatim(tmp_path):
+    """test/capwave/air-water/air-water.gfs run VERBATIM: GfsGlobal
+    function-like macros (VAR/RHO/MU, src/utils.c:382-398) feed a
+    variable-viscosity (SourceViscosity MU(T1)) + variable-density
+    air-water capillary wave.  Amplitude RMS vs the reference's OWN
+    Prosperetti table (test/capwave/air-water/prosperetti), gated
+    against convergence.ref."""
+    from gerris_tpu.physics import vof
+    from gerris_tpu.events.events import Event
+
+    level = 4
+    txt = _read(f"{REFDIR}/capwave/air-water/air-water.gfs")
+    os.chdir(tmp_path)
+    sim = G.build_simulation(G.parse_gfs(txt, {"LEVEL": str(level)},
+                                         strict=True))
+    assert type(sim).__name__ == "AMRSimulation"
+    # Global #defines digested: rho ratio 1.2e-3, mu expression wired
+    # (RHO(T): T=1 -> water 1.0, T=0 -> air 1.2e-3)
+    assert sim.cfg.density[1:] == pytest.approx((1.0, 1.2 / 1000.0, 1))
+    assert sim.cfg.nu == 0.0 and sim.cfg.nu_var is not None
+    assert sim.cfg.nu_var_fields == (("T1", "T", 1),)
+    # the viscosity closure reproduces MU at the endpoints
+    mu_scale = 0.0182571749236
+    assert float(sim.cfg.nu_var(0.0, 0.0, T1=1.0)) == \
+        pytest.approx(mu_scale)
+    assert float(sim.cfg.nu_var(0.0, 0.0, T1=0.0)) == \
+        pytest.approx(mu_scale * 1.8e-5 / 1.003e-3)
+    gridf = sim.topo.grid(sim.topo.lmax)
+    tbc = dict(sim.cfg.vof_tracers)["T"]
+    samples = []
+
+    def record(s):
+        T = s.fine("T")
+        mx, my = vof.normals(T, gridf, tbc)
+        px, py = vof.interface_point(T, mx, my)
+        _, y = gridf.centers
+        ypos = jnp.asarray(y) + py * gridf.h
+        ifc = (T > 1e-6) & (T < 1 - 1e-6)
+        samples.append((s.time.t,
+                        float(jnp.max(jnp.where(ifc, jnp.abs(ypos), 0.0)))))
+
+    sim.events.append(Event(action=record, step=0.00198785108553814829))
+    sim.run()
+    ts = np.array([s[0] for s in samples])
+    amps = np.array([s[1] for s in samples])
+    tab = np.loadtxt(f"{REFDIR}/capwave/air-water/prosperetti")
+    # the table is |amplitude| vs omega0-scaled time (t*15.7402, the
+    # awk post-processing in air-water.gfs)
+    exact = np.interp(ts * 15.7402, tab[:, 0], np.abs(tab[:, 1]))
+    rms = math.sqrt(float(np.mean((amps - exact) ** 2))) / 0.01
+    ref = 0.0795353    # test/capwave/air-water/convergence.ref level 4
+    print(f"verbatim air-water L{level}: rms={rms:.5f} ref={ref}")
+    assert abs(rms - ref) / ref < 0.3

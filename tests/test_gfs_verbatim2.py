@@ -72,7 +72,8 @@ def test_advection_gfs_verbatim(level):
     from gerris_tpu.models.classes import AdvectionSimulation
 
     sim = G.build_simulation(G.parse_gfs(_read("advection"),
-                                         {"LEVEL": str(level)}))
+                                         {"LEVEL": str(level)},
+                                         strict=True))
     assert isinstance(sim, AdvectionSimulation)
     assert sim.errors == []
     T0 = np.asarray(sim.state["T"]).copy()
@@ -97,7 +98,8 @@ def test_periodic_gfs_verbatim_uniform():
     """r0 row at LEVEL=5 (test/periodic/r0.ref: L2 8.268e-03,
     Linf 1.966e-02)."""
     sim = G.build_simulation(G.parse_gfs(_read("periodic"),
-                                         {"LEVEL": "5", "BOX": "0"}))
+                                         {"LEVEL": "5", "BOX": "0"},
+                                         strict=True))
     assert sim.errors == []
     sim.run()
     _, l2, linf = _leaf_norms(sim, _minion_exact)
@@ -113,7 +115,8 @@ def test_periodic_gfs_verbatim_refined():
     a bound (within 2x of the tree-based reference), not equality —
     the uniform row above carries the tight tolerance."""
     sim = G.build_simulation(G.parse_gfs(_read("periodic"),
-                                         {"LEVEL": "5", "BOX": "1"}))
+                                         {"LEVEL": "5", "BOX": "1"},
+                                         strict=True))
     assert sim.topo.lmax == 6
     sim.run()
     _, l2, linf = _leaf_norms(sim, _minion_exact)
@@ -131,7 +134,8 @@ POISEUILLE_REF = {4: (4.884e-04, 4.884e-04, 4.887e-04),
 @pytest.mark.parametrize("level", [4, 5])
 def test_poiseuille_gfs_verbatim(level):
     sim = G.build_simulation(G.parse_gfs(_read("poiseuille"),
-                                         {"LEVEL": str(level)}))
+                                         {"LEVEL": str(level)},
+                                         strict=True))
     assert sim.errors == []
     assert sim.cfg.nu == 1.0
     assert sim.cfg.beta == 1.0            # { beta = 1 } backward Euler
@@ -156,7 +160,7 @@ def test_lake_gfs_verbatim():
     with sensible output, test/lake/lake.gfs)."""
     from gerris_tpu.core.metric import MetricStretch
 
-    sim = G.build_simulation(G.parse_gfs(_read("lake"), {}))
+    sim = G.build_simulation(G.parse_gfs(_read("lake"), {}, strict=True))
     assert isinstance(sim.cfg.metric, MetricStretch)
     assert sim.cfg.metric.sy == pytest.approx(0.1)
     assert sim.cfg.nu == pytest.approx(1. / 400.)
@@ -185,7 +189,8 @@ def test_poisson_dirichlet_gfs_verbatim(level):
     with open(f"{REFDIR}/poisson/dirichlet/dirichlet.gfs") as f:
         text = f.read()
     sim = G.build_simulation(G.parse_gfs(
-        text, {"LEVEL": str(level), "CYCLE": "10", "SOLVER": "gerris"}))
+        text, {"LEVEL": str(level), "CYCLE": "10", "SOLVER": "gerris"},
+        strict=True))
     assert sim.errors == []
     sim.run()
     g = sim.grid
@@ -224,7 +229,7 @@ def test_height_gfs_verbatim(case):
     from gerris_tpu.parallel import mesh as pmesh
 
     with open(f"{REFDIR}/height/{case}.gfs") as f:
-        sim = G.build_simulation(G.parse_gfs(f.read(), {}))
+        sim = G.build_simulation(G.parse_gfs(f.read(), {}, strict=True))
     assert sim.errors == []
     g = sim.cfg.grid
     # GfsGEdge { x = -0.38 }: the seam (x = 0.12 for height.gfs) cuts
@@ -285,7 +290,7 @@ def test_shear_gfs_verbatim():
     from gerris_tpu.models.classes import AdvectionSimulation
     from gerris_tpu.physics import vof as vofm
 
-    sim = G.build_simulation(G.parse_gfs(_read("shear"), {}))
+    sim = G.build_simulation(G.parse_gfs(_read("shear"), {}, strict=True))
     assert isinstance(sim, AdvectionSimulation)
     g = sim.grid
     ref = np.asarray(vofm.fraction_from_levelset(
@@ -298,3 +303,45 @@ def test_shear_gfs_verbatim():
     assert e.mean() < 2.0 * 1.672e-04, e.mean()
     assert math.sqrt((e * e).mean()) < 2.0 * 5.458e-03
     assert e.max() < 3.626e-01 * 1.2, e.max()
+
+
+# -- spurious.gfs (parasitic currents) --------------------------------------
+
+@pytest.mark.slow
+def test_spurious_gfs_verbatim():
+    """test/spurious/spurious.gfs run VERBATIM at LEVEL=5, La=12000:
+    RefineSurface 10 supersampled initial fractions, SourceViscosity
+    sqrt(0.8/La) constant-expression, AdaptGradient interface AMR,
+    EventStop on the frozen droplet.  Shape + curvature errors gated
+    against convergence.ref/kconvergence.ref row D/h=25.6."""
+    import math
+    from gerris_tpu.physics import vof
+
+    La, level = 12000.0, 5
+    mu = math.sqrt(0.8 / La)
+    tmax = 0.8 * 0.8 / mu
+    sim = G.build_simulation(G.parse_gfs(
+        _read("spurious"),
+        {"LEVEL": str(level), "LAPLACE": "12000", "DT": "1e-9",
+         "TMAX": f"{tmax:.6f}"}, strict=True))
+    assert type(sim).__name__ == "AMRSimulation"
+    assert sim.cfg.nu == pytest.approx(mu)
+    assert sim.cfg.tension == (("T", 1.0),)
+    T0 = np.asarray(sim.fine("T")).copy()
+    sim.run()
+    T1 = np.asarray(sim.fine("T"))
+    E = T1 - T0
+    e2 = math.sqrt(float((E ** 2).mean()))
+    einf = float(np.abs(E).max())
+    gridf = sim.topo.grid(sim.topo.lmax)
+    tbc = dict(sim.cfg.vof_tracers)["T"]
+    kap = vof.curvature(jnp.asarray(T1), gridf, tbc)
+    ifc = (T1 > 1e-6) & (T1 < 1 - 1e-6)
+    kerr = jnp.where(ifc & jnp.isfinite(kap), jnp.abs(kap - 2.5), 0.0)
+    kinf = float(jnp.max(kerr)) / 2.5
+    print(f"verbatim spurious: steps={sim.time.i} L2={e2:.2e} "
+          f"Linf={einf:.2e} K={kinf:.2e} "
+          f"(ref 9.1e-5 / 1.27e-3 / 3.0e-3)")
+    assert e2 < 3.0 * 9.129e-05
+    assert einf < 3.0 * 1.271e-03
+    assert kinf < 3.0 * 3.021e-03

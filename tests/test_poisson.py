@@ -144,3 +144,52 @@ def test_cg_solver_seam():
                               alpha=alpha)
     d = (u2_cg - jnp.mean(u2_cg)) - (u2_mg - jnp.mean(u2_mg))
     assert float(jnp.max(jnp.abs(d))) < 1e-6, float(jnp.max(jnp.abs(d)))
+
+
+def test_mgcg_backend_stiff_alpha():
+    """AMG-class backend (solver="mgcg", the GModule hypre/lis/agmg
+    seam, modules/hypre.c): on a high-contrast (1e4) variable-alpha
+    system the MG-preconditioned flexible CG must reach a tight
+    tolerance, and at least as fast as plain multigrid (test/poisson
+    res-7.ref cols 5-8 show the Krylov wrapper's robustness edge)."""
+    import numpy as np
+    from gerris_tpu.core.grid import Grid
+    from gerris_tpu.core import bc as bcs
+    from gerris_tpu.solvers import poisson
+
+    grid = Grid(level=6, dim=2)
+    x, y = grid.centers
+    fbc = bcs.FieldBC.uniform(bcs.Dirichlet(0.0), 2)
+    rng = np.random.default_rng(7)
+    # blobby 4-decade coefficient field, face-averaged
+    k = np.exp(4.0 * np.log(10.0) * rng.random((8, 8)))
+    kf = np.kron(k, np.ones((8, 8)))
+    kf = kf / kf.max()
+    alpha = []
+    for c in range(2):
+        pad = np.pad(kf, [(1, 1) if a == c else (0, 0)
+                          for a in range(2)], mode="edge")
+        lo = pad[tuple(slice(0, -1) if a == c else slice(None)
+                       for a in range(2))]
+        hi = pad[tuple(slice(1, None) if a == c else slice(None)
+                       for a in range(2))]
+        alpha.append(jnp.asarray(2.0 / (1.0 / lo + 1.0 / hi)))
+    alpha = tuple(alpha)
+    rhs = jnp.sin(3 * jnp.pi * x) * jnp.sin(2 * jnp.pi * y)
+    u0 = jnp.zeros(grid.shape)
+
+    p_mg = poisson.MultilevelParams(tolerance=1e-10, nitermax=60)
+    p_kr = poisson.MultilevelParams(tolerance=1e-10, nitermax=60,
+                                    solver="mgcg")
+    u_mg, s_mg = poisson.solve(u0, rhs, grid, fbc, p_mg, alpha=alpha)
+    u_kr, s_kr = poisson.solve(u0, rhs, grid, fbc, p_kr, alpha=alpha)
+    r_kr = poisson.residual(u_kr, rhs, grid, fbc, alpha=alpha)
+    scale = float(jnp.max(jnp.abs(rhs)))
+    print(f"stiff alpha: MG niter={int(s_mg.niter)} "
+          f"mgcg niter={int(s_kr.niter)} "
+          f"rinf={float(jnp.max(jnp.abs(r_kr)))/scale:.2e}")
+    assert float(jnp.max(jnp.abs(r_kr))) < 1e-9 * scale
+    assert int(s_kr.niter) <= int(s_mg.niter)
+    # and the two backends agree on the solution
+    d = float(jnp.max(jnp.abs(u_kr - u_mg)))
+    assert d < 1e-6 * float(jnp.max(jnp.abs(u_mg)) + 1e-30)

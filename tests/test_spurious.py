@@ -88,3 +88,82 @@ def test_spurious_currents_level5():
     # currents must have decayed, not grown
     assert umax_hist[-1] < 0.5 * max(umax_hist[:5])
     assert ca < 1e-4
+
+
+def test_css_tension_laplace():
+    """CSS tension variant (GfsSourceTensionCSS, src/tension.c:181-305):
+    a static droplet develops the Laplace pressure jump sigma/R; the
+    parasitic currents stay bounded (CSS is known noisier than the
+    well-balanced CSF default — that is why the reference keeps both)."""
+    level = 6
+    grid = Grid(level=level, dim=2)
+    sigma, Rd = 1.0, 0.25
+
+    def phi_d(x, y):
+        return Rd * Rd - (x ** 2 + y ** 2)
+
+    cfg = ns.NSConfig(
+        grid=grid, u_bcs=(bcs.velocity_bc(0, 2), bcs.velocity_bc(1, 2)),
+        nu=0.02, beta=1.0,
+        advection=ns.adv.AdvectionParams(scheme="none"),
+        vof_tracers=(("T", bcs.default_scalar_bc(2)),),
+        tension_css=(("T", sigma),),
+        projection=poisson.MultilevelParams(tolerance=1e-8, nitermax=100),
+        approx_projection=poisson.MultilevelParams(tolerance=1e-8,
+                                                   nitermax=100))
+    sim = Simulation(cfg, time=Time(end=30 * 0.4 * grid.h * 0.1))
+    T0 = vof.fraction_from_levelset(grid, phi_d, refine=3)
+    sim.init(T=T0)
+    sim.run()
+    x, y = [np.asarray(c) for c in grid.centers]
+    r = np.sqrt(x ** 2 + y ** 2)
+    P = np.asarray(sim.state["P"])
+    inside = r < Rd - 3 * grid.h
+    outside = r > Rd + 3 * grid.h
+    jump = P[inside].mean() - P[outside].mean()
+    umax = float(np.max(np.abs(np.asarray(sim.state["U"]))))
+    print(f"CSS Laplace jump {jump:.3f} vs {sigma/Rd:.3f}, umax={umax:.3e}")
+    assert np.isfinite(P).all() and np.isfinite(umax)
+    assert abs(jump - sigma / Rd) / (sigma / Rd) < 0.25, jump
+    assert umax < 0.5 * math.sqrt(sigma / Rd)   # bounded parasitic noise
+
+
+def test_kmax_curvature_variable():
+    """Kmax (VariableCurvature K T Kmax, src/tension.c:427-482 +
+    diffuse_kmax :540-565): |kappa| extended off the interface with the
+    f(1-f) weighting ~ 1/R in the interface band."""
+    grid = Grid(level=6, dim=2)
+    Rd = 0.25
+    T = vof.fraction_from_levelset(
+        grid, lambda x, y: Rd * Rd - (x ** 2 + y ** 2))
+    tbc = bcs.default_scalar_bc(2)
+    kap = vof.curvature(T, grid, tbc)
+    kmax = vof.fill_curvature_weighted(jnp.abs(kap), jnp.asarray(T),
+                                       niter=2)
+    x, y = [np.asarray(c) for c in grid.centers]
+    r = np.sqrt(x ** 2 + y ** 2)
+    band = np.abs(r - Rd) < 2 * grid.h
+    vals = np.asarray(kmax)[band]
+    vals = vals[np.isfinite(vals)]
+    assert vals.size > 0
+    assert np.abs(vals - 1.0 / Rd).max() / (1.0 / Rd) < 0.15, \
+        (vals.min(), vals.max())
+
+    # .gfs wiring: the Kmax name resolves through sim_field
+    from gerris_tpu.utils import gfs_config as G
+    gfs = """1 0 GfsSimulation GfsBox GfsGEdge {} {
+  Time { end = 0 }
+  Refine 6
+  VariableTracerVOFHeight T
+  VariableCurvature K T Kmax
+  SourceTension T 1 K
+  InitFraction T (0.0625 - x*x - y*y)
+}
+GfsBox {}
+"""
+    sim = G.build_simulation(G.parse_gfs(gfs, {}, strict=True))
+    from gerris_tpu.events.outputs import sim_field
+    for nm in ("K", "Kmax"):
+        v = np.asarray(sim_field(sim, nm))
+        b = v[band & np.isfinite(v)]
+        assert b.size and np.abs(np.abs(b) - 4.0).max() < 0.6, nm
