@@ -273,3 +273,73 @@ def test_amr_vof_flux_matching_across_levels():
     wu = Tu_c
     cxu = float(jnp.sum(wu * xc) / jnp.sum(wu))
     assert abs(cx - cxu) < 0.5 * topo.grid(lmin).h, (cx, cxu)
+
+
+@pytest.mark.slow
+def test_adaptive_twophase_interface_not_pinned():
+    """VERDICT r3 item 4 'Done' gate: an adaptive two-phase run whose
+    criterion does NOT force interface cells to maxlevel — the droplet
+    interface lives at an intermediate level while the velocity field
+    drives refinement elsewhere.  Composite VOF fluxes keep mass
+    conserved through adaptation; the run stays stable."""
+    from gerris_tpu.models.amr_ns import AdaptSpec, AMRSimulation
+    from gerris_tpu.models.simulation import Time
+    from gerris_tpu.core import bc as bcs2
+
+    lmax = 6
+    grid = Grid(level=lmax, dim=2)
+    tbc = bcs.default_scalar_bc(2)
+    u_bc = bcs.FieldBC.make(2, default=bcs.Dirichlet(0.0),
+                            top=bcs.Dirichlet(1.0))
+    v_bc = bcs.FieldBC.uniform(bcs.Dirichlet(0.0), 2)
+    cfg = ns.NSConfig(
+        grid=grid, u_bcs=(u_bc, v_bc), nu=5e-3, beta=1.0,
+        vof_tracers=(("T", tbc),),
+        density=("T", 1.0, 0.5, 1),
+        projection=poisson.MultilevelParams(tolerance=1e-6, nitermax=50),
+        approx_projection=poisson.MultilevelParams(tolerance=1e-6,
+                                                   nitermax=50))
+
+    def criterion(s):
+        # velocity-hessian criterion only — NO interface indicator
+        from gerris_tpu.models import amr_ns as am
+        g = s.topo.grid(s.topo.lmax)
+        c2 = am.hessian_cost(s.fine("U"), g, s.cfg.u_bcs[0], t=s.time.t)
+        return None, None, c2
+
+    adapt = AdaptSpec(criterion=criterion, cmax=5.0, cfactor=2.0,
+                      minlevel=4, maxlevel=lmax, istep=2)
+    sim = AMRSimulation(cfg, adapt=adapt, time=Time(end=0.12))
+    from gerris_tpu.physics import vof as vofm
+    T0 = vofm.fraction_from_levelset(
+        grid, lambda x, y: 0.15 - jnp.sqrt(x ** 2 + (y + 0.15) ** 2))
+    sim.init(T=T0)
+
+    def mass(s):
+        m = 0.0
+        for l in s.topo.levels:
+            m += float(jnp.sum(jnp.where(s.leaf[l], s.state["T"][l], 0.0))
+                       * s.topo.grid(l).cell_volume)
+        return m
+
+    m0 = mass(sim)
+    sim.run()
+    m1 = mass(sim)
+    # interface must NOT be pinned to lmax: some interface cells live
+    # on coarser leaves
+    coarse_ifc = 0
+    for l in range(sim.topo.lmin, sim.topo.lmax):
+        T = np.asarray(sim.state["T"][l])
+        ifc = (T > 1e-3) & (T < 1 - 1e-3) & np.asarray(sim.leaf[l])
+        coarse_ifc += int(ifc.sum())
+    print(f"adaptive two-phase: mass {m0:.6e} -> {m1:.6e}, "
+          f"coarse-leaf interface cells {coarse_ifc}, "
+          f"leaves {sim.n_leaves()}")
+    assert coarse_ifc > 0, "interface unexpectedly pinned to maxlevel"
+    # restriction/prolongation resampling through adaptation is
+    # conservative to VOF clamp tolerance
+    assert abs(m1 - m0) / m0 < 5e-3, (m0, m1)
+    for l in sim.topo.levels:
+        T = np.asarray(sim.state["T"][l])
+        assert np.isfinite(T).all()
+        assert T.min() > -1e-6 and T.max() < 1 + 1e-6

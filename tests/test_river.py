@@ -175,3 +175,62 @@ def test_subcritical_open_boundary():
     assert float(jnp.mean(s2["U"][-1])) > 0.0
     assert abs(float(jnp.mean(s2["P"][-1])) - 0.6) < 0.15
     assert bool(jnp.all(jnp.isfinite(s2["P"])))
+
+
+def test_culvert_boyd87_reference_values():
+    """Boyd-87 culvert hydraulics (modules/culvert/boyd87.c): spot
+    values generated by compiling and running the reference C source
+    (g=9.81; includes a non-converging outlet iteration whose
+    limit-cycle endpoint is iteration-count sensitive)."""
+    from gerris_tpu.physics import culvert as cv
+    g = 9.81
+    cases = [
+        (cv.Q_inlet_box(1.0, 1.0, 0.6, 1, g), 1.39549),
+        (cv.Q_inlet_box(2.5, 1.2, 1.2, 2, g), 5.16977),
+        (cv.Q_inlet_pipe(0.5, 0.6, 1, g), 0.273168),
+        (cv.Q_inlet_pipe(3.0, 1.2, 3, g), 5.15488),
+        (cv.Q_outlet_box(2.0, 0.5, 1.0, 0.8, 0.01, 20.0, 0.015, 0.5, g),
+         3.02206),
+        (cv.Q_outlet_pipe(2.0, 0.5, 0.9, 0.01, 20.0, 0.015, 0.5, g),
+         2.08742),
+        (cv.Q_box(2.0, 0.5, 1.0, 0.8, 1, 0.01, 20.0, 0.015, 0.5, g),
+         2.75138),
+        (cv.Q_pipe(2.0, 0.5, 0.9, 1, 0.01, 20.0, 0.015, 0.5, g), 2.08742),
+        (cv.Q_box(0.4, 0.1, 1.0, 0.8, 3, 0.005, 15.0, 0.02, 0.9, g),
+         0.190338),
+        (cv.Q_pipe(1.1, 0.9, 0.9, 2, 0.0, 10.0, 0.013, 0.2, g), 1.04937),
+    ]
+    for got, want in cases:
+        assert abs(got - want) / want < 1e-4, (got, want)
+
+
+def test_source_culvert_two_basins():
+    """SourceCulvert on a two-basin GfsRiver domain: water drains from
+    the high basin to the low one through the culvert; total volume is
+    conserved and the head difference decreases monotonically."""
+    from gerris_tpu.physics import culvert as cv
+    from gerris_tpu.models.simulation import Time
+
+    n = 32
+    L = 100.0
+    cfg = river.RiverConfig(shape=(n, n), L=L, g=9.81, dry=1e-6)
+    x = (np.arange(n) + 0.5) / n - 0.5
+    X, Y = np.meshgrid(x * L, x * L, indexing="ij")
+    # central wall splits the domain; basins at different levels
+    zb = np.where(np.abs(X) < 5.0, 10.0, 0.0)
+    P0 = np.where(X < 0.0, 3.0, 1.0) * (np.abs(X) >= 5.0)
+    pipe = cv.SourceCulvert(start=(-10.0, 0.0), end=(10.0, 0.0),
+                            diameter=1.0, type="box", B=2.0,
+                            entrance=1, n=0.015, ke=0.5)
+    sim = river.RiverSimulation(cfg, time=Time(end=20.0, dtmax=0.5),
+                                events=[pipe])
+    sim.init(P=jnp.asarray(P0), Zb=jnp.asarray(zb))
+    vol0 = float(jnp.sum(sim.state["P"]))
+    h1_0 = float(sim.state["P"][8, 16])
+    sim.run(max_steps=200)
+    vol1 = float(jnp.sum(sim.state["P"]))
+    h1_1 = float(sim.state["P"][8, 16])
+    assert pipe.Q != 0.0                      # discharge engaged
+    assert abs(vol1 - vol0) / vol0 < 1e-10    # pipe conserves volume
+    assert h1_1 < h1_0                        # high basin drains
+    assert np.isfinite(np.asarray(sim.state["P"])).all()
