@@ -165,5 +165,7 @@ GfsBox {}
     from gerris_tpu.events.outputs import sim_field
     for nm in ("K", "Kmax"):
         v = np.asarray(sim_field(sim, nm))
-        b = v[band & np.isfinite(v)]
-        assert b.size and np.abs(np.abs(b) - 4.0).max() < 0.6, nm
+        # sim_field maps unreached (NODATA) cells to 0 — compare only
+        # cells the 2 diffusion passes populated
+        b = v[band & (np.abs(v) > 0.1)]
+        assert b.size > 100 and np.abs(np.abs(b) - 4.0).max() < 0.6, nm
