@@ -344,3 +344,85 @@ def test_blockrt_cell_dia_matches_dense():
         m = jnp.asarray(leaf[l])
         err = float(jnp.max(jnp.abs(jnp.where(m, u_b[l] - u_d[l], 0.0))))
         assert err / gscale < 0.08, (l, err, gscale)
+
+
+@pytest.mark.slow
+def test_twophase_amr_solves_walltime_scale_with_leaves():
+    """VERDICT r3 item 3 'Done' gate: with the variable-coefficient
+    block engine, the SOLVE phases of a two-phase composite step
+    (projection systems with 1000x face-coefficient jumps + the
+    variable-density diffusion Helmholtz pair) cost O(leaves).  Between
+    ring meshes at lmax=8 and lmax=9 the leaves grow ~2x while the
+    uniform domain grows 4x; the measured solve walltime must track
+    the former.  (The advection/sync phases remain dense per level —
+    their cost is leaf-INDEPENDENT at fixed lmax, so the step total is
+    gated by the solves.)"""
+    import time as _time
+    from gerris_tpu.solvers import amr as amrs
+    from gerris_tpu.solvers.amr import Topo
+    from gerris_tpu.solvers.composite import CompositeGrid
+
+    fbc = bcs.FieldBC.uniform(bcs.Neumann(), 2)
+    times = {}
+    actives = {}
+    for lmax in (8, 9):
+        lmin = 4
+        base = Grid(level=lmin, dim=2)
+        topo = Topo(base=base, lmin=lmin, lmax=lmax)
+        D = ring_depth(lmin, lmax)
+        leaf = CompositeGrid.from_depth_map(base, lmax, D,
+                                            graded=True).leaf_arrays()
+        rt, tables, mesh = blockrt.make_blockrt(base, lmax, D, B=8)
+        # two-phase-style coefficients: 1000x jump across the ring
+        gf = topo.grid(lmax)
+        x, y = gf.centers
+        T = jnp.where(jnp.sqrt(x ** 2 + y ** 2) < 0.3, 1.0, 0.0)
+        rho = {lmax: (1e-3 + (1.0 - 1e-3) * T)}
+        # harmonic-mean face alpha from rho (1000x jump at the circle)
+        af = []
+        for c in range(2):
+            pad = jnp.pad(rho[lmax], [(1, 1) if a == c else (0, 0)
+                                      for a in range(2)], mode="edge")
+            lo = pad[tuple(slice(0, -1) if a == c else slice(None)
+                           for a in range(2))]
+            hi = pad[tuple(slice(1, None) if a == c else slice(None)
+                           for a in range(2))]
+            af.append(2.0 / (lo + hi))
+        alpha = {lmax: tuple(af)}
+        dia = {lmax: rho[lmax] * 20.0}
+        for l in range(lmax - 1, lmin - 1, -1):
+            alpha[l] = poisson.coarsen_face_coeff(alpha[l + 1], 2)
+            rho[l] = poisson.restrict(rho[l + 1], 2)
+            dia[l] = poisson.restrict(dia[l + 1], 2)
+        rhs = {l: jnp.sin(2 * math.pi * topo.grid(l).centers[0])
+               for l in topo.levels}
+        params = poisson.MultilevelParams(ncycles=3, nrelax=4)
+
+        def solves(rhs, tables):
+            # the two projections + the U,V diffusion pair of one step
+            p1, _, _ = amrs.solve_block(rhs, topo, leaf, fbc, params,
+                                        rt, tables, alpha=alpha)
+            p2, _, _ = amrs.solve_block(rhs, topo, leaf, fbc, params,
+                                        rt, tables, alpha=alpha)
+            d1, _, _ = amrs.solve_block(rhs, topo, leaf, fbc, params,
+                                        rt, tables, dia=dia)
+            d2, _, _ = amrs.solve_block(rhs, topo, leaf, fbc, params,
+                                        rt, tables, dia=dia)
+            return p1[lmax] + p2[lmax] + d1[lmax] + d2[lmax]
+
+        run = jax.jit(solves)
+        out = run(rhs, tables)
+        jax.block_until_ready(out)
+        best = math.inf
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            out = run(rhs, tables)
+            jax.block_until_ready(out)
+            best = min(best, _time.perf_counter() - t0)
+        times[lmax] = best
+        actives[lmax] = mesh.n_active()
+    growth = times[9] / times[8]
+    leaf_growth = actives[9] / actives[8]
+    print(f"two-phase solves time {times} active {actives}: "
+          f"x{growth:.2f} vs leaves x{leaf_growth:.2f} (uniform x4)")
+    assert growth < 3.0, (times, actives)
