@@ -772,6 +772,136 @@ def _rr_core(s, u_hbm, rhs_hbm, dia, sub, or0, or1, or2, ub, rb, sem, *,
         or2[:, :] = r2
 
 
+def _resid_restrict_div_kernel(u_hbm, ux_hbm, uy_hbm, scal_ref,
+                               or0, or1, or2, ub, uxb, uyb, sem, *,
+                               n0, n1, S, h2,
+                               sgn_x_lo, sgn_x_hi, sgn_y_lo, sgn_y_hi,
+                               periodic_x, periodic_y,
+                               off_x_lo, off_x_hi, off_y_lo, off_y_hi):
+    """residual_restrict with the MAC-divergence rhs computed IN-KERNEL
+    from the face arrays (round-3 lever (a)): rhs = div(uf)/(h dt) so
+    the separate divergence_mac launch disappears from the projection.
+    ``ux`` arrives GP-row-padded (face k at row k+GP, projops layout);
+    ``uy`` width-padded to a 128 multiple.  scal = [dia, sub, scale]."""
+    s = pl.program_id(0)
+    dia = scal_ref[0]
+    sub = scal_ref[1]
+    scale = scal_ref[2]                  # 1 / (h dt)
+    start = pl.multiple_of(s * S, GP)
+    W = S
+    _copy_rows(u_hbm, ub, GP, start, W, n0, sem.at[0])
+    cpx = pltpu.make_async_copy(
+        ux_hbm.at[pl.ds(start, W + 2 * GP), :],
+        uxb.at[pl.ds(0, W + 2 * GP), pl.ds(CP, ux_hbm.shape[1])],
+        sem.at[1])
+    cpx.start()
+    cpy = pltpu.make_async_copy(
+        uy_hbm.at[pl.ds(start, W), :],
+        uyb.at[pl.ds(0, W), pl.ds(CP, uy_hbm.shape[1])], sem.at[2])
+    cpy.start()
+    first = start == 0
+    last = start + W == n0
+    lo, hi = GP, GP + W
+    cl, ch = CP, CP + n1
+
+    @pl.when(jnp.logical_not(first) | periodic_x)
+    def _():
+        _copy_rows(u_hbm, ub, 0, start - GP, GP, n0, sem.at[0])
+
+    @pl.when(jnp.logical_not(last) | periodic_x)
+    def _():
+        _copy_rows(u_hbm, ub, GP + W, start + W, GP, n0, sem.at[0])
+
+    cpx.wait()
+    cpy.wait()
+    _ghosts_y(ub, cl, ch, periodic_y, sgn_y_lo, sgn_y_hi,
+              off_y_lo, off_y_hi)
+
+    if not periodic_x:
+        @pl.when(first)
+        def _():
+            ub[lo - 1:lo, :] = sgn_x_lo * ub[lo:lo + 1, :] + off_x_lo
+
+        @pl.when(last)
+        def _():
+            ub[hi:hi + 1, :] = sgn_x_hi * ub[hi - 1:hi, :] + off_x_hi
+
+    # rhs = MAC divergence / dt (the _kern_div stencil, projops.py):
+    # cell r of this strip has x-faces at buffer rows r+GP, r+GP+1
+    ux = uxb[:, CP:CP + n1]
+    dux = ux[GP + 1:GP + W + 1, :] - ux[GP:GP + W, :]
+    uy = uyb[:, CP:CP + n1 + 1]
+    duy = uy[:, 1:n1 + 1] - uy[:, 0:n1]
+    rhs = (dux + duy[0:W, :]) * scale
+
+    c = ub[lo:hi, cl:ch]
+    nb = (ub[lo - 1:hi - 1, cl:ch] + ub[lo + 1:hi + 1, cl:ch] +
+          ub[lo:hi, cl - 1:ch - 1] + ub[lo:hi, cl + 1:ch + 1])
+    r = rhs - sub - (nb - 4.0 * c) / h2 + dia * c
+    r1 = _lane_pool(_row_pool(r))
+    r2 = _lane_pool(_row_pool(r1))
+    or0[:, :] = r
+    or1[:, :] = r1
+    or2[:, :] = r2
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("h2", "signs", "offs", "periodic",
+                                    "S", "interpret"))
+def residual_restrict_div(u, ufx, ufy, dtm, dia=0.0, sub=0.0, *,
+                          h2: float,
+                          signs=(-1.0, -1.0, -1.0, -1.0),
+                          offs=(0.0, 0.0, 0.0, 0.0),
+                          periodic=(False, False), S: int = 256,
+                          interpret: bool = False):
+    """(r0, r1, r2) of the MAC-projection system with the divergence
+    rhs formed in-kernel from the face velocities: r0 = div(uf)/dt -
+    sub - L(u) + dia*u (one launch replaces divergence_mac +
+    residual_restrict).  ``dtm`` = dt * h (the divergence scale is
+    1/(h*dt))."""
+    n0, n1 = u.shape
+    if n0 % S or S % 4:
+        S = n0
+    nstrips = n0 // S
+    sx_lo, sx_hi, sy_lo, sy_hi = signs
+    uxp = jnp.pad(ufx, ((GP, 2 * GP - 1), (0, 0)))
+    n1p = n1 + 1 + ((-(n1 + 1)) % CP)
+    uyp = jnp.pad(ufy, ((0, 0), (0, n1p - (n1 + 1))))
+    kern = functools.partial(
+        _resid_restrict_div_kernel, n0=n0, n1=n1, S=S, h2=h2,
+        sgn_x_lo=sx_lo, sgn_x_hi=sx_hi, sgn_y_lo=sy_lo, sgn_y_hi=sy_hi,
+        periodic_x=periodic[0], periodic_y=periodic[1],
+        off_x_lo=offs[0], off_x_hi=offs[1],
+        off_y_lo=offs[2], off_y_hi=offs[3])
+    scal = jnp.stack([jnp.asarray(dia, u.dtype),
+                      jnp.asarray(sub, u.dtype),
+                      1.0 / jnp.asarray(dtm, u.dtype)])
+    return pl.pallas_call(
+        kern,
+        grid=(nstrips,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(pl.BlockSpec((S, n1), lambda s: (s, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((S // 2, n1 // 2), lambda s: (s, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((S // 4, n1 // 4), lambda s: (s, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((n0, n1), u.dtype),
+                   jax.ShapeDtypeStruct((n0 // 2, n1 // 2), u.dtype),
+                   jax.ShapeDtypeStruct((n0 // 4, n1 // 4), u.dtype)),
+        scratch_shapes=[
+            pltpu.VMEM((GP + S + GP, CP + n1 + CP), u.dtype),
+            pltpu.VMEM((S + 2 * GP, CP + n1 + CP), u.dtype),
+            pltpu.VMEM((S, CP + n1p + CP), u.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(u, uxp, uyp, scal)
+
+
 def _resid_restrict_kernel_pair(u0, rhs0, u1, rhs1, scal_ref,
                                 o00, o01, o02, o10, o11, o12,
                                 ub, rb, sem, *, n0, n1, S, h2,

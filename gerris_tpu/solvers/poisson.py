@@ -75,6 +75,12 @@ class MultilevelParams:
     # CPU runs cap this at 1024 (trace-time eigh of 4096 unknowns costs
     # minutes of host time)
     dense_coarse_max: int = 4096
+    # fold the MAC-divergence rhs into the first fused-cycle kernel
+    # (round-3 lever (a): -1 launch per projection).  Only effective on
+    # the fixed-1-cycle fused Pallas path with no-flux/periodic
+    # boundaries (the compatibility mean is analytically zero there; the
+    # f32 roundoff mean is projected out by the dense coarse eigensolve).
+    fold_div: bool = False
 
 
 # -----------------------------------------------------------------------------
@@ -659,6 +665,54 @@ def fused_cycle(u, rhs, grid: Grid, fbc: bcs.FieldBC,
                       periodic_y=fbc.is_periodic(1), add_u=True,
                       pre_rep=True, omega=params.omega)
     return u, r0
+
+
+def solve_fused_div(u, ufx, ufy, grid: Grid, fbc: bcs.FieldBC,
+                    params: MultilevelParams, dt, dia=None):
+    """Fixed-1-cycle fused solve of the MAC projection with the
+    divergence rhs formed IN-KERNEL from the face velocities
+    (ops/pallas/rbgs.residual_restrict_div — one launch replaces
+    divergence_mac + residual_restrict).  The pure-Neumann
+    compatibility mean is analytically zero for no-flux/periodic
+    boundaries, so sub = 0 (the f32 roundoff mean lands in the dense
+    coarse eigensolve's projected-out nullspace)."""
+    from ..ops.pallas.rbgs import (residual_restrict_div,
+                                   cascade_prolong_relax, prolong_relax)
+
+    if _pallas_relax_applicable(u, grid, fbc, None, dia, True):
+        params = dataclasses.replace(
+            params, nrelax=max(params.nrelax, params.tpu_nrelax),
+            coarsest_relax=max(params.coarsest_relax,
+                               2 * params.tpu_nrelax))
+    signs, offs = _signs_offs(grid, fbc, homogeneous=False)
+    d = dia if dia is not None else 0.0
+    r0, r1, r2 = residual_restrict_div(
+        u, ufx, ufy, dt * grid.h, d, 0.0, h2=grid.h * grid.h,
+        signs=signs, offs=offs, periodic=(False, fbc.is_periodic(1)))
+    nrelax = params.nrelax
+    rep = cascade_prolong_relax(
+        r1, r2, d, nsweeps=nrelax,
+        coarsest=max(params.coarsest_relax, 40),
+        h2_half=4.0 * grid.h * grid.h, signs=signs,
+        per_y=fbc.is_periodic(1), min_n=16, omega=params.omega)
+    u = prolong_relax(rep, r0, d, u, nsweeps=nrelax,
+                      h2=grid.h * grid.h, signs=signs,
+                      periodic_y=fbc.is_periodic(1), add_u=True,
+                      pre_rep=True, omega=params.omega)
+    return u, SolveStats(niter=jnp.asarray(1),
+                         residual_before=norms(r0),
+                         residual_after=norms(r0))
+
+
+def fold_div_eligible(u, grid: Grid, fbc: bcs.FieldBC,
+                      params: MultilevelParams) -> bool:
+    """solve_fused_div applicability: the 1-cycle fused path with pure
+    Neumann/periodic pressure BCs (analytic zero compatibility mean)."""
+    return (params.fold_div and params.ncycles == 1
+            and params.solver == "multigrid"
+            and not any(b.kind == bcs.DIRICHLET
+                        for ax in fbc.sides for b in ax)
+            and _fused_cycle_eligible(u, grid, fbc, None, None))
 
 
 def batched_fixed_eligible(us, grid: Grid, fbcs, dias) -> bool:

@@ -58,6 +58,38 @@ def cell_gradient_from_faces(gf: list, grid: Grid) -> list:
     return out
 
 
+def _mac_correct(u_face, p, grid: Grid, p_bc, dt, stats, face_sources,
+                 cells):
+    """Post-solve correction tail shared by mac_projection and the
+    folded-divergence fast path: the single-launch correct_project
+    kernel when applicable, else the jnp chain."""
+    from ..ops.pallas import bcg as _bcg
+    from ..ops.pallas import projops as _projops
+    if (face_sources is None and grid.dim == 2
+            and _bcg.applicable(p, grid)):
+        spec = _bcg.kernel_spec(p_bc)
+        if spec is not None:
+            if cells is not None:
+                ufx, ufy, gx, gy, u2, v2 = _projops.correct_project(
+                    p, u_face[0], u_face[1], dt, grid.h,
+                    tuple(cells), sgn=spec["sgn"], off=spec["off"],
+                    per_y=spec["per_y"])
+                return [ufx, ufy], p, [gx, gy], stats, [u2, v2]
+            ufx, ufy, gx, gy = _projops.correct_project(
+                p, u_face[0], u_face[1], dt, grid.h,
+                sgn=spec["sgn"], off=spec["off"], per_y=spec["per_y"])
+            return [ufx, ufy], p, [gx, gy], stats
+    gf = face_gradients(p, grid, p_bc, None)
+    u_face = [u_face[c] - dt * gf[c] for c in range(grid.dim)]
+    if face_sources is not None:
+        gf = [gf[c] - face_sources[c] for c in range(grid.dim)]
+    g_cell = cell_gradient_from_faces(gf, grid)
+    if cells is not None:
+        cells = [cells[c] - dt * g_cell[c] for c in range(grid.dim)]
+        return u_face, p, g_cell, stats, cells
+    return u_face, p, g_cell, stats
+
+
 def mac_projection(u_face: list, p: jnp.ndarray, grid: Grid,
                    p_bc: bcs.FieldBC, dt,
                    params: poisson.MultilevelParams,
@@ -94,6 +126,16 @@ def mac_projection(u_face: list, p: jnp.ndarray, grid: Grid,
     div_total = None
     if face_frac is None:
         from ..ops.pallas import bcg as _bcg
+        if (not packed and alpha is None and div_source is None
+                and grid.dim == 2 and _bcg.applicable(p, grid)
+                and poisson.fold_div_eligible(p, grid, p_bc, params)):
+            # round-3 lever (a): the divergence launch folds into the
+            # solve's first kernel (rhs from faces in-kernel)
+            u_face = as_pair(u_face)
+            p, stats = poisson.solve_fused_div(
+                p, u_face[0], u_face[1], grid, p_bc, params, dt)
+            return _mac_correct(u_face, p, grid, p_bc, dt, stats,
+                                face_sources, cells)
         if grid.dim == 2 and _bcg.applicable(p, grid):
             from ..ops.pallas import projops as _projops
             if packed:

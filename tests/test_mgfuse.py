@@ -340,3 +340,96 @@ def test_solve_relax_and_pair_match():
         d = float(jnp.max(jnp.abs(o2[b] - outs[b])))
         s = float(jnp.max(jnp.abs(outs[b]))) + 1e-30
         assert d / s < 1e-4, (b, d)
+
+
+@pytest.mark.parametrize("per_y", [False, True])
+def test_residual_restrict_div_matches_composition(per_y):
+    """Fold (a): the in-kernel MAC-divergence rhs variant equals
+    divergence/dt fed to the plain residual_restrict kernel."""
+    from gerris_tpu.ops.stencils import divergence
+
+    grid = Grid(level=8, dim=2)
+    n = grid.shape[0]
+    if per_y:
+        fbc = bcs.FieldBC(((bcs.Neumann(), bcs.Neumann()),
+                           (bcs.Periodic(), bcs.Periodic())))
+        signs = (1.0, 1.0, 1.0, 1.0)
+    else:
+        fbc = bcs.FieldBC.uniform(bcs.Neumann(), 2)
+        signs = (1.0, 1.0, 1.0, 1.0)
+    offs = (0.0, 0.0, 0.0, 0.0)
+    key = jax.random.PRNGKey(3)
+    k1, k2, k3 = jax.random.split(key, 3)
+    ufx = jax.random.normal(k1, grid.face_shape(0))
+    ufy = jax.random.normal(k2, grid.face_shape(1))
+    u = jax.random.normal(k3, grid.shape)
+    dt = 0.37
+    dia, sub = 0.0, 0.11
+    rhs = divergence([ufx, ufy], grid) / dt
+    ref = rbgs.residual_restrict(
+        u, rhs, dia, sub, h2=grid.h ** 2, signs=signs, offs=offs,
+        periodic=(False, per_y), interpret=True)
+    got = rbgs.residual_restrict_div(
+        u, ufx, ufy, dt * grid.h, dia, sub, h2=grid.h ** 2,
+        signs=signs, offs=offs, periodic=(False, per_y), interpret=True)
+    for a, b in zip(ref, got):
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-9
+
+
+def test_fold_div_removes_divergence_launches():
+    """params.fold_div folds the MAC-divergence launch of BOTH
+    projections into the solve's first kernel (round-3 lever (a)):
+    tracing the TPU step with a mocked backend, solve_fused_div serves
+    both projections and divergence_mac disappears.  (Launch counting
+    by jaxpr text is unreliable — repeated sub-jaxprs print once — so
+    the gate spies the dispatch sites.)"""
+    import functools
+    import unittest.mock as mock
+    from gerris_tpu.models import ns
+    from gerris_tpu.ops.pallas import projops
+    import dataclasses
+
+    grid = Grid(level=9, dim=2)
+    u_bc = bcs.FieldBC.make(2, default=bcs.Dirichlet(0.0),
+                            top=bcs.Dirichlet(1.0))
+    v_bc = bcs.FieldBC.uniform(bcs.Dirichlet(0.0), 2)
+
+    def trace(fold):
+        mp = poisson.MultilevelParams(tolerance=1e-3, nitermax=100,
+                                      ncycles=1, fold_div=fold,
+                                      dense_coarse_max=1024)
+        cfg = ns.NSConfig(grid=grid, u_bcs=(u_bc, v_bc), nu=1e-3,
+                          beta=1.0, projection=mp, approx_projection=mp,
+                          diffusion_params=dataclasses.replace(
+                              mp, nrelax=8, fold_div=False))
+        z = jnp.zeros(grid.shape, jnp.float32)
+        names = list(ns.velocity_names(2)) + ["P", "Pmac"] + \
+            list(ns.gradient_names(2))
+        state = {n: z for n in names}
+        calls = {"fused": 0, "divmac": 0}
+        orig_f = poisson.solve_fused_div
+        orig_d = projops.divergence_mac
+        try:
+            def spy_f(*a, **k):
+                calls["fused"] += 1
+                return orig_f(*a, **k)
+
+            def spy_d(*a, **k):
+                calls["divmac"] += 1
+                return orig_d(*a, **k)
+            poisson.solve_fused_div = spy_f
+            projops.divergence_mac = spy_d
+            with mock.patch.object(jax, "default_backend",
+                                   lambda: "tpu"):
+                jax.make_jaxpr(functools.partial(ns.ns_step, cfg=cfg))(
+                    state, jnp.float32(0.5 * grid.h), jnp.float32(0.0))
+        finally:
+            poisson.solve_fused_div = orig_f
+            projops.divergence_mac = orig_d
+        return calls
+
+    off = trace(False)
+    on = trace(True)
+    print(f"fold off {off} on {on}")
+    assert off == {"fused": 0, "divmac": 2}, off
+    assert on == {"fused": 2, "divmac": 0}, on
