@@ -92,8 +92,13 @@ def main():
     # probe (L9-L10) and the fixed-vs-adaptive honesty check below.
     omega = float(os.environ.get("GERRIS_OMEGA", "1.5"))
     nr5 = int(os.environ.get("GERRIS_TPU_NRELAX", "5"))
+    # GERRIS_FOLD_DIV=1: A/B the folded-divergence projection kernels
+    # (a COLD compile through the remote tunnel, ~minutes; the default
+    # program is byte-identical to the cached round-3 one)
+    fold = bool(int(os.environ.get("GERRIS_FOLD_DIV", "0")))
     mp1 = poisson.MultilevelParams(tolerance=1e-3, nitermax=100, ncycles=1,
-                                   omega=omega, tpu_nrelax=nr5)
+                                   omega=omega, tpu_nrelax=nr5,
+                                   fold_div=fold)
     mp3 = dataclasses.replace(mp1, ncycles=3)
     # diffusion: the fused 3-launch MG chain.  (A relax-only schedule
     # needs ~20 fine sweeps to meet tolerance at 2048^2 — measured 85M
