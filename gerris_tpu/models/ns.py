@@ -129,6 +129,11 @@ class NSConfig:
     # materialize VariableFiltered derived fields).
     nu_var: object = None
     nu_var_fields: tuple = ()
+    # one shared-DMA launch for both components' BCG advections in the
+    # batched-diffusion fast path (round-3 lever (c)); default OFF so
+    # the production program stays byte-identical to the cached one
+    # until the A/B lands
+    pair_advect: bool = False
 
     def __post_init__(self):
         if self.p_bc is None:
@@ -224,6 +229,24 @@ def velocity_advection_diffusion(U: list, uf: list, gmac: list, g_prev,
             dia = 1.0 / (cfg.beta * dt * cfg.nu)
             from ..ops.pallas.facepack import FacePack
             fp = isinstance(uf, FacePack)
+            if cfg.pair_advect and not fp and plain:
+                # round-3 lever (c): one launch for both components'
+                # advections (shared MAC-face DMAs)
+                su, sv = specs
+                v0, v1 = bcg.advect2d_pair(
+                    U[0], U[1], uf[0], uf[1], dt, grid.h,
+                    g0=gmac[0], g1=gmac[1],
+                    gp0=g_prev[0] if g_prev is not None else None,
+                    gp1=g_prev[1] if g_prev is not None else None,
+                    oscale=-dia,
+                    sgns=(su["sgn"], sv["sgn"]),
+                    offs=(su["off"], sv["off"]), per_y=su["per_y"],
+                    fbxs=(su["fb_x"], None),
+                    fbys=(None, sv["fb_y"]))
+                out, _ = diff.diffuse_pair(
+                    U, grid, list(cfg.u_bcs), dt, cfg.nu, cfg.beta,
+                    cfg.diffusion_params, rhss=[v0, v1], t=t)
+                return out
             vals = []
             for c in range(dim):
                 spec = specs[c]

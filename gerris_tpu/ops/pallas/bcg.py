@@ -53,28 +53,17 @@ def _dma(src, dst, dst_row0, start, nrows, sem):
     return cp
 
 
-def _kernel(dt_ref, v_hbm, ux_hbm, uy_hbm, g_hbm, gp_hbm, out_ref,
-            vb, uxb, uyb, gb, gpb, sem, *,
-            n0, n1, S, H, nstrips, sgn, off, per_y, fb_x, fb_y, use_g,
-            use_gp, use_os):
-    s = pl.program_id(0)
+def _advect_core(s, dt_ref, vb, uxb, uyb, gb, gpb, out_ref, *,
+                 n0, n1, S, H, nstrips, sgn, off, per_y, fb_x, fb_y,
+                 use_g, use_gp, use_os):
+    """Everything after the DMAs for ONE advected field (ghost fill +
+    the strip body) — shared by the single-field kernel and the U+V
+    pair kernel (which reuses the ux/uy buffers across fields)."""
     W = S + 2 * H
     dt_h = dt_ref[0, 0]               # dt / h
     gscale = dt_ref[0, 1]             # h / 2 (g prescale, in-kernel)
     dt_full = dt_ref[0, 2]            # dt (for the cell-wise gp term)
     oscale = dt_ref[0, 3]             # output scale (rhs mode)
-
-    rstart = pl.multiple_of(jnp.clip(s * S - H, 0, n0 - W), GP)
-    cps = [_dma(v_hbm, vb, 0, rstart, W, sem.at[0]),
-           _dma(ux_hbm, uxb, 0, rstart, W + 2 * GP, sem.at[1]),
-           _dma(uy_hbm, uyb, 0, rstart, W, sem.at[2])]
-    if use_g:
-        cps.append(_dma(g_hbm, gb, 0, rstart, W, sem.at[3]))
-    if use_gp:
-        cps.append(_dma(gp_hbm, gpb, 0, rstart, W, sem.at[4]))
-    for cp in cps:
-        cp.wait()
-
     cl, ch = CP, CP + n1
 
     # ---- ghost columns of v (y BCs), 2 deep, written into vb so the
@@ -225,6 +214,131 @@ def _kernel(dt_ref, v_hbm, ux_hbm, uy_hbm, g_hbm, gp_hbm, out_ref,
         @pl.when(s == nstrips - 1)
         def _():
             body(2 * H, False, True)
+
+
+
+
+def _kernel(dt_ref, v_hbm, ux_hbm, uy_hbm, g_hbm, gp_hbm, out_ref,
+            vb, uxb, uyb, gb, gpb, sem, *,
+            n0, n1, S, H, nstrips, sgn, off, per_y, fb_x, fb_y, use_g,
+            use_gp, use_os):
+    s = pl.program_id(0)
+    W = S + 2 * H
+    rstart = pl.multiple_of(jnp.clip(s * S - H, 0, n0 - W), GP)
+    cps = [_dma(v_hbm, vb, 0, rstart, W, sem.at[0]),
+           _dma(ux_hbm, uxb, 0, rstart, W + 2 * GP, sem.at[1]),
+           _dma(uy_hbm, uyb, 0, rstart, W, sem.at[2])]
+    if use_g:
+        cps.append(_dma(g_hbm, gb, 0, rstart, W, sem.at[3]))
+    if use_gp:
+        cps.append(_dma(gp_hbm, gpb, 0, rstart, W, sem.at[4]))
+    for cp in cps:
+        cp.wait()
+
+    _advect_core(s, dt_ref, vb, uxb, uyb, gb, gpb, out_ref,
+                 n0=n0, n1=n1, S=S, H=H, nstrips=nstrips, sgn=sgn,
+                 off=off, per_y=per_y, fb_x=fb_x, fb_y=fb_y,
+                 use_g=use_g, use_gp=use_gp, use_os=use_os)
+
+
+def _kernel_pair(dt_ref, v0_hbm, v1_hbm, ux_hbm, uy_hbm, g0_hbm,
+                 g1_hbm, gp0_hbm, gp1_hbm, o0_ref, o1_ref,
+                 v0b, v1b, uxb, uyb, g0b, g1b, gp0b, gp1b, sem, *,
+                 n0, n1, S, H, nstrips, per_y,
+                 sgn0, off0, fb_x0, fb_y0, sgn1, off1, fb_x1, fb_y1,
+                 use_g, use_gp, use_os):
+    """Both velocity components' BCG corrector advections in ONE launch
+    sharing the MAC-face DMAs (round-3 lever (c): the U and V advect2d
+    calls of the batched-diffusion fast path read identical ufx/ufy)."""
+    s = pl.program_id(0)
+    W = S + 2 * H
+    rstart = pl.multiple_of(jnp.clip(s * S - H, 0, n0 - W), GP)
+    cps = [_dma(v0_hbm, v0b, 0, rstart, W, sem.at[0]),
+           _dma(v1_hbm, v1b, 0, rstart, W, sem.at[1]),
+           _dma(ux_hbm, uxb, 0, rstart, W + 2 * GP, sem.at[2]),
+           _dma(uy_hbm, uyb, 0, rstart, W, sem.at[3])]
+    if use_g:
+        cps.append(_dma(g0_hbm, g0b, 0, rstart, W, sem.at[4]))
+        cps.append(_dma(g1_hbm, g1b, 0, rstart, W, sem.at[5]))
+    if use_gp:
+        cps.append(_dma(gp0_hbm, gp0b, 0, rstart, W, sem.at[6]))
+        cps.append(_dma(gp1_hbm, gp1b, 0, rstart, W, sem.at[7]))
+    for cp in cps:
+        cp.wait()
+    _advect_core(s, dt_ref, v0b, uxb, uyb, g0b, gp0b, o0_ref,
+                 n0=n0, n1=n1, S=S, H=H, nstrips=nstrips, sgn=sgn0,
+                 off=off0, per_y=per_y, fb_x=fb_x0, fb_y=fb_y0,
+                 use_g=use_g, use_gp=use_gp, use_os=use_os)
+    _advect_core(s, dt_ref, v1b, uxb, uyb, g1b, gp1b, o1_ref,
+                 n0=n0, n1=n1, S=S, H=H, nstrips=nstrips, sgn=sgn1,
+                 off=off1, per_y=per_y, fb_x=fb_x1, fb_y=fb_y1,
+                 use_g=use_g, use_gp=use_gp, use_os=use_os)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "sgns", "offs", "per_y", "fbxs",
+                              "fbys", "S", "interpret"))
+def advect2d_pair(v0, v1, ufx, ufy, dt, h, g0=None, g1=None,
+                  gp0=None, gp1=None, oscale=None, *,
+                  sgns, offs, per_y=False, fbxs=(None, None),
+                  fbys=(None, None), S=32, interpret=False):
+    """Both velocity components' advection increments in ONE launch
+    sharing the MAC-face DMAs (round-3 lever (c)).  Per-field statics:
+    ``sgns``/``offs``/``fbxs``/``fbys`` are (field0, field1) tuples of
+    the advect2d encodings.  g/gp/oscale folds as in advect2d, applied
+    to both fields (either both give g or neither, same for gp)."""
+    n0, n1 = v0.shape
+    H = GP
+    if n0 % S or n0 < S + 2 * H:
+        S = n0
+        H = 0
+    W = S + 2 * H
+    nstrips = n0 // S
+    uxp = jnp.pad(ufx, ((GP, 2 * GP - 1), (0, 0)))
+    ypad = (-(n1 + 1)) % CP
+    uyp = jnp.pad(ufy, ((0, 0), (0, ypad))) if ypad else ufy
+    dt_arr = jnp.stack([
+        jnp.asarray(dt, v0.dtype) / h,
+        jnp.asarray(h, v0.dtype) / 2.0,
+        jnp.asarray(dt, v0.dtype),
+        jnp.asarray(0.0 if oscale is None else oscale, v0.dtype),
+    ]).reshape(1, 4)
+    use_g = g0 is not None
+    use_gp = gp0 is not None
+    use_os = oscale is not None
+    zg = jnp.zeros((GP, n1), v0.dtype)
+    kern = functools.partial(
+        _kernel_pair, n0=n0, n1=n1, S=S, H=H, nstrips=nstrips,
+        per_y=per_y,
+        sgn0=tuple(sgns[0]), off0=tuple(offs[0]),
+        fb_x0=fbxs[0], fb_y0=fbys[0],
+        sgn1=tuple(sgns[1]), off1=tuple(offs[1]),
+        fb_x1=fbxs[1], fb_y1=fbys[1],
+        use_g=use_g, use_gp=use_gp, use_os=use_os)
+    vmem = lambda rows: pltpu.VMEM((rows, CP + n1 + CP), v0.dtype)
+    return pl.pallas_call(
+        kern,
+        grid=(nstrips,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.ANY)] * 8,
+        out_specs=(pl.BlockSpec((S, n1), lambda s: (s, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((S, n1), lambda s: (s, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((n0, n1), v0.dtype),
+                   jax.ShapeDtypeStruct((n0, n1), v0.dtype)),
+        scratch_shapes=[
+            vmem(W), vmem(W),                                 # v0, v1
+            pltpu.VMEM((W + 2 * GP, CP + n1 + CP), v0.dtype),  # ufx
+            pltpu.VMEM((W, CP + n1 + 1 + ypad + CP), v0.dtype),  # ufy
+            vmem(W if use_g else GP), vmem(W if use_g else GP),
+            vmem(W if use_gp else GP), vmem(W if use_gp else GP),
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
+        interpret=interpret,
+    )(dt_arr, v0, v1, uxp, uyp,
+      g0 if use_g else zg, g1 if use_g else zg,
+      gp0 if use_gp else zg, gp1 if use_gp else zg)
 
 
 def kernel_spec(fbc, with_face_bc: bool = False):

@@ -135,3 +135,39 @@ def test_advect2d_gp_oscale_folds():
                        oscale=jnp.float32(-3.0), **kw)
     d = float(jnp.max(jnp.abs(ref - out)))
     assert d < 1e-4, d
+
+
+def test_pair_kernel_matches_two_singles():
+    """advect2d_pair (one launch, shared MAC-face DMAs) == two advect2d
+    calls with the per-component BC encodings + gp/oscale folds."""
+    grid = Grid(level=6, dim=2)
+    u_bc = bcs.FieldBC.make(2, default=bcs.Dirichlet(0.0),
+                            top=bcs.Dirichlet(1.0))
+    v_bc = bcs.FieldBC.uniform(bcs.Dirichlet(0.0), 2)
+    su = bcg.kernel_spec(u_bc, with_face_bc=True)
+    sv = bcg.kernel_spec(v_bc, with_face_bc=True)
+    ks = jax.random.split(jax.random.PRNGKey(11), 7)
+    U = jax.random.normal(ks[0], grid.shape, jnp.float32)
+    V = jax.random.normal(ks[1], grid.shape, jnp.float32)
+    ufx = jax.random.normal(ks[2], (grid.n + 1, grid.n), jnp.float32)
+    ufy = jax.random.normal(ks[3], (grid.n, grid.n + 1), jnp.float32)
+    g0 = jax.random.normal(ks[4], grid.shape, jnp.float32)
+    g1 = jax.random.normal(ks[5], grid.shape, jnp.float32)
+    gp0 = jax.random.normal(ks[6], grid.shape, jnp.float32)
+    gp1 = -gp0
+    dt = jnp.float32(0.27 * grid.h)
+    osc = jnp.float32(-2.5)
+    r0 = bcg.advect2d(U, ufx, ufy, dt, grid.h, g0, gp=gp0, oscale=osc,
+                      sgn=su["sgn"], off=su["off"], per_y=su["per_y"],
+                      fb_x=su["fb_x"], fb_y=None, interpret=True)
+    r1 = bcg.advect2d(V, ufx, ufy, dt, grid.h, g1, gp=gp1, oscale=osc,
+                      sgn=sv["sgn"], off=sv["off"], per_y=sv["per_y"],
+                      fb_x=None, fb_y=sv["fb_y"], interpret=True)
+    p0, p1 = bcg.advect2d_pair(
+        U, V, ufx, ufy, dt, grid.h, g0=g0, g1=g1, gp0=gp0, gp1=gp1,
+        oscale=osc, sgns=(su["sgn"], sv["sgn"]),
+        offs=(su["off"], sv["off"]), per_y=su["per_y"],
+        fbxs=(su["fb_x"], None), fbys=(None, sv["fb_y"]),
+        interpret=True)
+    assert float(jnp.max(jnp.abs(p0 - r0))) == 0.0
+    assert float(jnp.max(jnp.abs(p1 - r1))) == 0.0
