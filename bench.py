@@ -96,6 +96,7 @@ def main():
     # (a COLD compile through the remote tunnel, ~minutes; the default
     # program is byte-identical to the cached round-3 one)
     fold = bool(int(os.environ.get("GERRIS_FOLD_DIV", "0")))
+    pair = bool(int(os.environ.get("GERRIS_PAIR_ADVECT", "0")))
     mp1 = poisson.MultilevelParams(tolerance=1e-3, nitermax=100, ncycles=1,
                                    omega=omega, tpu_nrelax=nr5,
                                    fold_div=fold)
@@ -117,7 +118,7 @@ def main():
     def make_cfg(mp, mpdiff):
         return ns.NSConfig(grid=grid, u_bcs=(u_bc, v_bc), nu=1e-3,
                            beta=1.0, projection=mp, approx_projection=mp,
-                           diffusion_params=mpdiff)
+                           diffusion_params=mpdiff, pair_advect=pair)
 
     cfg = make_cfg(mp1, mpd)
     cfg_warm = make_cfg(mp3, dataclasses.replace(mp3, solver="relax",
