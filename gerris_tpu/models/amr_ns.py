@@ -664,6 +664,12 @@ class AMRSimulation:
                  adapt: AdaptSpec = None, time=None, events=None):
         from .simulation import Time
         assert mesh is not None or adapt is not None
+        # embedded solids are not composed with the composite-AMR step
+        # (amr_step has no cut-cell phase); refuse loudly instead of
+        # silently dropping the solid (use the uniform Simulation, or
+        # Refine without Solid)
+        assert cfg.solid_phi is None and not cfg.moving_solid, \
+            "AMRSimulation does not support embedded solids yet"
         self.cfg = cfg
         if mesh is not None:
             # an empty finest level would silently discard VOF updates

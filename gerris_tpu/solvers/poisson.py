@@ -294,6 +294,22 @@ def relax(u: jnp.ndarray, rhs: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
                                 nsweeps=nsweeps, h2=h2, signs=signs,
                                 periodic=periodic, omega=omega,
                                 dia_cell=jnp.ndim(d) == 2)
+    # 3D TPU fast path: fused strip kernel on the 7-point stencil
+    # (ops/pallas/rbgs3d.py — VERDICT r3 item 9)
+    if (homogeneous and grid.dim == 3 and alpha is None
+            and (dia is None or jnp.ndim(dia) == 0)
+            and not any(b.kind == bcs.PERIODIC
+                        for ax in fbc.sides for b in ax)
+            and all(b.kind in (bcs.DIRICHLET, bcs.NEUMANN)
+                    for ax in fbc.sides for b in ax)):
+        from ..ops.pallas import rbgs3d
+        if rbgs3d.applicable3d(u):
+            signs3 = tuple(
+                -1.0 if fbc.sides[ax][sd].kind == bcs.DIRICHLET else 1.0
+                for ax in range(3) for sd in range(2))
+            return rbgs3d.rbgs_relax_3d(
+                u, rhs, dia if dia is not None else 0.0,
+                nsweeps=nsweeps, h2=h2, signs=signs3, omega=omega)
     red = _checkerboard(u.shape)
     d = 0.0 if dia is None else dia
     shifted = homogeneous or _bc_values_static(fbc)

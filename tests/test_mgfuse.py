@@ -433,3 +433,50 @@ def test_fold_div_removes_divergence_launches():
     print(f"fold off {off} on {on}")
     assert off == {"fused": 0, "divmac": 2}, off
     assert on == {"fused": 2, "divmac": 0}, on
+
+
+@pytest.mark.parametrize("kind", ["dirichlet", "neumann", "mixed"])
+def test_rbgs3d_matches_jnp(kind):
+    """3D fused RBGS strip kernel == the generic jnp relax (7-point
+    Laplacian + dia, homogeneous BCs), interpret mode."""
+    from gerris_tpu.ops.pallas import rbgs3d
+
+    grid = Grid(level=5, dim=3)      # 32^3
+    if kind == "dirichlet":
+        fbc = bcs.FieldBC.uniform(bcs.Dirichlet(0.0), 3)
+        signs = (-1.0,) * 6
+    elif kind == "neumann":
+        fbc = bcs.FieldBC.uniform(bcs.Neumann(), 3)
+        signs = (1.0,) * 6
+    else:
+        fbc = bcs.FieldBC(((bcs.Dirichlet(0.0), bcs.Neumann()),
+                           (bcs.Neumann(), bcs.Dirichlet(0.0)),
+                           (bcs.Dirichlet(0.0), bcs.Dirichlet(0.0))))
+        signs = (-1.0, 1.0, 1.0, -1.0, -1.0, -1.0)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    u = jax.random.normal(k1, grid.shape, jnp.float32)
+    rhs = jax.random.normal(k2, grid.shape, jnp.float32)
+    dia = jnp.float32(0.7)
+    nsweeps, omega = 3, 1.3
+    ref = poisson.relax(u, rhs, grid, fbc, nsweeps, dia=dia,
+                        homogeneous=True, omega=omega)
+    got = rbgs3d.rbgs_relax_3d(u, rhs, dia, nsweeps=nsweeps,
+                               h2=grid.h ** 2, signs=signs,
+                               omega=omega, interpret=True)
+    assert float(jnp.max(jnp.abs(ref - got))) < 1e-5
+
+
+def test_rbgs3d_strip_invariance():
+    """Strip decomposition must not change the result (halo >= 2*nsweeps
+    keeps the emitted interior exact)."""
+    from gerris_tpu.ops.pallas import rbgs3d
+
+    n = 64
+    k1, k2 = jax.random.split(jax.random.PRNGKey(9))
+    u = jax.random.normal(k1, (n, 32, 32), jnp.float32)
+    rhs = jax.random.normal(k2, (n, 32, 32), jnp.float32)
+    a = rbgs3d.rbgs_relax_3d(u, rhs, 0.0, nsweeps=2, h2=1e-3,
+                             S=n, interpret=True)
+    b = rbgs3d.rbgs_relax_3d(u, rhs, 0.0, nsweeps=2, h2=1e-3,
+                             S=16, interpret=True)
+    assert float(jnp.max(jnp.abs(a - b))) < 1e-6
