@@ -392,6 +392,7 @@ class ParsedSim:
     curvature_vars: list = field(default_factory=list)  # (K, tracer, Kmax)
     tension_css: list = field(default_factory=list)     # (tracer, sigma)
     solver_backend: Optional[str] = None  # GModule hypre/lis/agmg -> mgcg
+    pipes: list = field(default_factory=list)  # SourcePipe/Culvert entries
     tension: list = field(default_factory=list)       # (tracer, sigma)
     vof_tracers: list = field(default_factory=list)   # names
     tracers: list = field(default_factory=list)
@@ -861,6 +862,23 @@ def _parse_sim_body(sim: ParsedSim, toks, defines, strict: bool = False):
             sim.tension.append((tracer, sigma))
             i += 4 if i + 3 < n and toks[i + 3] not in "{}" and \
                 not _is_directive(toks[i + 3]) else 3
+        elif t in ("SourcePipe", "SourceCulvert", "GfsSourcePipe",
+                   "GfsSourceCulvert"):
+            # (x1,y1) (x2,y2) DIAMETER [{ type/entrance/B/n/ke }]
+            # (source_pipe_read src/river.c:1754 +
+            # gfs_source_culvert_read modules/culvert.c:117)
+            def _vec(tok):
+                return tuple(float(v) for v in
+                             re.findall(r"[-+0-9.eE]+", tok)[:2])
+            p1 = _vec(toks[i + 1])
+            p2 = _vec(toks[i + 2])
+            diam = float(toks[i + 3])
+            i += 4
+            kv = {}
+            if i < n and toks[i] == "{":
+                blk, i = _read_block(toks, i)
+                kv = _kv_block(blk)
+            sim.pipes.append((t.replace("Gfs", ""), p1, p2, diam, kv))
         elif t in ("SourceTensionCSS", "GfsSourceTensionCSS"):
             # CSS variant (gfs_source_tension_css_read,
             # src/tension.c:181-196): no curvature variable argument
@@ -1301,6 +1319,8 @@ def build_simulation(sim: ParsedSim, dim: int = 2):
 
     if sim.sim_class == "GfsPoisson":
         return _build_poisson(sim)
+    if sim.sim_class == "GfsRiver":
+        return _build_river(sim)
 
     def mk_grid(level):
         if dim == 3:
@@ -2062,6 +2082,53 @@ def _make_adapt_error_spec(sched, params, var, sim: ParsedSim, cfg):
         minlevel=minlevel, maxlevel=maxlevel,
         istep=int(float(sched.get("istep", 1))),
         maxcells=None if maxcells is None else int(float(maxcells)))
+
+
+def _build_river(sim: ParsedSim):
+    """Minimal GfsRiver builder: Saint-Venant on a single box —
+    PhysicalParams L/g, dry, Init of P/U/V/Zb, Time, and
+    SourcePipe/SourceCulvert events (reference: river_read + the
+    GfsRiver run loop, src/river.c; full boundary/mask machinery stays
+    on the programmatic API, models/river.py)."""
+    from ..models import river as rivm
+    from ..models.simulation import Time
+    from ..physics import culvert as cvm
+
+    n = 1 << sim.level
+    L = float(sim.physical.get("L", 1.0))
+    g = float(sim.physical.get("g", 1.0))
+    cfg = rivm.RiverConfig(
+        shape=(n, n), L=L, g=g,
+        dry=float(sim.physical.get("dry", 1e-6)),
+        cfl=float(sim.advection_params.get("cfl", 0.5)))
+    tkw = {}
+    if "end" in sim.time:
+        tkw["end"] = float(sim.time["end"])
+    if "dtmax" in sim.time:
+        tkw["dtmax"] = float(sim.time["dtmax"])
+    events = []
+    for kind, p1, p2, diam, kv in sim.pipes:
+        if kind == "SourceCulvert":
+            events.append(cvm.SourceCulvert(
+                p1, p2, diam,
+                type=kv.get("type", "box"),
+                entrance=int(float(kv.get("entrance", 1))),
+                B=float(kv.get("B", 1.0)),
+                n=float(kv.get("n", 0.012)),
+                ke=float(kv.get("ke", 0.2))))
+    s = rivm.RiverSimulation(cfg, time=Time(**tkw), events=events)
+    s.errors = sim.errors
+    # physical-coordinate Init (river state is physical, dx = L/n)
+    xs = (jnp.arange(n) + 0.5) / n - 0.5
+    X, Y = jnp.meshgrid(xs * L, xs * L, indexing="ij")
+    fields = {}
+    # GfsFunctions see PHYSICAL coordinates (the reference evaluates at
+    # map-inverse positions, scaled by PhysicalParams L)
+    for var, fn in sim.inits.items():
+        if var in ("P", "U", "V", "Zb"):
+            fields[var] = fn(X, Y) + 0.0 * X
+    s.init(**fields)
+    return s
 
 
 def _build_poisson(sim: ParsedSim):

@@ -234,3 +234,34 @@ def test_source_culvert_two_basins():
     assert abs(vol1 - vol0) / vol0 < 1e-10    # pipe conserves volume
     assert h1_1 < h1_0                        # high basin drains
     assert np.isfinite(np.asarray(sim.state["P"])).all()
+
+
+def test_gfs_river_with_culvert_parses_and_runs():
+    """Minimal GfsRiver .gfs with a SourceCulvert: parses strict, builds
+    a RiverSimulation, the culvert engages and conserves volume."""
+    from gerris_tpu.utils import gfs_config as G
+
+    gfs = """1 0 GfsRiver GfsBox GfsGEdge {} {
+  Time { end = 10 dtmax = 0.5 }
+  Refine 5
+  PhysicalParams { L = 100 g = 9.81 }
+  Init {} {
+    Zb = (fabs(x) < 5. ? 10. : 0.)
+    P = (fabs(x) >= 5. ? (x < 0. ? 3. : 1.) : 0.)
+  }
+  SourceCulvert (-10,0) (10,0) 1. { type = box B = 2. entrance = 1 n = 0.015 ke = 0.5 }
+}
+GfsBox {}
+"""
+    sim = G.build_simulation(G.parse_gfs(gfs, {}, strict=True))
+    assert type(sim).__name__ == "RiverSimulation"
+    assert sim.cfg.L == 100.0 and sim.cfg.g == 9.81
+    vol0 = float(jnp.sum(sim.state["P"]))
+    h_hi0 = float(sim.state["P"][8, 16])
+    sim.run(max_steps=60)
+    pipe = sim.events[0]
+    assert pipe.Q != 0.0
+    vol1 = float(jnp.sum(sim.state["P"]))
+    assert abs(vol1 - vol0) / vol0 < 1e-10
+    assert float(sim.state["P"][8, 16]) < h_hi0
+    assert np.isfinite(np.asarray(sim.state["P"])).all()
