@@ -393,6 +393,7 @@ class ParsedSim:
     tension_css: list = field(default_factory=list)     # (tracer, sigma)
     solver_backend: Optional[str] = None  # GModule hypre/lis/agmg -> mgcg
     pipes: list = field(default_factory=list)  # SourcePipe/Culvert entries
+    coriolis: Optional[tuple] = None     # SourceCoriolis (f, drag)
     tension: list = field(default_factory=list)       # (tracer, sigma)
     vof_tracers: list = field(default_factory=list)   # names
     tracers: list = field(default_factory=list)
@@ -862,6 +863,23 @@ def _parse_sim_body(sim: ParsedSim, toks, defines, strict: bool = False):
             sim.tension.append((tracer, sigma))
             i += 4 if i + 3 < n and toks[i + 3] not in "{}" and \
                 not _is_directive(toks[i + 3]) else 3
+        elif t in ("SourceCoriolis", "GfsSourceCoriolis"):
+            # SourceCoriolis F [DRAG] (gfs_source_coriolis_read,
+            # src/source.c:1798-1870; f may be an expression — constant
+            # subset here, matching RiverConfig.coriolis)
+            vals = []
+            j = i + 1
+            while j < n and len(vals) < 2 and toks[j] not in "{}" \
+                    and not _is_directive(toks[j]):
+                try:
+                    vals.append(float(eval(toks[j],
+                                           {"__builtins__": {}}, {})))
+                except Exception:
+                    vals.append(0.0)
+                j += 1
+            i = j
+            sim.coriolis = (vals[0] if vals else 0.0,
+                            vals[1] if len(vals) > 1 else 0.0)
         elif t in ("SourcePipe", "SourceCulvert", "GfsSourcePipe",
                    "GfsSourceCulvert"):
             # (x1,y1) (x2,y2) DIAMETER [{ type/entrance/B/n/ke }]
@@ -2100,7 +2118,8 @@ def _build_river(sim: ParsedSim):
     cfg = rivm.RiverConfig(
         shape=(n, n), L=L, g=g,
         dry=float(sim.physical.get("dry", 1e-6)),
-        cfl=float(sim.advection_params.get("cfl", 0.5)))
+        cfl=float(sim.advection_params.get("cfl", 0.5)),
+        coriolis=(sim.coriolis + (0.5,)) if sim.coriolis else None)
     tkw = {}
     if "end" in sim.time:
         tkw["end"] = float(sim.time["end"])
