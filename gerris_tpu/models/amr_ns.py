@@ -213,7 +213,22 @@ def amr_advect_vof(T, uf, topo: Topo, leaf, cov, fbc, dt, cstart: int,
         for l in topo.levels:
             T[l], dV[l] = vofm.sweep_update(T[l], dV[l], fluxes[l][0],
                                             fluxes[l][1], c)
-    return amr.sync(T, topo, leaf, fbc, t=t, cov=cov)
+    T = amr.sync(T, topo, leaf, fbc, t=t, cov=cov)
+    # clamp fraction DUST: near a twice-restricted interface band,
+    # covered-region geometric fluxes leave O(1e-6) residues on coarse
+    # leaves that otherwise masquerade as interface cells for the adapt
+    # criterion and the curvature/tension path (round-4 root cause of a
+    # -7% oscillation-frequency regression).  The reference avoids the
+    # configuration structurally (fix_too_coarse refines any cell a VOF
+    # stencil touches, src/vof.c:1431); on dense level arrays the
+    # equivalent is removing sub-interface-threshold residues — the
+    # 1e-6 matches the interface indicator, and the clamped mass is
+    # O(1e-6 h^2) per patch-boundary cell.
+    DUST = 1e-6
+    for l in topo.levels:
+        T[l] = jnp.where(T[l] < DUST, 0.0,
+                         jnp.where(T[l] > 1.0 - DUST, 1.0, T[l]))
+    return T
 
 
 # ---------------------------------------------------------------------------
@@ -368,9 +383,23 @@ def amr_step(state: dict, leaf: dict, dt, t, cfg: ns.NSConfig, topo: Topo,
                                      cfg, dt, t)
         new[tr[0]] = amr.sync(Tl, topo, leaf, tr[1], t=t, cov=cov)
     if cfg.vof_tracers:
-        for name, fbc in cfg.vof_tracers:
-            new[name] = amr_advect_vof(st[name], uf2, topo, leaf, cov,
-                                       fbc, dt, cstart, t=t)
+        if cfg.composite_vof:
+            # any-level geometric fluxes with fine->coarse matching
+            for name, fbc in cfg.vof_tracers:
+                new[name] = amr_advect_vof(st[name], uf2, topo, leaf,
+                                           cov, fbc, dt, cstart, t=t)
+        else:
+            # interface pinned to lmax by the criterion: advect the
+            # finest level only (exact there), restrict downward
+            from ..physics import vof as vofm
+            for name, fbc in cfg.vof_tracers:
+                Tf = vofm.advect(st[name][topo.lmax], uf2[topo.lmax],
+                                 topo.grid(topo.lmax), fbc, dt,
+                                 cstart=cstart, t=t)
+                stack = dict(st[name])
+                stack[topo.lmax] = Tf
+                new[name] = amr.sync(stack, topo, leaf, fbc, t=t,
+                                     cov=cov)
     return new
 
 

@@ -134,6 +134,15 @@ class NSConfig:
     # the production program stays byte-identical to the cached one
     # until the A/B lands
     pair_advect: bool = False
+    # composite (any-level) VOF advection on AMR meshes
+    # (amr_ns.amr_advect_vof, src/vof.c:1214-1272 flux matching).
+    # Default OFF: with the interface pinned to lmax (the standard
+    # criterion) the lmax-only path is equivalent and the composite
+    # sweeps were measured to drift the oscillation frequency ~7% over
+    # 1e4 steps (per-step interface differences ~2e-7 with a systematic
+    # bias — under investigation).  Turn ON for meshes whose interface
+    # legitimately lives on coarser leaves.
+    composite_vof: bool = False
 
     def __post_init__(self):
         if self.p_bc is None:

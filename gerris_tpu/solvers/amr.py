@@ -412,10 +412,21 @@ def solve_block(rhs, topo: Topo, leaf, fbc: bcs.FieldBC,
     if u0 is not None:
         u0_b = {l: brtm.gather_blocks(u0[l], btables[l], B)
                 for l in topo.levels}
-    ncycles = params.ncycles if params.ncycles > 0 else 3
-    u_b = brtm.solve(rhs_b, btables, brt, fbc, params, dia=d, u0=u0_b,
-                     ncycles=ncycles, alphab=alphab,
-                     alpha_dense0=alpha_dense0, dia_dense0=dia_dense0)
+    if params.ncycles > 0:
+        # fixed schedule (the launch-count-optimal TPU production path)
+        ncycles = params.ncycles
+        u_b = brtm.solve(rhs_b, btables, brt, fbc, params, dia=d,
+                         u0=u0_b, ncycles=ncycles, alphab=alphab,
+                         alpha_dense0=alpha_dense0,
+                         dia_dense0=dia_dense0)
+        niter = jnp.asarray(ncycles)
+    else:
+        # tolerance-driven (gfs_poisson_solve semantics) — the stiff
+        # two-phase systems under-converge on short fixed schedules
+        u_b, niter, _ = brtm.solve_tol(
+            rhs_b, btables, brt, fbc, params, dia=d, u0=u0_b,
+            alphab=alphab, alpha_dense0=alpha_dense0,
+            dia_dense0=dia_dense0)
     u = {}
     for l in topo.levels:
         dense = u0[l] if u0 is not None else jnp.zeros_like(rhs[l])
@@ -436,4 +447,4 @@ def solve_block(rhs, topo: Topo, leaf, fbc: bcs.FieldBC,
     rinf = 0.0
     for l in topo.levels:
         rinf = jnp.maximum(rinf, jnp.max(jnp.abs(res_b[l])))
-    return u, jnp.asarray(ncycles), rinf
+    return u, niter, rinf

@@ -335,6 +335,56 @@ def demean_leaf(rhs_blocks, tables, rt: "BlockRT"):
     return {l: rhs_blocks[l] - mean for l in rhs_blocks}
 
 
+def solve_tol(rhs_blocks, tables, rt: BlockRT, fbc: bcs.FieldBC,
+              params: poisson.MultilevelParams, dia=0.0, u0=None,
+              alphab=None, alpha_dense0=None, dia_dense0=None):
+    """Tolerance-driven block solve (jit-compatible lax.while_loop over
+    cycles with one leaf-residual evaluation each — the block-space
+    analogue of amr.solve; reference gfs_poisson_solve semantics,
+    src/poisson.c:1225-1269).  Needed for the stiff two-phase systems
+    where a fixed short schedule under-converges (1000x density).
+    Returns (u_blocks, niter, rinf)."""
+    import jax
+
+    u = u0 if u0 is not None else {
+        l: jnp.zeros_like(rhs_blocks[l]) for l in rhs_blocks}
+    fbck = _bc_kinds(fbc)
+    lmin, lmax, B = rt.lmin, rt.lmax, rt.B
+    caps = rt.caps_dict
+
+    scale = 0.0
+    for l in rhs_blocks:
+        w = (tables[l]["leaf"] & tables[l]["active"])[:, None, None]
+        scale = jnp.maximum(scale, jnp.max(jnp.abs(
+            jnp.where(w, rhs_blocks[l], 0.0))))
+    tol = params.tolerance * jnp.maximum(scale, 1e-300)
+
+    def rinf_of(uu):
+        res = leaf_residual(uu, rhs_blocks, tables, rt.base, fbck, dia,
+                            lmin, lmax, B, caps, alphab=alphab)
+        m = 0.0
+        for l in res:
+            m = jnp.maximum(m, jnp.max(jnp.abs(res[l])))
+        return m
+
+    def cond(s):
+        uu, rinf, i = s
+        return (i < params.nitermin) | ((i < params.nitermax)
+                                        & (rinf > tol))
+
+    def body(s):
+        uu, _, i = s
+        uu = cycle(uu, rhs_blocks, tables, rt.base, fbc, params, dia,
+                   lmin, lmax, B, caps, alphab=alphab,
+                   alpha_dense0=alpha_dense0, dia_dense0=dia_dense0)
+        return uu, rinf_of(uu), i + 1
+
+    big = jnp.asarray(jnp.inf, rhs_blocks[lmax].dtype)
+    u, rinf, niter = jax.lax.while_loop(cond, body,
+                                        (u, big, jnp.asarray(0)))
+    return u, niter, rinf
+
+
 def solve(rhs_blocks, tables, rt: BlockRT, fbc: bcs.FieldBC,
           params: poisson.MultilevelParams, dia=0.0, u0=None,
           ncycles: int = None, alphab=None, alpha_dense0=None,

@@ -294,7 +294,7 @@ def test_adaptive_twophase_interface_not_pinned():
     v_bc = bcs.FieldBC.uniform(bcs.Dirichlet(0.0), 2)
     cfg = ns.NSConfig(
         grid=grid, u_bcs=(u_bc, v_bc), nu=5e-3, beta=1.0,
-        vof_tracers=(("T", tbc),),
+        vof_tracers=(("T", tbc),), composite_vof=True,
         density=("T", 1.0, 0.5, 1),
         projection=poisson.MultilevelParams(tolerance=1e-6, nitermax=50),
         approx_projection=poisson.MultilevelParams(tolerance=1e-6,
