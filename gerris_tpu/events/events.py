@@ -91,8 +91,13 @@ class EventStop(Event):
 
     def fire(self, sim, t, i):
         super().fire(sim, t, i)
-        cur = np.asarray(sim.state[self.var])
-        if self._prev is not None:
+        v = sim.state[self.var]
+        if isinstance(v, dict):
+            # AMR per-level stack: compare at the finest representation
+            cur = np.asarray(sim.fine(self.var))
+        else:
+            cur = np.asarray(v)
+        if self._prev is not None and cur.shape == self._prev.shape:
             d = np.max(np.abs(cur - self._prev))
             if self.diff_name:
                 sim.diagnostics[self.diff_name] = d

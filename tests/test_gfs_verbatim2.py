@@ -315,6 +315,7 @@ def test_spurious_gfs_verbatim():
     EventStop on the frozen droplet.  Shape + curvature errors gated
     against convergence.ref/kconvergence.ref row D/h=25.6."""
     import math
+    import jax.numpy as jnp
     from gerris_tpu.physics import vof
 
     La, level = 12000.0, 5
