@@ -97,9 +97,13 @@ def main():
     # program is byte-identical to the cached round-3 one)
     fold = bool(int(os.environ.get("GERRIS_FOLD_DIV", "0")))
     pair = bool(int(os.environ.get("GERRIS_PAIR_ADVECT", "0")))
+    # GERRIS_FOLD_CORRECT=1: also fold the projection correction into
+    # the solve's final prolong_relax launch (implies fold_div)
+    foldc = bool(int(os.environ.get("GERRIS_FOLD_CORRECT", "0")))
     mp1 = poisson.MultilevelParams(tolerance=1e-3, nitermax=100, ncycles=1,
                                    omega=omega, tpu_nrelax=nr5,
-                                   fold_div=fold)
+                                   fold_div=fold or foldc,
+                                   fold_correct=foldc)
     mp3 = dataclasses.replace(mp1, ncycles=3)
     # diffusion: the fused 3-launch MG chain.  (A relax-only schedule
     # needs ~20 fine sweeps to meet tolerance at 2048^2 — measured 85M

@@ -509,6 +509,251 @@ def prolong_relax(du_c, rhs, dia=0.0, u=None, *, nsweeps: int, h2: float,
     )(rep, rhs, dia_arr, u_in)
 
 
+def _pr_correct_kernel(scal_ref, rep_hbm, rhs_hbm, u_hbm, ux_hbm, uy_hbm,
+                       uc_hbm, vc_hbm,
+                       op, oux, ouy, ogx, ogy, ouc, ovc,
+                       ub, rb, fb, uxb, uyb, ucb, vcb, sem, *,
+                       n0, n1, n1p, S, H, nstrips, nsweeps, h2,
+                       sgn, off, periodic_y, omega, with_cells):
+    """prolong_relax (pre_rep + add_u) with the projection-correction
+    epilogue fused in: after the fine-level sweeps the strip already
+    holds p' = u + du in VMEM, so the face gradients of p', the MAC
+    correction uf -= dt grad_f p', the cell gradient and (optionally)
+    the centred correction are emitted from the SAME launch — the
+    separate correct_project launch (ops/pallas/projops.py) disappears
+    (round-4 lever (b); reference: the gfs_mac_projection +
+    correct_normal_velocity + gfs_correct_centered_velocities chain,
+    src/timestep.c:356-530).
+
+    The wrapper bumps the halo to H >= 2*nsweeps + 1 so the ghost row
+    p'[core-1] used by the boundary face gradient is still uncontaminated
+    by the strip-edge sweeps.  The prolong+sweep section mirrors
+    _pr_core (kept duplicated: _pr_core feeds the cached production
+    programs and must stay byte-identical)."""
+    from .projops import _ghost_rows_cols
+    s = pl.program_id(0)
+    W = S + 2 * H
+    dia = scal_ref[0, 0]
+    dt_h = scal_ref[0, 1]                 # dt / h
+    ih = scal_ref[0, 2]                   # 1 / h
+    rstart = pl.multiple_of(jnp.clip(s * S - H, 0, n0 - W), 2 * GP)
+    cstart = pl.multiple_of(rstart // 2, GP)
+
+    cp1 = pltpu.make_async_copy(
+        rep_hbm.at[pl.ds(cstart, W // 2 + 2 * GP), :],
+        ub.at[pl.ds(0, W // 2 + 2 * GP), pl.ds(CP, rep_hbm.shape[1])],
+        sem.at[0])
+    cp1.start()
+    cp2 = pltpu.make_async_copy(
+        rhs_hbm.at[pl.ds(rstart, W), :],
+        rb.at[pl.ds(0, W), pl.ds(CP, rhs_hbm.shape[1])], sem.at[1])
+    cp2.start()
+    cp3 = pltpu.make_async_copy(
+        u_hbm.at[pl.ds(rstart, W), :],
+        fb.at[pl.ds(0, W), pl.ds(CP, u_hbm.shape[1])], sem.at[2])
+    cp3.start()
+    cp4 = pltpu.make_async_copy(
+        ux_hbm.at[pl.ds(rstart, W + 2 * GP), :],
+        uxb.at[pl.ds(0, W + 2 * GP), pl.ds(CP, ux_hbm.shape[1])],
+        sem.at[3])
+    cp4.start()
+    cp5 = pltpu.make_async_copy(
+        uy_hbm.at[pl.ds(rstart, W), :],
+        uyb.at[pl.ds(0, W), pl.ds(CP, uy_hbm.shape[1])], sem.at[4])
+    cp5.start()
+    if with_cells:
+        start_u = pl.multiple_of(s * S, GP)
+        cp6 = pltpu.make_async_copy(
+            uc_hbm.at[pl.ds(start_u, S), :],
+            ucb.at[pl.ds(0, S), pl.ds(CP, uc_hbm.shape[1])], sem.at[5])
+        cp6.start()
+        cp7 = pltpu.make_async_copy(
+            vc_hbm.at[pl.ds(start_u, S), :],
+            vcb.at[pl.ds(0, S), pl.ds(CP, vc_hbm.shape[1])], sem.at[6])
+        cp7.start()
+    cp1.wait()
+    cp2.wait()
+
+    cl, ch = CP, CP + n1
+    first = rstart == 0
+    last = rstart + W == n0
+    sgn_x_lo, sgn_x_hi, sgn_y_lo, sgn_y_hi = sgn
+
+    # ---- prolongation (as _pr_core)
+    C = ub[GP - 1:GP + W // 2 + 1, cl:ch]
+    RR = jnp.repeat(C, 2, axis=0)
+    base_r = RR[2:W + 2, :]
+    nb_up = RR[1:W + 1, :]
+    nb_dn = RR[3:W + 3, :]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (W, n1), 0) + rstart
+    even_r = (rows % 2) == 0
+    nb_r = jnp.where(even_r, nb_up, nb_dn)
+    nb_r = jnp.where(rows == 0, sgn_x_lo * base_r,
+                     jnp.where(rows == n0 - 1, sgn_x_hi * base_r, nb_r))
+    A1 = 0.75 * base_r + 0.25 * nb_r
+    cols = jax.lax.broadcasted_iota(jnp.int32, (W, n1), 1)
+    even_c = (cols % 2) == 0
+    nb_c = jnp.where(even_c, jnp.roll(A1, 1, 1), jnp.roll(A1, -1, 1))
+    if not periodic_y:
+        nb_c = jnp.where(cols == 0, sgn_y_lo * A1,
+                         jnp.where(cols == n1 - 1, sgn_y_hi * A1, nb_c))
+    du = 0.75 * A1 + 0.25 * nb_c
+
+    # ---- sweeps (as _pr_core; homogeneous ghosts for du)
+    ub[GP:GP + W, cl:ch] = du
+    red = ((rows + cols) % 2) == 0
+    denom = 4.0 + dia * h2
+    lo, hi = GP, GP + W
+    for _ in range(nsweeps):
+        for color in (red, ~red):
+            _ghosts_y(ub, cl, ch, periodic_y, sgn_y_lo, sgn_y_hi)
+            _ghosts_x(ub, lo, hi, first, last, False, H == 0,
+                      sgn_x_lo, sgn_x_hi)
+            c = ub[lo:hi, cl:ch]
+            nb = (ub[lo - 1:hi - 1, cl:ch] + ub[lo + 1:hi + 1, cl:ch] +
+                  ub[lo:hi, cl - 1:ch - 1] + ub[lo:hi, cl + 1:ch + 1])
+            new = (nb - h2 * rb[pl.ds(0, W), cl:ch]) / denom
+            if omega != 1.0:
+                new = (1.0 - omega) * c + omega * new
+            ub[lo:hi, cl:ch] = jnp.where(color, new, c)
+
+    # ---- p' = u + du over the whole window (rb is free after the
+    # sweeps; it becomes the p' buffer the ghost helper writes into)
+    cp3.wait()
+    cp4.wait()
+    cp5.wait()
+    if with_cells:
+        cp6.wait()
+        cp7.wait()
+    rb[0:W, cl:ch] = ub[GP:GP + W, cl:ch] + fb[0:W, cl:ch]
+
+    def body(soff: int, first: bool, last: bool):
+        pe = _ghost_rows_cols(rb, W, cl, ch, sgn, off, periodic_y,
+                              first, last)
+        pa = pe[:, cl:ch]                      # p' rows -1..W
+        op[:, :] = pa[soff + 1:soff + S + 1, :]
+        # x-face gradients at faces soff..soff+S
+        gfx = (pa[soff + 1:soff + S + 2, :]
+               - pa[soff:soff + S + 1, :]) * ih
+        ux = uxb[soff + GP:soff + GP + S + 1, cl:ch]
+        ux_new = ux - (dt_h / ih) * gfx
+        oux[:, :] = ux_new[0:S, :]
+        gcx = 0.5 * (gfx[0:S, :] + gfx[1:S + 1, :])
+        ogx[:, :] = gcx
+        # y faces 0..n1 on strip rows
+        pr = pe[soff + 1:soff + S + 1, cl - 1:ch + 1]
+        gfy = (pr[:, 1:n1 + 2] - pr[:, 0:n1 + 1]) * ih
+        uy = uyb[soff:soff + S, CP:CP + n1 + 1]
+        uy_new = uy - (dt_h / ih) * gfy
+        ouy[:, :] = jnp.pad(uy_new, ((0, 0), (0, n1p - (n1 + 1))))
+        gcy = 0.5 * (gfy[:, 0:n1] + gfy[:, 1:n1 + 1])
+        ogy[:, :] = gcy
+        if with_cells:
+            ouc[:, :] = ucb[0:S, cl:ch] - (dt_h / ih) * gcx
+            ovc[:, :] = vcb[0:S, cl:ch] - (dt_h / ih) * gcy
+
+    if nstrips == 1:
+        body(0, True, True)
+    else:
+        @pl.when(s == 0)
+        def _():
+            body(0, True, False)
+
+        if nstrips > 2:
+            @pl.when((s > 0) & (s < nstrips - 1))
+            def _():
+                body(H, False, False)
+
+        @pl.when(s == nstrips - 1)
+        def _():
+            body(2 * H, False, True)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "nsweeps", "S", "sgn", "off", "h2", "periodic_y", "omega",
+    "interpret"))
+def prolong_relax_correct(rep, rhs, dia, u, ufx, ufy, dt, h, cells=None,
+                          *, nsweeps: int, h2: float, sgn, off,
+                          periodic_y=False, omega: float = 1.0,
+                          S: int = 64, interpret: bool = False):
+    """One-launch prolong(rep) -> relax -> p' = u + du -> projection
+    correction: returns (p', ufx', ufy', gx, gy[, U', V']).
+
+    ``rep``: coarse correction in rep layout (lane-doubled +
+    GP-row-padded, as cascade_prolong_relax emits); ``u``: the pressure
+    before the correction du; ``ufx``/``ufy``: plain MAC face arrays
+    ((n0+1, n1) / (n0, n1+1)); ``cells``: optional (U, V) centred
+    velocities, corrected in the same launch.  ``sgn``/``off``: static
+    ghost encodings of the REAL pressure BC (the sweeps use sgn with
+    zero offset — the du correction BC is homogeneous)."""
+    n0, n1 = rhs.shape
+    # halo: 2*nsweeps contaminated rows per window edge PLUS the ghost
+    # row the boundary face gradient reads (rounded to 2*GP alignment)
+    H = -(-(2 * nsweeps + 1) // (2 * GP)) * (2 * GP)
+    if n0 % S or n0 < S + 2 * H or (n0 // S) < 2:
+        S = n0
+        H = 0
+    W = S + 2 * H
+    nstrips = n0 // S
+    n1p = n1 + 1 + ((-(n1 + 1)) % CP)
+    uxp = jnp.pad(ufx, ((GP, 2 * GP - 1), (0, 0)))
+    uyp = jnp.pad(ufy, ((0, 0), (0, n1p - (n1 + 1))))
+    dtype = rhs.dtype
+    scal = jnp.stack([jnp.asarray(dia, dtype),
+                      jnp.asarray(dt, dtype) / h,
+                      jnp.asarray(1.0, dtype) / h]).reshape(1, 3)
+    with_cells = cells is not None
+    z = jnp.zeros((GP, n1), dtype)
+    uc_in, vc_in = cells if with_cells else (z, z)
+    cs = S if with_cells else GP
+    kern = functools.partial(
+        _pr_correct_kernel, n0=n0, n1=n1, n1p=n1p, S=S, H=H,
+        nstrips=nstrips, nsweeps=nsweeps, h2=h2, sgn=sgn, off=off,
+        periodic_y=periodic_y, omega=omega, with_cells=with_cells)
+    buf_rows = max(W + 2 * GP, W // 2 + 2 * GP)
+    bs = pl.BlockSpec((S, n1), lambda s: (s, 0), memory_space=pltpu.VMEM)
+    bsc = pl.BlockSpec((cs, n1), lambda s: (s, 0),
+                       memory_space=pltpu.VMEM)
+    op, oux, ouy, ogx, ogy, ouc, ovc = pl.pallas_call(
+        kern,
+        grid=(nstrips,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
+                 [pl.BlockSpec(memory_space=pltpu.ANY)] * 7,
+        out_specs=(bs, bs,
+                   pl.BlockSpec((S, n1p), lambda s: (s, 0),
+                                memory_space=pltpu.VMEM),
+                   bs, bs, bsc, bsc),
+        out_shape=(jax.ShapeDtypeStruct((n0, n1), dtype),
+                   jax.ShapeDtypeStruct((n0, n1), dtype),
+                   jax.ShapeDtypeStruct((n0, n1p), dtype),
+                   jax.ShapeDtypeStruct((n0, n1), dtype),
+                   jax.ShapeDtypeStruct((n0, n1), dtype),
+                   jax.ShapeDtypeStruct((cs * nstrips, n1), dtype),
+                   jax.ShapeDtypeStruct((cs * nstrips, n1), dtype)),
+        scratch_shapes=[
+            pltpu.VMEM((buf_rows, CP + n1 + CP), dtype),       # ub
+            pltpu.VMEM((W, CP + n1 + CP), dtype),              # rhs/p'
+            pltpu.VMEM((W, CP + n1 + CP), dtype),              # u
+            pltpu.VMEM((W + 2 * GP, CP + n1 + CP), dtype),     # ufx
+            pltpu.VMEM((W, CP + n1p + CP), dtype),             # ufy
+            pltpu.VMEM((S if with_cells else GP, CP + n1 + CP),
+                       dtype),                                 # U
+            pltpu.VMEM((S if with_cells else GP, CP + n1 + CP),
+                       dtype),                                 # V
+            pltpu.SemaphoreType.DMA((7,)),
+        ],
+        interpret=interpret,
+    )(scal, rep, rhs, u, uxp, uyp, uc_in, vc_in)
+    # face n0 of ufx': gradient from the ghost of the OUTPUT p'
+    pg = sgn[1] * op[-1:, :] + off[1]
+    gtop = (pg - op[-1:, :]) / h
+    uftop = ufx[-1:, :] - dt * gtop
+    ufx_new = jnp.concatenate([oux, uftop], axis=0)
+    if with_cells:
+        return op, ufx_new, ouy[:, :n1 + 1], ogx, ogy, ouc, ovc
+    return op, ufx_new, ouy[:, :n1 + 1], ogx, ogy
+
+
 def _cv_relax(u, rhs, nsweeps, h2, dia, sgn, per_y, omega=1.0):
     """In-VMEM whole-array RBGS sweeps with roll+mask homogeneous ghosts
     (the coarse-cascade smoother; rolls wrap = periodic, masks overwrite

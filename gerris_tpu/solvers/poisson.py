@@ -81,6 +81,12 @@ class MultilevelParams:
     # boundaries (the compatibility mean is analytically zero there; the
     # f32 roundoff mean is projected out by the dense coarse eigensolve).
     fold_div: bool = False
+    # fold the post-solve projection correction (face gradients +
+    # uf -= dt grad p + cell gradient + centred correction) into the
+    # final prolong_relax launch (round-4 lever (b): -1 launch per
+    # projection).  Requires fold_div (the same fixed-1-cycle fused
+    # path).
+    fold_correct: bool = False
 
 
 # -----------------------------------------------------------------------------
@@ -718,6 +724,46 @@ def solve_fused_div(u, ufx, ufy, grid: Grid, fbc: bcs.FieldBC,
     return u, SolveStats(niter=jnp.asarray(1),
                          residual_before=norms(r0),
                          residual_after=norms(r0))
+
+
+def solve_fused_div_correct(u, ufx, ufy, grid: Grid, fbc: bcs.FieldBC,
+                            params: MultilevelParams, dt, cells=None,
+                            dia=None):
+    """solve_fused_div with the projection-correction epilogue fused
+    into the final launch (round-4 lever (b)): the whole MAC projection
+    — divergence rhs, fixed MG cycle, face/cell correction — in THREE
+    kernel launches.  Returns (ufx', ufy', p', gx, gy, stats[, U', V'])
+    mirroring projection._mac_correct's outputs."""
+    from ..ops.pallas.rbgs import (residual_restrict_div,
+                                   cascade_prolong_relax,
+                                   prolong_relax_correct)
+
+    if _pallas_relax_applicable(u, grid, fbc, None, dia, True):
+        params = dataclasses.replace(
+            params, nrelax=max(params.nrelax, params.tpu_nrelax),
+            coarsest_relax=max(params.coarsest_relax,
+                               2 * params.tpu_nrelax))
+    signs, offs = _signs_offs(grid, fbc, homogeneous=False)
+    d = dia if dia is not None else 0.0
+    r0, r1, r2 = residual_restrict_div(
+        u, ufx, ufy, dt * grid.h, d, 0.0, h2=grid.h * grid.h,
+        signs=signs, offs=offs, periodic=(False, fbc.is_periodic(1)))
+    nrelax = params.nrelax
+    rep = cascade_prolong_relax(
+        r1, r2, d, nsweeps=nrelax,
+        coarsest=max(params.coarsest_relax, 40),
+        h2_half=4.0 * grid.h * grid.h, signs=signs,
+        per_y=fbc.is_periodic(1), min_n=16, omega=params.omega)
+    out = prolong_relax_correct(
+        rep, r0, d, u, ufx, ufy, dt, grid.h, cells, nsweeps=nrelax,
+        h2=grid.h * grid.h, sgn=signs, off=offs,
+        periodic_y=fbc.is_periodic(1), omega=params.omega)
+    stats = SolveStats(niter=jnp.asarray(1), residual_before=norms(r0),
+                       residual_after=norms(r0))
+    p, ufx2, ufy2, gx, gy = out[:5]
+    if cells is not None:
+        return ufx2, ufy2, p, gx, gy, stats, out[5], out[6]
+    return ufx2, ufy2, p, gx, gy, stats
 
 
 def fold_div_eligible(u, grid: Grid, fbc: bcs.FieldBC,

@@ -132,6 +132,17 @@ def mac_projection(u_face: list, p: jnp.ndarray, grid: Grid,
             # round-3 lever (a): the divergence launch folds into the
             # solve's first kernel (rhs from faces in-kernel)
             u_face = as_pair(u_face)
+            if params.fold_correct:
+                # round-4 lever (b): the correction launch folds into
+                # the solve's final prolong_relax kernel
+                out = poisson.solve_fused_div_correct(
+                    p, u_face[0], u_face[1], grid, p_bc, params, dt,
+                    cells)
+                ufx, ufy, p, gx, gy, stats = out[:6]
+                if cells is not None:
+                    return [ufx, ufy], p, [gx, gy], stats, \
+                        [out[6], out[7]]
+                return [ufx, ufy], p, [gx, gy], stats
             p, stats = poisson.solve_fused_div(
                 p, u_face[0], u_face[1], grid, p_bc, params, dt)
             return _mac_correct(u_face, p, grid, p_bc, dt, stats,

@@ -480,3 +480,119 @@ def test_rbgs3d_strip_invariance():
     b = rbgs3d.rbgs_relax_3d(u, rhs, 0.0, nsweeps=2, h2=1e-3,
                              S=16, interpret=True)
     assert float(jnp.max(jnp.abs(a - b))) < 1e-6
+
+
+@pytest.mark.parametrize("with_cells", [False, True])
+@pytest.mark.parametrize("per_y,nsweeps", [(False, 5), (True, 8)])
+def test_prolong_relax_correct_matches_composition(with_cells, per_y,
+                                                   nsweeps):
+    """Round-4 lever (b): the correction-epilogue prolong_relax equals
+    prolong_relax(add_u) followed by projops.correct_project."""
+    from gerris_tpu.ops.pallas import projops
+
+    grid = Grid(level=8, dim=2)              # 256^2: 4 strips at S=64
+    n0, n1 = grid.shape
+    if per_y:
+        signs = (1.0, 1.0, 1.0, 1.0)
+        offs = (0.0, 0.0, 0.0, 0.0)
+    else:
+        signs = (1.0, 1.0, 1.0, 1.0)
+        offs = (0.0, 0.02, -0.01, 0.0)       # non-homogeneous Neumann
+    ks = jax.random.split(jax.random.PRNGKey(7), 6)
+    du_c = jax.random.normal(ks[0], (n0 // 2, n1 // 2), jnp.float32)
+    rep = jnp.pad(jnp.repeat(du_c, 2, axis=1),
+                  ((rbgs.GP, rbgs.GP), (0, 0)))
+    rhs = jax.random.normal(ks[1], grid.shape, jnp.float32)
+    u = jax.random.normal(ks[2], grid.shape, jnp.float32)
+    ufx = jax.random.normal(ks[3], (n0 + 1, n1), jnp.float32)
+    ufy = jax.random.normal(ks[4], (n0, n1 + 1), jnp.float32)
+    cells = None
+    if with_cells:
+        kc = jax.random.split(ks[5])
+        cells = (jax.random.normal(kc[0], grid.shape, jnp.float32),
+                 jax.random.normal(kc[1], grid.shape, jnp.float32))
+    dt, dia, omega = 0.37, 0.0, 1.5
+    h2 = grid.h * grid.h
+
+    p_ref = rbgs.prolong_relax(rep, rhs, dia, u, nsweeps=nsweeps,
+                               h2=h2, signs=signs, periodic_y=per_y,
+                               add_u=True, pre_rep=True, omega=omega,
+                               interpret=True)
+    ref = projops.correct_project(p_ref, ufx, ufy, dt, grid.h, cells,
+                                  sgn=signs, off=offs, per_y=per_y,
+                                  interpret=True)
+    got = rbgs.prolong_relax_correct(rep, rhs, dia, u, ufx, ufy, dt,
+                                     grid.h, cells, nsweeps=nsweeps,
+                                     h2=h2, sgn=signs, off=offs,
+                                     periodic_y=per_y, omega=omega,
+                                     interpret=True)
+    # scale-relative tolerances: the fold variant sweeps in a WIDER
+    # window (H >= 2*nsweeps+1 for the ghost row), so XLA vectorizes
+    # the strip arithmetic differently — p' agrees to f32 roundoff,
+    # and the gradient outputs amplify that roundoff by 1/h.
+    assert float(jnp.max(jnp.abs(got[0] - p_ref))) < 1e-6 * \
+        (1.0 + float(jnp.max(jnp.abs(p_ref))))
+    for a, b in zip(ref, got[1:]):
+        assert a.shape == b.shape
+        scale = 1.0 + float(jnp.max(jnp.abs(a)))
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-6 * scale
+
+
+def test_fold_correct_removes_correction_launches():
+    """params.fold_correct folds the correct_project launch of BOTH
+    projections into the solve's final prolong_relax kernel."""
+    import functools
+    import unittest.mock as mock
+    from gerris_tpu.models import ns
+    from gerris_tpu.ops.pallas import projops
+    import dataclasses
+
+    grid = Grid(level=9, dim=2)
+    u_bc = bcs.FieldBC.make(2, default=bcs.Dirichlet(0.0),
+                            top=bcs.Dirichlet(1.0))
+    v_bc = bcs.FieldBC.uniform(bcs.Dirichlet(0.0), 2)
+
+    def trace(foldc):
+        # nitermax=99: keep this cfg distinct from every other test's —
+        # ns_step is jitted on static cfg, and an identical cfg would
+        # reuse a cached trace in which the spies never fire
+        mp = poisson.MultilevelParams(tolerance=1e-3, nitermax=99,
+                                      ncycles=1, fold_div=True,
+                                      fold_correct=foldc,
+                                      dense_coarse_max=1024)
+        cfg = ns.NSConfig(grid=grid, u_bcs=(u_bc, v_bc), nu=1e-3,
+                          beta=1.0, projection=mp, approx_projection=mp,
+                          diffusion_params=dataclasses.replace(
+                              mp, nrelax=8, fold_div=False,
+                              fold_correct=False))
+        z = jnp.zeros(grid.shape, jnp.float32)
+        names = list(ns.velocity_names(2)) + ["P", "Pmac"] + \
+            list(ns.gradient_names(2))
+        state = {n: z for n in names}
+        calls = {"fusedc": 0, "correct": 0}
+        orig_f = poisson.solve_fused_div_correct
+        orig_c = projops.correct_project
+        try:
+            def spy_f(*a, **k):
+                calls["fusedc"] += 1
+                return orig_f(*a, **k)
+
+            def spy_c(*a, **k):
+                calls["correct"] += 1
+                return orig_c(*a, **k)
+            poisson.solve_fused_div_correct = spy_f
+            projops.correct_project = spy_c
+            with mock.patch.object(jax, "default_backend",
+                                   lambda: "tpu"):
+                jax.make_jaxpr(functools.partial(ns.ns_step, cfg=cfg))(
+                    state, jnp.float32(0.5 * grid.h), jnp.float32(0.0))
+        finally:
+            poisson.solve_fused_div_correct = orig_f
+            projops.correct_project = orig_c
+        return calls
+
+    off = trace(False)
+    on = trace(True)
+    print(f"fold_correct off {off} on {on}")
+    assert off["fusedc"] == 0 and off["correct"] >= 2, off
+    assert on == {"fusedc": 2, "correct": 0}, on
