@@ -35,9 +35,15 @@ def _kernel3d(u_hbm, rhs_hbm, dia_ref, out_ref, ub, rb, sem, *,
     s = pl.program_id(0)
     W = S + 2 * H
     rstart = pl.multiple_of(jnp.clip(s * S - H, 0, n0 - W), GP)
+    # the DMA destination offset on the sublane (y) axis must be a
+    # multiple of the (8,128) tile — a 1-row ghost pad fails Mosaic's
+    # divisibility check on device ("tile index in dimension 1 is
+    # divisible by the tiling (8)"), so the low-side ghost band is GP
+    # rows wide and the real rows live at [GP, GP+n1)
+    Y0 = GP
     cpu = pltpu.make_async_copy(
         u_hbm.at[pl.ds(rstart, W), :, :],
-        ub.at[pl.ds(0, W), pl.ds(1, n1), pl.ds(CP, n2p)], sem.at[0])
+        ub.at[pl.ds(0, W), pl.ds(Y0, n1), pl.ds(CP, n2p)], sem.at[0])
     cpu.start()
     cpr = pltpu.make_async_copy(
         rhs_hbm.at[pl.ds(rstart, W), :, :],
@@ -58,32 +64,36 @@ def _kernel3d(u_hbm, rhs_hbm, dia_ref, out_ref, ub, rb, sem, *,
     for _ in range(nsweeps):
         for color in (red, ~red):
             # ghosts: z (lane) and y (sublane) homogeneous BCs
-            ub[:, 1:n1 + 1, cl - 1:cl] = sz_lo * ub[:, 1:n1 + 1, cl:cl + 1]
-            ub[:, 1:n1 + 1, ch:ch + 1] = \
-                sz_hi * ub[:, 1:n1 + 1, ch - 1:ch]
-            ub[:, 0:1, :] = sy_lo * ub[:, 1:2, :]
-            ub[:, n1 + 1:n1 + 2, :] = sy_hi * ub[:, n1:n1 + 1, :]
-            c = ub[0:W, 1:n1 + 1, cl:ch]
+            ub[:, Y0:Y0 + n1, cl - 1:cl] = \
+                sz_lo * ub[:, Y0:Y0 + n1, cl:cl + 1]
+            ub[:, Y0:Y0 + n1, ch:ch + 1] = \
+                sz_hi * ub[:, Y0:Y0 + n1, ch - 1:ch]
+            ub[:, Y0 - 1:Y0, :] = sy_lo * ub[:, Y0:Y0 + 1, :]
+            ub[:, Y0 + n1:Y0 + n1 + 1, :] = \
+                sy_hi * ub[:, Y0 + n1 - 1:Y0 + n1, :]
+            c = ub[0:W, Y0:Y0 + n1, cl:ch]
             # x (strip axis) ghosts via in-place edge rows: reflect at
             # the domain edges, harmless at interior strip edges (halo)
             xm = jnp.concatenate(
-                [jnp.where(first, sx_lo, 1.0) * ub[0:1, 1:n1 + 1, cl:ch],
-                 ub[0:W - 1, 1:n1 + 1, cl:ch]], axis=0)
+                [jnp.where(first, sx_lo, 1.0)
+                 * ub[0:1, Y0:Y0 + n1, cl:ch],
+                 ub[0:W - 1, Y0:Y0 + n1, cl:ch]], axis=0)
             xp = jnp.concatenate(
-                [ub[1:W, 1:n1 + 1, cl:ch],
+                [ub[1:W, Y0:Y0 + n1, cl:ch],
                  jnp.where(last, sx_hi, 1.0)
-                 * ub[W - 1:W, 1:n1 + 1, cl:ch]], axis=0)
+                 * ub[W - 1:W, Y0:Y0 + n1, cl:ch]], axis=0)
             nb = (xm + xp
-                  + ub[0:W, 0:n1, cl:ch] + ub[0:W, 2:n1 + 2, cl:ch]
-                  + ub[0:W, 1:n1 + 1, cl - 1:ch - 1]
-                  + ub[0:W, 1:n1 + 1, cl + 1:ch + 1])
+                  + ub[0:W, Y0 - 1:Y0 + n1 - 1, cl:ch]
+                  + ub[0:W, Y0 + 1:Y0 + n1 + 1, cl:ch]
+                  + ub[0:W, Y0:Y0 + n1, cl - 1:ch - 1]
+                  + ub[0:W, Y0:Y0 + n1, cl + 1:ch + 1])
             new = (nb - h2 * rb[pl.ds(0, W), :, 0:n2]) / denom
             if omega != 1.0:
                 new = (1.0 - omega) * c + omega * new
-            ub[0:W, 1:n1 + 1, cl:ch] = jnp.where(color, new, c)
+            ub[0:W, Y0:Y0 + n1, cl:ch] = jnp.where(color, new, c)
 
     off = pl.multiple_of(s * S - rstart, GP)   # in {0, H, 2H}
-    out_ref[:, :, :] = ub[pl.ds(off, S), 1:n1 + 1, cl:cl + n2p]
+    out_ref[:, :, :] = ub[pl.ds(off, S), Y0:Y0 + n1, cl:cl + n2p]
 
 
 def applicable3d(u, fbc=None) -> bool:
@@ -113,12 +123,23 @@ def rbgs_relax_3d(u, rhs, dia=0.0, *, nsweeps: int, h2: float,
     z_lo, z_hi) ghost multipliers (-1 Dirichlet, +1 Neumann)."""
     n0, n1, n2 = u.shape
     H = -(-2 * nsweeps // GP) * GP
+    n2p = n2 + ((-n2) % CP)
+
+    def vmem_bytes(S):
+        # ub + rb scratch + the output block, all f32, with Mosaic's
+        # sublane rounding on ub's middle axis (device scoped-vmem
+        # limit is 16M; measured 17.12M OOM at 128^3 S=32)
+        W = S + 2 * H
+        n1r = -(-(GP + n1 + 1) // GP) * GP
+        return 4 * (W * n1r * (CP + n2p + CP) + W * n1 * n2p
+                    + S * n1 * n2p)
+    while S > GP and (n0 % S or vmem_bytes(S) > 12 * 2**20):
+        S //= 2
     if n0 % S or n0 < S + 2 * H:
         S = n0
         H = 0
     W = S + 2 * H
     nstrips = n0 // S
-    n2p = n2 + ((-n2) % CP)
     up = jnp.pad(u, ((0, 0), (0, 0), (0, n2p - n2))) if n2p != n2 else u
     rp = jnp.pad(rhs, ((0, 0), (0, 0), (0, n2p - n2))) \
         if n2p != n2 else rhs
@@ -135,10 +156,15 @@ def rbgs_relax_3d(u, rhs, dia=0.0, *, nsweeps: int, h2: float,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n0, n1, n2p), u.dtype),
         scratch_shapes=[
-            pltpu.VMEM((W, n1 + 2, CP + n2p + CP), u.dtype),
+            pltpu.VMEM((W, GP + n1 + 1, CP + n2p + CP), u.dtype),
             pltpu.VMEM((W, n1, n2p), u.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        # the default 16M scoped-vmem cap counts compiler temporaries
+        # (masks, neighbor sums) on top of the declared scratch and OOMs
+        # at 128^3 planes; v5e VMEM is 128M — allow half
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
     )(up, rp, jnp.asarray(dia, u.dtype).reshape(1))
     return out[:, :, :n2] if n2p != n2 else out
