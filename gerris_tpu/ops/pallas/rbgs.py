@@ -742,6 +742,10 @@ def prolong_relax_correct(rep, rhs, dia, u, ufx, ufy, dt, h, cells=None,
                        dtype),                                 # V
             pltpu.SemaphoreType.DMA((7,)),
         ],
+        # 7 outputs + wide halo windows: stay clear of the 16M
+        # scoped-vmem cap (see residual_restrict_div)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 2**20),
         interpret=interpret,
     )(scal, rep, rhs, u, uxp, uyp, uc_in, vc_in)
     # face n0 of ufx': gradient from the ghost of the OUTPUT p'
@@ -1143,6 +1147,11 @@ def residual_restrict_div(u, ufx, ufy, dtm, dia=0.0, sub=0.0, *,
             pltpu.VMEM((S, CP + n1p + CP), u.dtype),
             pltpu.SemaphoreType.DMA((3,)),
         ],
+        # inside the fold_correct step program XLA picks layouts that
+        # push this kernel marginally (~32K) over the default 16M
+        # scoped-vmem cap — raise it (device VMEM is 128M)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 2**20),
         interpret=interpret,
     )(u, uxp, uyp, scal)
 
