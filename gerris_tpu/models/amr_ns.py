@@ -67,7 +67,17 @@ def sync_all(state: dict, leaf, cfg: ns.NSConfig, topo: Topo, t, cov=None):
         for n in ns.gradient_names(topo.dim):
             out[n] = amr.sync(state[n], topo, leaf, gbc, t=t, cov=cov)
     for name, fbc in cfg.vof_tracers:
-        out[name] = amr.sync(state[name], topo, leaf, fbc, t=t, cov=cov)
+        # composite mode: fractions prolong geometrically (PLIC
+        # subdivision, src/vof.c:210-296) — the per-level sweeps read
+        # slave ghosts and linear prolongation smears the interface
+        # band (systematic -7% oscillation-frequency bias, round 4).
+        # Pinned mode (interface forced to lmax leaves) keeps LINEAR
+        # slave fill: the recentred HF-curvature estimator is
+        # calibrated against smooth coarse bands — geometric stair-step
+        # ghosts moved the verbatim L5 oscillation fit 157.05 -> 142.3
+        # (measured; the composite fix does NOT transfer).
+        s = amr.sync_vof if cfg.composite_vof else amr.sync
+        out[name] = s(state[name], topo, leaf, fbc, t=t, cov=cov)
     for tr in cfg.tracers:
         out[tr[0]] = amr.sync(state[tr[0]], topo, leaf, tr[1], t=t, cov=cov)
     return out
@@ -190,7 +200,7 @@ def amr_advect_vof(T, uf, topo: Topo, leaf, cov, fbc, dt, cstart: int,
     dV = {l: jnp.ones_like(T[l]) for l in topo.levels}
     for k in range(dim):
         c = (cstart + k) % dim
-        T = amr.sync(T, topo, leaf, fbc, t=t, cov=cov)
+        T = amr.sync_vof(T, topo, leaf, fbc, t=t, cov=cov)
         fluxes = {}
         for l in topo.levels:
             fluxes[l] = vofm.sweep_flux(T[l], uf[l], topo.grid(l), fbc,
@@ -213,7 +223,7 @@ def amr_advect_vof(T, uf, topo: Topo, leaf, cov, fbc, dt, cstart: int,
         for l in topo.levels:
             T[l], dV[l] = vofm.sweep_update(T[l], dV[l], fluxes[l][0],
                                             fluxes[l][1], c)
-    T = amr.sync(T, topo, leaf, fbc, t=t, cov=cov)
+    T = amr.sync_vof(T, topo, leaf, fbc, t=t, cov=cov)
     # clamp fraction DUST: near a twice-restricted interface band,
     # covered-region geometric fluxes leave O(1e-6) residues on coarse
     # leaves that otherwise masquerade as interface cells for the adapt

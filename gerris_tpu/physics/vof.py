@@ -1005,6 +1005,72 @@ def fraction_from_levelset(grid: Grid, phi, refine: int = 0):
     return jnp.where(allpos, 1.0, jnp.where(allneg, 0.0, f))
 
 
+def _interleave2(c00, c01, c10, c11):
+    """fine[2a+i, 2b+j] = c_ij[a, b]."""
+    n0, n1 = c00.shape
+    r0 = jnp.stack([c00, c01], axis=-1).reshape(n0, 2 * n1)
+    r1 = jnp.stack([c10, c11], axis=-1).reshape(n0, 2 * n1)
+    return jnp.stack([r0, r1], axis=1).reshape(2 * n0, 2 * n1)
+
+
+def prolong_geometric(f: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
+                      t=0.0):
+    """PLIC-geometric prolongation of a VOF fraction to the next finer
+    level: each fine child gets the volume of the coarse PLIC
+    reconstruction inside its sub-box, so the children average exactly
+    back to the coarse fraction and interface sharpness is preserved.
+
+    Reference: gfs_vof_coarse_fine (src/vof.c:210-296) — the reference
+    subdivides the reconstruction the same way; the composite VOF
+    sweeps must see these ghosts, NOT linearly interpolated fractions
+    (linear prolongation smears the slave-cell interface band and
+    systematically biases the lmax sweeps — the round-4 composite
+    oscillation-frequency drift).
+    """
+    full = is_full(f)
+    f_pad = bcs.apply_bc(f, grid, fbc, 1, t=t)
+    if grid.dim == 2:
+        mx, my = mycs_normals(f_pad)
+        alpha = reconstruct_alpha(f, mx, my)
+        m1, m2, ap = positive_normal(mx, my, alpha)
+        ch = {}
+        for i in (0, 1):
+            # the positive-normal frame reflects axes with m < 0:
+            # child i covers [0.5i, 0.5i+0.5] in the signed frame
+            x0 = jnp.where(mx < 0.0, 0.5 * (1 - i), 0.5 * i)
+            for j in (0, 1):
+                y0 = jnp.where(my < 0.0, 0.5 * (1 - j), 0.5 * j)
+                q = rectangle_fraction(m1, m2, ap, x0, x0 + 0.5,
+                                       y0, y0 + 0.5)
+                ch[i, j] = jnp.where(full, f, q)
+        return _interleave2(ch[0, 0], ch[0, 1], ch[1, 0], ch[1, 1])
+    mx, my, mz = mycs_normals_3d(f_pad)
+    alpha = reconstruct_alpha_3d(f, mx, my, mz)
+    m1, m2, m3, ap = positive_normal_3d(mx, my, mz, alpha)
+    ch = {}
+    for i in (0, 1):
+        x0 = jnp.where(mx < 0.0, 0.5 * (1 - i), 0.5 * i)
+        for j in (0, 1):
+            y0 = jnp.where(my < 0.0, 0.5 * (1 - j), 0.5 * j)
+            for k in (0, 1):
+                z0 = jnp.where(mz < 0.0, 0.5 * (1 - k), 0.5 * k)
+                q = box_fraction(m1, m2, m3, ap, (x0, y0, z0),
+                                 (x0 + 0.5, y0 + 0.5, z0 + 0.5))
+                ch[i, j, k] = jnp.where(full, f, q)
+    n0, n1, n2 = f.shape
+    pair = {}
+    for i in (0, 1):
+        for j in (0, 1):
+            pair[i, j] = jnp.stack([ch[i, j, 0], ch[i, j, 1]],
+                                   axis=-1).reshape(n0, n1, 2 * n2)
+    quad = {}
+    for i in (0, 1):
+        quad[i] = jnp.stack([pair[i, 0], pair[i, 1]],
+                            axis=2).reshape(n0, 2 * n1, 2 * n2)
+    return jnp.stack([quad[0], quad[1]], axis=1).reshape(
+        2 * n0, 2 * n1, 2 * n2)
+
+
 def init_fraction(grid: Grid, phi, subsample: int = 4):
     """Volume fraction of {phi > 0} per cell by sub-cell sampling.
 

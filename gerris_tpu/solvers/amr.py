@@ -114,6 +114,31 @@ def sync(u: Dict[int, jnp.ndarray], topo: Topo, leaf: Dict[int, jnp.ndarray],
     return u
 
 
+def sync_vof(u: Dict[int, jnp.ndarray], topo: Topo,
+             leaf: Dict[int, jnp.ndarray], fbc: bcs.FieldBC,
+             t: float = 0.0,
+             cov: Optional[Dict[int, jnp.ndarray]] = None
+             ) -> Dict[int, jnp.ndarray]:
+    """sync() for VOF fractions: volume-mean restriction up (exact for
+    fractions), PLIC-GEOMETRIC prolongation down (vof.prolong_geometric
+    — the reference's gfs_vof_coarse_fine, src/vof.c:210-296).  Linear
+    prolongation smears the slave-cell interface band that the finer
+    sweeps read as ghosts and systematically biases composite VOF
+    advection (round-4 oscillation-frequency drift)."""
+    from ..physics import vof as vofm
+    if cov is None:
+        cov = covered_masks(leaf, topo)
+    u = dict(u)
+    for l in range(topo.lmax - 1, topo.lmin - 1, -1):
+        r = poisson.restrict(u[l + 1], topo.dim)
+        u[l] = jnp.where(cov[l], r, u[l])
+    for l in range(topo.lmin + 1, topo.lmax + 1):
+        p = vofm.prolong_geometric(u[l - 1], topo.grid(l - 1), fbc, t=t)
+        slave = ~(leaf[l] | cov[l])
+        u[l] = jnp.where(slave, p, u[l])
+    return u
+
+
 def _face_restrict(f: jnp.ndarray, axis: int, dim: int) -> jnp.ndarray:
     """Coarse face values = transverse mean of the aligned fine faces:
     take every 2nd face along ``axis``, mean-pool the transverse axes."""
