@@ -147,7 +147,7 @@ def osc_phi(x, y):
     return r * r - (xx * xx + yy * yy)
 
 
-def run_oscillation_amr(level, t_end=1.0):
+def run_oscillation_amr(level, t_end=1.0, composite=False):
     gridf = Grid(level=level, dim=2)
     u_bc = bcs.velocity_bc(0, 2)
     v_bc = bcs.velocity_bc(1, 2)
@@ -156,6 +156,7 @@ def run_oscillation_amr(level, t_end=1.0):
         grid=gridf, u_bcs=(u_bc, v_bc), nu=0.0,
         vof_tracers=(("T", tbc),), tension=(("T", SIGMA),),
         density=("T", RHO_L, RHO_G, 1),
+        composite_vof=composite,
         projection=poisson.MultilevelParams(tolerance=1e-4, nitermax=100),
         approx_projection=poisson.MultilevelParams(tolerance=1e-4,
                                                    nitermax=100))
@@ -203,6 +204,25 @@ def test_oscillation_amr_frequency():
     assert abs(c - REF_C[level]) / REF_C[level] < 0.015
     assert b > 0
     assert ratio < 0.55   # the adaptive mesh must actually save cells
+
+
+@pytest.mark.slow
+def test_oscillation_amr_frequency_composite():
+    """Composite (any-level) VOF sweeps must reproduce the oscillation
+    frequency: regression gate for the round-4 drift fix — linear slave
+    ghosts biased the per-level sweeps to c=146.31 (-7%); geometric
+    PLIC prolongation (amr.sync_vof) restores c=153.83 vs ref 153.984.
+    Reference: gfs_vof_coarse_fine subdivision, src/vof.c:210-296."""
+    level = 6
+    ke, sim = run_oscillation_amr(level, composite=True)
+    a, b, c = fit_ke(ke)
+    n_uniform = (1 << level) ** 2
+    ratio = np.mean(sim.leaf_history) / n_uniform
+    print(f"composite AMR oscillation L{level}: c={c:.2f} "
+          f"(ref {REF_C[level]}); leaf ratio {ratio:.2f}")
+    assert abs(c - REF_C[level]) / REF_C[level] < 0.015
+    assert b > 0
+    assert ratio < 0.55
 
 
 def test_amr_vof_flux_matching_across_levels():
