@@ -139,8 +139,13 @@ def main():
     dom = float(os.environ.get("GERRIS_DIFF_OMEGA", "1.0"))
     mpd = dataclasses.replace(mp1, nrelax=dnr, omega=dom)
 
+    # GERRIS_BENCH_NU: phase-timing probe — nu=0 drops the two implicit
+    # diffusion solves from the step (measures their walltime share);
+    # measurement-only knob, default is the production 1e-3
+    nu = float(os.environ.get("GERRIS_BENCH_NU", "1e-3"))
+
     def make_cfg(mp, mpdiff):
-        return ns.NSConfig(grid=grid, u_bcs=(u_bc, v_bc), nu=1e-3,
+        return ns.NSConfig(grid=grid, u_bcs=(u_bc, v_bc), nu=nu,
                            beta=1.0, projection=mp, approx_projection=mp,
                            diffusion_params=mpdiff, pair_advect=pair)
 
