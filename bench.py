@@ -137,7 +137,10 @@ def main():
     # it on device (659.3M -> 722.3M measured)
     dnr = int(os.environ.get("GERRIS_DIFF_NRELAX", "5"))
     dom = float(os.environ.get("GERRIS_DIFF_OMEGA", "1.0"))
-    mpd = dataclasses.replace(mp1, nrelax=dnr, omega=dom)
+    # tpu_nrelax must follow: solve_fixed_batched floors nrelax at
+    # params.tpu_nrelax, so dnr<5 was silently cache-hitting the =5
+    # program (round-4 note).  Default dnr=5 keeps the program identical.
+    mpd = dataclasses.replace(mp1, nrelax=dnr, omega=dom, tpu_nrelax=dnr)
 
     # GERRIS_BENCH_NU: phase-timing probe — nu=0 drops the two implicit
     # diffusion solves from the step (measures their walltime share);

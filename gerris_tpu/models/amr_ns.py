@@ -36,6 +36,7 @@ from ..core.grid import Grid
 from ..core import bc as bcs
 from ..solvers import advection as adv
 from ..solvers import amr
+from ..solvers import blockadv
 from ..solvers import poisson
 from ..solvers import projection as proj
 from ..solvers.amr import Topo
@@ -328,26 +329,42 @@ def amr_step(state: dict, leaf: dict, dt, t, cfg: ns.NSConfig, topo: Topo,
             [st[n] for n in gnames]
     else:
         g_prev = None
+    # gathered active-block corrector advection (solvers/blockadv.py):
+    # BCG FLOPs ∝ leaves; requires the block solves (slave refresh comes
+    # from solve_block's synced output / fill_slaves below)
+    use_badv = (cfg.block_advect and btables is not None
+                and mu_l is None and dim == 2
+                and blockadv.applicable(topo.base, cfg.advection,
+                                        cfg.u_bcs[0]))
     U_new = []
     for c in range(dim):
         fv = {}
         for l in topo.levels:
             grid = topo.grid(l)
-            uc_pad = adv.mac_cell_mean(uf[l], grid)
-            fvals = adv.advected_face_values(st[names[c]][l], grid,
-                                             cfg.u_bcs[c], dt,
-                                             cfg.advection, uc_pad, t=t)
-            g_pad = bcs.apply_bc(gmac[c][l], grid, gbc, 1, t=t)
-            v_faces = []
-            for a in range(dim):
-                vface = adv.upwind_face_value(fvals[a][0], fvals[a][1],
-                                              uf[l][a], a)
-                vface = vface - face_average(g_pad, grid, a) * dt / 2.0
-                if a == c:
-                    vface = bcs.apply_face_bc(vface, grid, cfg.u_bcs[c], a,
-                                              t=t)
-                v_faces.append(vface)
-            f = adv.flux_divergence(v_faces, uf[l], grid, dt)
+            if use_badv:
+                f = blockadv.advect_level(st[names[c]][l], uf[l],
+                                          gmac[c][l], grid, cfg.u_bcs[c],
+                                          gbc, dt, cfg.advection,
+                                          btables[l], brt.B, c, tval=t)
+            else:
+                uc_pad = adv.mac_cell_mean(uf[l], grid)
+                fvals = adv.advected_face_values(st[names[c]][l], grid,
+                                                 cfg.u_bcs[c], dt,
+                                                 cfg.advection, uc_pad,
+                                                 t=t)
+                g_pad = bcs.apply_bc(gmac[c][l], grid, gbc, 1, t=t)
+                v_faces = []
+                for a in range(dim):
+                    vface = adv.upwind_face_value(fvals[a][0],
+                                                  fvals[a][1],
+                                                  uf[l][a], a)
+                    vface = vface - face_average(g_pad, grid,
+                                                 a) * dt / 2.0
+                    if a == c:
+                        vface = bcs.apply_face_bc(vface, grid,
+                                                  cfg.u_bcs[c], a, t=t)
+                    v_faces.append(vface)
+                f = adv.flux_divergence(v_faces, uf[l], grid, dt)
             if g_prev is not None:
                 f = f - dt * g_prev[c][l]
             if tsrc is not None:
@@ -361,6 +378,12 @@ def amr_step(state: dict, leaf: dict, dt, t, cfg: ns.NSConfig, topo: Topo,
                               brt=brt, btables=btables, mu=mu_l)
         else:
             U_c = {l: st[names[c]][l] + fv[l] for l in topo.levels}
+            if use_badv:
+                # block advection leaves fv = 0 on non-active cells;
+                # refresh the slave ghosts phase 4 reads (the diffusion
+                # path gets this from solve_block's synced output)
+                U_c = amr.fill_slaves(U_c, topo, leaf, cfg.u_bcs[c],
+                                      t=t, cov=cov)
         if gc:
             U_c = {l: U_c[l] + dt * g_prev[c][l] for l in topo.levels}
         U_new.append(U_c)

@@ -134,6 +134,14 @@ class NSConfig:
     # the production program stays byte-identical to the cached one
     # until the A/B lands
     pair_advect: bool = False
+    # AMR corrector advection through the gathered active-block windows
+    # (solvers/blockadv.py): BCG FLOPs ∝ leaves instead of dense per
+    # level (reference: leaf-only advection traversal, src/advection.c
+    # gfs_face_advection_flux).  Opt-in: slave cells then carry
+    # prolonged (not advected) ghosts between phases 3 and 4 — composite
+    # -consistent but not bitwise equal to the dense path, so the slow
+    # verbatim AMR gates must be re-run before defaulting it on.
+    block_advect: bool = False
     # composite (any-level) VOF advection on AMR meshes
     # (amr_ns.amr_advect_vof, src/vof.c:1214-1272 flux matching).
     # Default OFF: with the interface pinned to lmax (the standard

@@ -114,6 +114,26 @@ def sync(u: Dict[int, jnp.ndarray], topo: Topo, leaf: Dict[int, jnp.ndarray],
     return u
 
 
+def fill_slaves(u: Dict[int, jnp.ndarray], topo: Topo,
+                leaf: Dict[int, jnp.ndarray], fbc: bcs.FieldBC,
+                homogeneous: bool = False, t: float = 0.0,
+                cov: Optional[Dict[int, jnp.ndarray]] = None
+                ) -> Dict[int, jnp.ndarray]:
+    """The downward (prolongation-into-slaves) half of ``sync`` only —
+    refreshes ghost regions from fresh leaf data without touching
+    covered cells (used after leaf-only block advection,
+    solvers/blockadv.py)."""
+    if cov is None:
+        cov = covered_masks(leaf, topo)
+    u = dict(u)
+    for l in range(topo.lmin + 1, topo.lmax + 1):
+        p = poisson.prolong(u[l - 1], topo.grid(l - 1), fbc,
+                            homogeneous=homogeneous, t=t)
+        slave = ~(leaf[l] | cov[l])
+        u[l] = jnp.where(slave, p, u[l])
+    return u
+
+
 def sync_vof(u: Dict[int, jnp.ndarray], topo: Topo,
              leaf: Dict[int, jnp.ndarray], fbc: bcs.FieldBC,
              t: float = 0.0,
