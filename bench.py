@@ -108,6 +108,15 @@ def main():
     # it stays opt-in.
     fold = bool(int(os.environ.get("GERRIS_FOLD_DIV", "0")))
     pair = bool(int(os.environ.get("GERRIS_PAIR_ADVECT", "1")))
+    # GERRIS_DIV_SRC=1: fold each projection's divergence into its
+    # PRODUCER launch (predict_xy / interp_faces emit div from VMEM)
+    # instead of the separate divergence_mac launches (-2 launches/step,
+    # no face re-read — the fix for fold_div's measured regression)
+    divsrc = bool(int(os.environ.get("GERRIS_DIV_SRC", "0")))
+    # GERRIS_RR_ADVECT=1: the advection pair kernel also emits the
+    # diffusion chain's first-cycle residual pyramid (r0/r1/r2) — the
+    # residual_restrict_pair launch disappears (-1 launch/step)
+    rradv = bool(int(os.environ.get("GERRIS_RR_ADVECT", "0")))
     # GERRIS_FOLD_CORRECT=1: also fold the projection correction into
     # the solve's final prolong_relax launch (implies fold_div)
     foldc = bool(int(os.environ.get("GERRIS_FOLD_CORRECT", "0")))
@@ -150,7 +159,8 @@ def main():
     def make_cfg(mp, mpdiff):
         return ns.NSConfig(grid=grid, u_bcs=(u_bc, v_bc), nu=nu,
                            beta=1.0, projection=mp, approx_projection=mp,
-                           diffusion_params=mpdiff, pair_advect=pair)
+                           diffusion_params=mpdiff, pair_advect=pair,
+                           div_in_src=divsrc, rr_in_advect=rradv)
 
     cfg = make_cfg(mp1, mpd)
     cfg_warm = make_cfg(mp3, dataclasses.replace(mp3, solver="relax",

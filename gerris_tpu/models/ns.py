@@ -134,6 +134,19 @@ class NSConfig:
     # the production program stays byte-identical to the cached one
     # until the A/B lands
     pair_advect: bool = False
+    # fold each projection's divergence into its PRODUCER kernel
+    # (predict_xy / interp_faces emit div where the faces are already in
+    # VMEM) instead of a separate divergence_mac launch — unlike
+    # MultilevelParams.fold_div (fold into the solve's first kernel,
+    # which re-reads the faces and measured slower), this adds one
+    # output to an existing launch (round-4 lever)
+    div_in_src: bool = False
+    # fold the diffusion chain's first residual_restrict_pair into the
+    # advection pair kernel (which already holds U/V + BC ghosts in
+    # VMEM): the kernel emits (r0, r1, r2) instead of the system rhs,
+    # and the 3-launch diffusion MG chain becomes 2 launches.  Needs
+    # pair_advect and a 1-cycle fixed diffusion schedule.
+    rr_in_advect: bool = False
     # AMR corrector advection through the gathered active-block windows
     # (solvers/blockadv.py): BCG FLOPs ∝ leaves instead of dense per
     # level (reference: leaf-only advection traversal, src/advection.c
@@ -166,10 +179,13 @@ def velocity_names(dim):
 
 
 def predicted_face_velocities(U: list, grid: Grid, cfg: NSConfig, dt, t,
-                              packed: bool = False):
+                              packed: bool = False, div_scale=None):
     """Reference: src/timestep.c:681-717 (use_centered_velocity=TRUE,
     CENTERED upwinding).  ``packed``: return a FacePack in the kernels'
-    native padded face layout (zero repacking launches downstream)."""
+    native padded face layout (zero repacking launches downstream).
+    ``div_scale``: ask the kernel to also emit the MAC divergence
+    (scaled by 1/(h dt_proj)) — returns (uf, (div, total)) then, with
+    the second element None when the kernel path is not taken."""
     from ..ops.pallas import bcg, predict
     if grid.dim == 2 and bcg.applicable(U[0], grid, cfg.advection):
         su = bcg.kernel_spec(cfg.u_bcs[0], with_face_bc=True)
@@ -182,7 +198,12 @@ def predicted_face_velocities(U: list, grid: Grid, cfg: NSConfig, dt, t,
                 U[0], U[1], dt, grid.h, sgn_u=su["sgn"], off_u=su["off"],
                 sgn_v=sv["sgn"], off_v=sv["off"], per_y=su["per_y"],
                 fb_x=su["fb_x"], fb_y=sv["fb_y"] or (0.0, 0.0),
-                packed=packed)
+                packed=packed,
+                div_scale=None if packed else div_scale)
+            if div_scale is not None and not packed:
+                return [out[0], out[1]], (out[2], out[3])
+            if div_scale is not None:
+                return out, None
             return out if packed else [out[0], out[1]]
     uc_pad = [bcs.apply_bc(U[c], grid, cfg.u_bcs[c], 1, t=t, corners=False)
               for c in range(grid.dim)]
@@ -197,6 +218,8 @@ def predicted_face_velocities(U: list, grid: Grid, cfg: NSConfig, dt, t,
         uf_c = adv.upwind_face_value(vp, vm, un, c)
         uf_c = bcs.apply_face_bc(uf_c, grid, cfg.u_bcs[c], c, t=t)
         uf.append(uf_c)
+    if div_scale is not None:
+        return uf, None
     return uf
 
 
@@ -250,8 +273,12 @@ def velocity_advection_diffusion(U: list, uf: list, gmac: list, g_prev,
                 # round-3 lever (c): one launch for both components'
                 # advections (shared MAC-face DMAs)
                 su, sv = specs
-                v0, v1 = bcg.advect2d_pair(
-                    U[0], U[1], uf[0], uf[1], dt, grid.h,
+                dp = cfg.diffusion_params
+                use_rr = (cfg.rr_in_advect and dp.ncycles == 1
+                          and dp.solver != "relax"
+                          and poisson.batched_fixed_eligible(
+                              U, grid, list(cfg.u_bcs), [dia, dia]))
+                kw = dict(
                     g0=gmac[0], g1=gmac[1],
                     gp0=g_prev[0] if g_prev is not None else None,
                     gp1=g_prev[1] if g_prev is not None else None,
@@ -260,6 +287,18 @@ def velocity_advection_diffusion(U: list, uf: list, gmac: list, g_prev,
                     offs=(su["off"], sv["off"]), per_y=su["per_y"],
                     fbxs=(su["fb_x"], None),
                     fbys=(None, sv["fb_y"]))
+                if use_rr:
+                    # round-4 lever: the advection launch also emits
+                    # the diffusion pair's first-cycle residual pyramid
+                    rrs = bcg.advect2d_pair(
+                        U[0], U[1], uf[0], uf[1], dt, grid.h,
+                        rr_dia=dia, h2=grid.h * grid.h, **kw)
+                    out, _ = diff.diffuse_pair(
+                        U, grid, list(cfg.u_bcs), dt, cfg.nu,
+                        cfg.beta, dp, rr_pre=rrs, t=t)
+                    return out
+                v0, v1 = bcg.advect2d_pair(
+                    U[0], U[1], uf[0], uf[1], dt, grid.h, **kw)
                 out, _ = diff.diffuse_pair(
                     U, grid, list(cfg.u_bcs), dt, cfg.nu, cfg.beta,
                     cfg.diffusion_params, rhss=[v0, v1], t=t)
@@ -824,7 +863,20 @@ def ns_step(state: dict, dt, t, cfg: NSConfig, cstart: int = 0,
     # serialize per strip, costing ~1.4 ms/step — more than the
     # pad/concat launches they remove.
     use_pk = sfrac is None and dim == 2 and cfg.pack_faces
-    uf = predicted_face_velocities(U, grid, cfg, dt, t, packed=use_pk)
+    # divergence-in-producer fold: only when nothing touches the faces
+    # between the producer and the projection (no tension sources, no
+    # solid masking, constant density, no volume sources)
+    fold_src = (cfg.div_in_src and dim == 2 and not use_pk
+                and fs is None and alpha is None
+                and mac_div_src is None and solid is None)
+    mac_divp = None
+    if fold_src:
+        uf, mac_divp = predicted_face_velocities(
+            U, grid, cfg, dt, t, packed=use_pk,
+            div_scale=1.0 / (grid.h * (dt / 2.0)))
+    else:
+        uf = predicted_face_velocities(U, grid, cfg, dt, t,
+                                       packed=use_pk)
     # moving_order=2: the MAC projection runs on the time-centred face
     # fractions + OLD cell fraction (swap_face_fractions, moving2.c)
     mac_sfrac = sfrac
@@ -842,7 +894,7 @@ def ns_step(state: dict, dt, t, cfg: NSConfig, cstart: int = 0,
         uf, state["Pmac"], grid, cfg.p_bc, dt / 2.0, cfg.projection,
         alpha=alpha, div_source=mac_div_src, face_sources=fs,
         face_frac=mac_sfrac,
-        vol_frac=mac_vfrac, t=t)
+        vol_frac=mac_vfrac, t=t, div_pre=mac_divp)
 
     # 3. centred advection + diffusion (momentum rhs includes -dt*g_prev);
     # at i==0 the gc gradient role is played by this step's gmac
@@ -860,10 +912,21 @@ def ns_step(state: dict, dt, t, cfg: NSConfig, cstart: int = 0,
     # (gfs_correct_centered_velocities with -dt, src/simulation.c:520)
     # folds into the face-interpolation launch; the post-solve centred
     # correction folds into the projection-correction launch.
+    apx_divp = None
+    fold_src2 = fold_src and approx_div_src is None and sfrac is None
     if gc:
-        uf2, U = proj.face_interpolated_velocity(
-            U, grid, list(cfg.u_bcs), t=t, gp=g_prev, dtv=dt,
-            packed=use_pk)
+        if fold_src2:
+            uf2, U, apx_divp = proj.face_interpolated_velocity(
+                U, grid, list(cfg.u_bcs), t=t, gp=g_prev, dtv=dt,
+                packed=use_pk, div_scale=1.0 / (grid.h * dt))
+        else:
+            uf2, U = proj.face_interpolated_velocity(
+                U, grid, list(cfg.u_bcs), t=t, gp=g_prev, dtv=dt,
+                packed=use_pk)
+    elif fold_src2:
+        uf2, apx_divp = proj.face_interpolated_velocity(
+            U, grid, list(cfg.u_bcs), t=t, packed=use_pk,
+            div_scale=1.0 / (grid.h * dt))
     else:
         uf2 = proj.face_interpolated_velocity(U, grid, list(cfg.u_bcs),
                                               t=t, packed=use_pk)
@@ -873,7 +936,8 @@ def ns_step(state: dict, dt, t, cfg: NSConfig, cstart: int = 0,
         uf2, state["P"], grid, cfg.p_bc, dt, cfg.approx_projection,
         alpha=alpha, div_source=approx_div_src, face_sources=fs,
         face_frac=sfrac,
-        vol_frac=None if solid is None else solid[0], t=t, cells=U)
+        vol_frac=None if solid is None else solid[0], t=t, cells=U,
+        div_pre=apx_divp)
     if solid is not None:
         U = [jnp.where(solid[0] > 0.0, U[c], 0.0) for c in range(dim)]
 

@@ -55,15 +55,25 @@ def _dma(src, dst, dst_row0, start, nrows, sem):
 
 def _advect_core(s, dt_ref, vb, uxb, uyb, gb, gpb, out_ref, *,
                  n0, n1, S, H, nstrips, sgn, off, per_y, fb_x, fb_y,
-                 use_g, use_gp, use_os):
+                 use_g, use_gp, use_os, rr_refs=None):
     """Everything after the DMAs for ONE advected field (ghost fill +
     the strip body) — shared by the single-field kernel and the U+V
-    pair kernel (which reuses the ux/uy buffers across fields)."""
+    pair kernel (which reuses the ux/uy buffers across fields).
+    ``rr_refs=(or1, or2)``: diffusion-chain fold — out_ref receives the
+    RESIDUAL r0 = rhs - L(v) + dia*v of the implicit-diffusion system
+    at initial guess v (rhs being the oscale epilogue's output), and
+    or1/or2 its two mean-pool restrictions: the whole
+    residual_restrict_pair launch of solvers/poisson.solve_fixed_batched
+    folds in here, where v and its BC ghosts are already in VMEM
+    (reference: residual_set2D, src/poisson.c:657)."""
     W = S + 2 * H
     dt_h = dt_ref[0, 0]               # dt / h
     gscale = dt_ref[0, 1]             # h / 2 (g prescale, in-kernel)
     dt_full = dt_ref[0, 2]            # dt (for the cell-wise gp term)
     oscale = dt_ref[0, 3]             # output scale (rhs mode)
+    if rr_refs is not None:           # (1, 6) dt_arr: pair wrapper only
+        dia = dt_ref[0, 4]            # rr fold: Helmholtz diagonal
+        inv_h2 = dt_ref[0, 5]         # rr fold: 1 / h^2
     cl, ch = CP, CP + n1
 
     # ---- ghost columns of v (y BCs), 2 deep, written into vb so the
@@ -197,7 +207,25 @@ def _advect_core(s, dt_ref, vb, uxb, uyb, gb, gpb, out_ref, *,
             total = total - dt_full * gpb[soff:soff + S, cl:ch]
         if use_os:
             total = oscale * (vb[soff:soff + S, cl:ch] + total)
-        out_ref[:, :] = total
+        if rr_refs is not None:
+            # r0 of (L - dia) u = rhs at u = v, plus the 2-level
+            # restriction pyramid — exactly rbgs._rr_core with sub=0.
+            # ve row i = cell i-2; strip cells soff..soff+S-1; the
+            # 1-deep BC ghosts use the same sgn/off encoding the
+            # diffusion solve derives from the same FieldBC.
+            from .rbgs import _lane_pool, _row_pool
+            c = ve[soff + 2:soff + S + 2, cl:ch]
+            nbr = (ve[soff + 1:soff + S + 1, cl:ch]
+                   + ve[soff + 3:soff + S + 3, cl:ch]
+                   + ve[soff + 2:soff + S + 2, cl - 1:ch - 1]
+                   + ve[soff + 2:soff + S + 2, cl + 1:ch + 1])
+            r0 = total - (nbr - 4.0 * c) * inv_h2 + dia * c
+            r1 = _lane_pool(_row_pool(r0))
+            out_ref[:, :] = r0
+            rr_refs[0][:, :] = r1
+            rr_refs[1][:, :] = _lane_pool(_row_pool(r1))
+        else:
+            out_ref[:, :] = total
 
     if nstrips == 1:
         body(0, True, True)
@@ -242,14 +270,22 @@ def _kernel(dt_ref, v_hbm, ux_hbm, uy_hbm, g_hbm, gp_hbm, out_ref,
 
 
 def _kernel_pair(dt_ref, v0_hbm, v1_hbm, ux_hbm, uy_hbm, g0_hbm,
-                 g1_hbm, gp0_hbm, gp1_hbm, o0_ref, o1_ref,
-                 v0b, v1b, uxb, uyb, g0b, g1b, gp0b, gp1b, sem, *,
+                 g1_hbm, gp0_hbm, gp1_hbm, o0_ref, o1_ref, *rest,
                  n0, n1, S, H, nstrips, per_y,
                  sgn0, off0, fb_x0, fb_y0, sgn1, off1, fb_x1, fb_y1,
-                 use_g, use_gp, use_os):
+                 use_g, use_gp, use_os, with_rr=False):
     """Both velocity components' BCG corrector advections in ONE launch
     sharing the MAC-face DMAs (round-3 lever (c): the U and V advect2d
-    calls of the batched-diffusion fast path read identical ufx/ufy)."""
+    calls of the batched-diffusion fast path read identical ufx/ufy).
+    ``with_rr``: o0/o1 become the diffusion residuals r0 and four extra
+    outputs carry the restriction pyramids (see _advect_core)."""
+    if with_rr:
+        (o01_ref, o02_ref, o11_ref, o12_ref,
+         v0b, v1b, uxb, uyb, g0b, g1b, gp0b, gp1b, sem) = rest
+        rr0, rr1 = (o01_ref, o02_ref), (o11_ref, o12_ref)
+    else:
+        v0b, v1b, uxb, uyb, g0b, g1b, gp0b, gp1b, sem = rest
+        rr0 = rr1 = None
     s = pl.program_id(0)
     W = S + 2 * H
     rstart = pl.multiple_of(jnp.clip(s * S - H, 0, n0 - W), GP)
@@ -268,30 +304,40 @@ def _kernel_pair(dt_ref, v0_hbm, v1_hbm, ux_hbm, uy_hbm, g0_hbm,
     _advect_core(s, dt_ref, v0b, uxb, uyb, g0b, gp0b, o0_ref,
                  n0=n0, n1=n1, S=S, H=H, nstrips=nstrips, sgn=sgn0,
                  off=off0, per_y=per_y, fb_x=fb_x0, fb_y=fb_y0,
-                 use_g=use_g, use_gp=use_gp, use_os=use_os)
+                 use_g=use_g, use_gp=use_gp, use_os=use_os,
+                 rr_refs=rr0)
     _advect_core(s, dt_ref, v1b, uxb, uyb, g1b, gp1b, o1_ref,
                  n0=n0, n1=n1, S=S, H=H, nstrips=nstrips, sgn=sgn1,
                  off=off1, per_y=per_y, fb_x=fb_x1, fb_y=fb_y1,
-                 use_g=use_g, use_gp=use_gp, use_os=use_os)
+                 use_g=use_g, use_gp=use_gp, use_os=use_os,
+                 rr_refs=rr1)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("h", "sgns", "offs", "per_y", "fbxs",
-                              "fbys", "S", "interpret"))
+    jax.jit, static_argnames=("h", "h2", "sgns", "offs", "per_y",
+                              "fbxs", "fbys", "S", "interpret"))
 def advect2d_pair(v0, v1, ufx, ufy, dt, h, g0=None, g1=None,
-                  gp0=None, gp1=None, oscale=None, *,
+                  gp0=None, gp1=None, oscale=None, rr_dia=None,
+                  h2=None, *,
                   sgns, offs, per_y=False, fbxs=(None, None),
                   fbys=(None, None), S=32, interpret=False):
     """Both velocity components' advection increments in ONE launch
     sharing the MAC-face DMAs (round-3 lever (c)).  Per-field statics:
     ``sgns``/``offs``/``fbxs``/``fbys`` are (field0, field1) tuples of
     the advect2d encodings.  g/gp/oscale folds as in advect2d, applied
-    to both fields (either both give g or neither, same for gp)."""
+    to both fields (either both give g or neither, same for gp).
+    ``rr_dia`` (+ static ``h2``, requires oscale): diffusion-chain
+    fold — returns ([r0_0, r0_1], [r1_0, r1_1], [r2_0, r2_1]), the
+    exact residual_restrict_pair of the two implicit-diffusion systems
+    at initial guess (v0, v1), replacing that launch (round-4 lever)."""
     n0, n1 = v0.shape
     H = GP
     if n0 % S or n0 < S + 2 * H:
         S = n0
         H = 0
+    with_rr = rr_dia is not None
+    assert not with_rr or (oscale is not None and h2 is not None
+                           and S % 4 == 0)
     W = S + 2 * H
     nstrips = n0 // S
     uxp = jnp.pad(ufx, ((GP, 2 * GP - 1), (0, 0)))
@@ -302,7 +348,9 @@ def advect2d_pair(v0, v1, ufx, ufy, dt, h, g0=None, g1=None,
         jnp.asarray(h, v0.dtype) / 2.0,
         jnp.asarray(dt, v0.dtype),
         jnp.asarray(0.0 if oscale is None else oscale, v0.dtype),
-    ]).reshape(1, 4)
+        jnp.asarray(0.0 if rr_dia is None else rr_dia, v0.dtype),
+        jnp.asarray(1.0 / h2 if h2 is not None else 0.0, v0.dtype),
+    ]).reshape(1, 6)
     use_g = g0 is not None
     use_gp = gp0 is not None
     use_os = oscale is not None
@@ -314,19 +362,24 @@ def advect2d_pair(v0, v1, ufx, ufy, dt, h, g0=None, g1=None,
         fb_x0=fbxs[0], fb_y0=fbys[0],
         sgn1=tuple(sgns[1]), off1=tuple(offs[1]),
         fb_x1=fbxs[1], fb_y1=fbys[1],
-        use_g=use_g, use_gp=use_gp, use_os=use_os)
+        use_g=use_g, use_gp=use_gp, use_os=use_os, with_rr=with_rr)
     vmem = lambda rows: pltpu.VMEM((rows, CP + n1 + CP), v0.dtype)
-    return pl.pallas_call(
+    o_spec = lambda m: pl.BlockSpec((S // m, n1 // m), lambda s: (s, 0),
+                                    memory_space=pltpu.VMEM)
+    o_shape = lambda m: jax.ShapeDtypeStruct((n0 // m, n1 // m),
+                                             v0.dtype)
+    out_specs = [o_spec(1), o_spec(1)]
+    out_shape = [o_shape(1), o_shape(1)]
+    if with_rr:
+        out_specs += [o_spec(2), o_spec(4), o_spec(2), o_spec(4)]
+        out_shape += [o_shape(2), o_shape(4), o_shape(2), o_shape(4)]
+    out = pl.pallas_call(
         kern,
         grid=(nstrips,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pltpu.ANY)] * 8,
-        out_specs=(pl.BlockSpec((S, n1), lambda s: (s, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((S, n1), lambda s: (s, 0),
-                                memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((n0, n1), v0.dtype),
-                   jax.ShapeDtypeStruct((n0, n1), v0.dtype)),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[
             vmem(W), vmem(W),                                 # v0, v1
             pltpu.VMEM((W + 2 * GP, CP + n1 + CP), v0.dtype),  # ufx
@@ -339,6 +392,9 @@ def advect2d_pair(v0, v1, ufx, ufy, dt, h, g0=None, g1=None,
     )(dt_arr, v0, v1, uxp, uyp,
       g0 if use_g else zg, g1 if use_g else zg,
       gp0 if use_gp else zg, gp1 if use_gp else zg)
+    if with_rr:
+        return ([out[0], out[1]], [out[2], out[4]], [out[3], out[5]])
+    return out
 
 
 def kernel_spec(fbc, with_face_bc: bool = False):

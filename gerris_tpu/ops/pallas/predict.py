@@ -24,17 +24,26 @@ from jax.experimental.pallas import tpu as pltpu
 from .bcg import GP, CP, _dma
 
 
-def _kern_xy(dt_ref, u_hbm, v_hbm, ox_ref, oy_ref, ubuf, vbuf, xstage,
-             sem, *,
+def _kern_xy(dt_ref, u_hbm, v_hbm, ox_ref, oy_ref, *rest,
              n0, n1, n1p, S, H, nstrips, sgn_u, off_u, sgn_v, off_v,
-             per_y, fbx_lo, fbx_hi, fby_lo, fby_hi, packed):
+             per_y, fbx_lo, fbx_hi, fby_lo, fby_hi, packed, with_div):
     """Both components' predicted MAC faces in ONE launch (the two
     predict kernels share their u/v strip DMAs; launches dominate on the
     remote TPU).  ox rows = x-faces s*S..s*S+S-1; oy = y-faces 0..n1
-    (padded width n1p) on the strip rows."""
+    (padded width n1p) on the strip rows.
+    ``with_div``: also emit the MAC divergence of the predicted field
+    (div = sum df / (h dt_proj), odiv) plus per-strip partial sums (osum)
+    — the downstream projection's divergence launch folds in here, where
+    the faces are already in VMEM (gfs_normal_divergence,
+    src/fluid.c:2310)."""
+    if with_div:
+        odiv, osum, ubuf, vbuf, xstage, sem = rest
+    else:
+        ubuf, vbuf, xstage, sem = rest
     s = pl.program_id(0)
     W = S + 2 * H
     dt_h = dt_ref[0, 0]
+    dscale = dt_ref[0, 1]
     rstart = pl.multiple_of(jnp.clip(s * S - H, 0, n0 - W), GP)
     cps = [_dma(u_hbm, ubuf, 0, rstart, W, sem.at[0]),
            _dma(v_hbm, vbuf, 0, rstart, W, sem.at[1])]
@@ -158,6 +167,22 @@ def _kern_xy(dt_ref, u_hbm, v_hbm, ox_ref, oy_ref, ubuf, vbuf, xstage,
         if not per_y:
             cidx = jax.lax.broadcasted_iota(jnp.int32, Fy.shape, 1)
             Fy = jnp.where(cidx == 0, fby_lo, Fy)
+        if with_div:
+            # cell (r, j) divergence: F rows r..r+1 (this strip owns
+            # faces soff..soff+S), Fy cols j..j+1 with the top face n1
+            # being the static value fby_hi (or the periodic wrap)
+            Fd = F
+            if last:
+                Fd = jnp.concatenate(
+                    [F[0:S, :], jnp.full_like(F[0:1, :], fbx_hi)], 0)
+            dux = Fd[1:S + 1, :] - Fd[0:S, :]
+            fcol = Fy[:, 0:1] if per_y else jnp.full_like(Fy[:, 0:1],
+                                                          fby_hi)
+            duy = jnp.concatenate([Fy[:, 1:n1], fcol], axis=1) - Fy
+            dv = (dux + duy) * dscale
+            odiv[:, :] = dv
+            osum[:, :] = jnp.pad(jnp.sum(dv).reshape(1, 1),
+                                 ((0, GP - 1), (0, CP - 1)))
         if not packed:
             oy_ref[:, :] = Fy        # faces 0..n1-1 (width n1)
         else:
@@ -190,15 +215,22 @@ def _kern_xy(dt_ref, u_hbm, v_hbm, ox_ref, oy_ref, ubuf, vbuf, xstage,
     "sgn_u", "off_u", "sgn_v", "off_v", "per_y", "fb_x", "fb_y", "S",
     "packed", "interpret"))
 def predict_xy(U, V, dt, h, *, sgn_u, off_u, sgn_v, off_v, per_y,
-               fb_x, fb_y, S=32, packed=False, interpret=False):
+               fb_x, fb_y, S=32, packed=False, div_scale=None,
+               interpret=False):
     """(ufx (n0+1, n1), ufy (n0, n1+1)): both predicted MAC face fields
     in one launch (== predict_x + predict_y).  ``packed=True``: return a
     facepack.FacePack in the kernels' native padded layout instead —
-    zero repacking launches downstream."""
+    zero repacking launches downstream.
+    ``div_scale``: also emit (div, total) — the MAC divergence of the
+    predicted field scaled by div_scale (= 1/(h dt_proj)) and its global
+    sum, exactly ``projops.divergence_mac`` of the returned faces — so
+    the downstream MAC projection needs no divergence launch."""
     n0, n1 = U.shape
     H = GP
     if n0 % S or n0 < S + 2 * H:
         S, H = n0, 0
+    with_div = div_scale is not None
+    assert not (with_div and packed), "div fold: unpacked layout only"
     from .facepack import FacePack, n1p_of
     n1p = n1p_of(n1) if packed else n1
     kern = functools.partial(
@@ -207,9 +239,14 @@ def predict_xy(U, V, dt, h, *, sgn_u, off_u, sgn_v, off_v, per_y,
         per_y=per_y, fbx_lo=fb_x[0],
         fbx_hi=0.0 if fb_x[1] is None else fb_x[1],
         fby_lo=0.0 if fb_y[0] is None else fb_y[0],
-        fby_hi=0.0 if fb_y[1] is None else fb_y[1], packed=packed)
-    dt_arr = (jnp.asarray(dt, U.dtype) / h).reshape(1, 1)
+        fby_hi=0.0 if fb_y[1] is None else fb_y[1], packed=packed,
+        with_div=with_div)
+    dt_arr = jnp.stack([
+        jnp.asarray(dt, U.dtype) / h,
+        jnp.asarray(div_scale if with_div else 0.0, U.dtype),
+    ]).reshape(1, 2)
     W = S + 2 * H
+    nstrips = n0 // S
     if packed:
         ox_spec = pl.BlockSpec(memory_space=pltpu.ANY)
         ox_shape = jax.ShapeDtypeStruct((n0 + 3 * GP, n1), U.dtype)
@@ -219,17 +256,26 @@ def predict_xy(U, V, dt, h, *, sgn_u, off_u, sgn_v, off_v, per_y,
                                memory_space=pltpu.VMEM)
         ox_shape = jax.ShapeDtypeStruct((n0, n1), U.dtype)
         xstage_rows = GP
-    ox, oy = pl.pallas_call(
+    out_specs = [ox_spec,
+                 pl.BlockSpec((S, n1p), lambda s: (s, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [ox_shape,
+                 jax.ShapeDtypeStruct((n0, n1p), U.dtype)]
+    if with_div:
+        out_specs += [pl.BlockSpec((S, n1), lambda s: (s, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((GP, CP), lambda s: (s, 0),
+                                   memory_space=pltpu.VMEM)]
+        out_shape += [jax.ShapeDtypeStruct((n0, n1), U.dtype),
+                      jax.ShapeDtypeStruct((nstrips * GP, CP), U.dtype)]
+    out = pl.pallas_call(
         kern,
-        grid=(n0 // S,),
+        grid=(nstrips,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.ANY),
                   pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=(ox_spec,
-                   pl.BlockSpec((S, n1p), lambda s: (s, 0),
-                                memory_space=pltpu.VMEM)),
-        out_shape=(ox_shape,
-                   jax.ShapeDtypeStruct((n0, n1p), U.dtype)),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[
             pltpu.VMEM((W, CP + n1 + CP), U.dtype),
             pltpu.VMEM((W, CP + n1 + CP), U.dtype),
@@ -238,6 +284,7 @@ def predict_xy(U, V, dt, h, *, sgn_u, off_u, sgn_v, off_v, per_y,
         ],
         interpret=interpret,
     )(dt_arr, U, V)
+    ox, oy = out[0], out[1]
     if packed:
         return FacePack(x=ox, y=oy, n0=n0, n1=n1)
     top = jnp.full((1, n1), fb_x[1], U.dtype)
@@ -247,4 +294,6 @@ def predict_xy(U, V, dt, h, *, sgn_u, off_u, sgn_v, off_v, per_y,
     else:
         ufy = jnp.concatenate(
             [oy, jnp.full((n0, 1), fb_y[1], V.dtype)], axis=1)
+    if with_div:
+        return ufx, ufy, out[2], jnp.sum(out[3])
     return ufx, ufy

@@ -41,16 +41,22 @@ def _ghost_rows_cols(buf, W, cl, ch, sgn, off, per_y, first, last):
 
 
 def _kern_interp(dt_ref, u_hbm, v_hbm, gx_hbm, gy_hbm,
-                 ox_ref, oy_ref, ou_ref, ov_ref, ubuf, vbuf, gxb, gyb,
-                 xstage, sem, *,
+                 ox_ref, oy_ref, ou_ref, ov_ref, *rest,
                  n0, n1, n1p, S, H, nstrips, sgn_u, off_u, sgn_v, off_v,
-                 per_y, fbx_lo, fbx_hi, fby, use_gp, packed):
+                 per_y, fbx_lo, fbx_hi, fby, use_gp, packed, with_div):
     """Face-interpolated MAC velocities for both components in one
     launch: ox rows = x-faces s*S..s*S+S-1 (face n0 appended by the
     wrapper); oy = y-faces 0..n1 (padded width n1p).
     ``use_gp``: the cells are first updated u += dt*gx, v += dt*gy (the
     gc pressure-gradient re-add, src/simulation.c:520) and the updated
-    cells are emitted as ou/ov — zero extra launches."""
+    cells are emitted as ou/ov — zero extra launches.
+    ``with_div``: also emit the MAC divergence (scaled by dt_ref[0,1])
+    + per-strip partial sums — the approximate projection's divergence
+    launch folds in here where the faces are already in VMEM."""
+    if with_div:
+        odiv, osum, ubuf, vbuf, gxb, gyb, xstage, sem = rest
+    else:
+        ubuf, vbuf, gxb, gyb, xstage, sem = rest
     s = pl.program_id(0)
     W = S + 2 * H
     rstart = pl.multiple_of(jnp.clip(s * S - H, 0, n0 - W), GP)
@@ -122,6 +128,21 @@ def _kern_interp(dt_ref, u_hbm, v_hbm, gx_hbm, gy_hbm,
             if fby[1] is not None:
                 vy = jnp.where(cidx == n1, fby[1], vy)
         oy_ref[:, :] = jnp.pad(vy, ((0, 0), (0, n1p - (n1 + 1))))
+        if with_div:
+            # cell (r, j) divergence from the faces just built; face n0
+            # follows the wrapper's append semantics (fbx_hi, or the
+            # replicated last interior face when fbx_hi is None)
+            Fd = ux
+            if last:
+                topv = jnp.full_like(ux[0:1, :], fbx_hi) \
+                    if fbx_hi is not None else ux[S - 1:S, :]
+                Fd = jnp.concatenate([ux[0:S, :], topv], 0)
+            dux = Fd[1:S + 1, :] - Fd[0:S, :]
+            duy = vy[:, 1:n1 + 1] - vy[:, 0:n1]
+            dv = (dux + duy) * dt_ref[0, 1]
+            odiv[:, :] = dv
+            osum[:, :] = jnp.pad(jnp.sum(dv).reshape(1, 1),
+                                 ((0, GP - 1), (0, CP - 1)))
         if use_gp:
             ou_ref[:, :] = ubuf[soff:soff + S, cl:ch]
             ov_ref[:, :] = vbuf[soff:soff + S, cl:ch]
@@ -149,17 +170,23 @@ def _kern_interp(dt_ref, u_hbm, v_hbm, gx_hbm, gy_hbm,
     "sgn_u", "off_u", "sgn_v", "off_v", "per_y", "fbx", "fby", "S",
     "packed", "interpret"))
 def interp_faces(U, V, gp=None, dtv=None, *, sgn_u, off_u, sgn_v, off_v,
-                 per_y, fbx, fby, S=64, packed=False, interpret=False):
-    """(ufx, ufy[, U2, V2]) face-interpolated MAC field from centred
-    velocities with the Dirichlet face BCs applied
+                 per_y, fbx, fby, S=64, packed=False, div_scale=None,
+                 interpret=False):
+    """(ufx, ufy[, U2, V2][, div, total]) face-interpolated MAC field
+    from centred velocities with the Dirichlet face BCs applied
     (face_interpolated_velocity, solvers/projection.py).
     With ``gp=(Gx, Gy)`` and ``dtv``: the cells are updated
     u += dtv*Gx first (the gc gradient re-add) and the updated cells
-    are also returned."""
+    are also returned.
+    ``div_scale``: also emit (div, total) — ``projops.divergence_mac``
+    of the returned faces with scale 1/(h dt_proj) — so the downstream
+    projection needs no divergence launch."""
     n0, n1 = U.shape
     H = GP
     if n0 % S or n0 < S + 2 * H:
         S, H = n0, 0
+    with_div = div_scale is not None
+    assert not (with_div and packed), "div fold: unpacked layout only"
     n1p = n1 + 1 + ((-(n1 + 1)) % CP)
     from .facepack import FacePack
     use_gp = gp is not None
@@ -167,12 +194,15 @@ def interp_faces(U, V, gp=None, dtv=None, *, sgn_u, off_u, sgn_v, off_v,
         _kern_interp, n0=n0, n1=n1, n1p=n1p, S=S, H=H, nstrips=n0 // S,
         sgn_u=sgn_u, off_u=off_u, sgn_v=sgn_v, off_v=off_v, per_y=per_y,
         fbx_lo=fbx[0], fbx_hi=fbx[1], fby=fby, use_gp=use_gp,
-        packed=packed)
+        packed=packed, with_div=with_div)
     W = S + 2 * H
+    nstrips = n0 // S
     z = jnp.zeros((GP, n1), U.dtype)
     gx_in, gy_in = gp if use_gp else (z, z)
-    dt_arr = jnp.asarray(dtv if dtv is not None else 0.0,
-                         U.dtype).reshape(1, 1)
+    dt_arr = jnp.stack([
+        jnp.asarray(dtv if dtv is not None else 0.0, U.dtype),
+        jnp.asarray(div_scale if with_div else 0.0, U.dtype),
+    ]).reshape(1, 2)
     cs = S if use_gp else GP
     if packed:
         ox_spec = pl.BlockSpec(memory_space=pltpu.ANY)
@@ -183,22 +213,31 @@ def interp_faces(U, V, gp=None, dtv=None, *, sgn_u, off_u, sgn_v, off_v,
                                memory_space=pltpu.VMEM)
         ox_shape = jax.ShapeDtypeStruct((n0, n1), U.dtype)
         xstage_rows = GP
-    ox, oy, ou, ov = pl.pallas_call(
+    out_specs = [ox_spec,
+                 pl.BlockSpec((S, n1p), lambda s: (s, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((cs, n1), lambda s: (s, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((cs, n1), lambda s: (s, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [ox_shape,
+                 jax.ShapeDtypeStruct((n0, n1p), U.dtype),
+                 jax.ShapeDtypeStruct((cs * nstrips, n1), U.dtype),
+                 jax.ShapeDtypeStruct((cs * nstrips, n1), U.dtype)]
+    if with_div:
+        out_specs += [pl.BlockSpec((S, n1), lambda s: (s, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((GP, CP), lambda s: (s, 0),
+                                   memory_space=pltpu.VMEM)]
+        out_shape += [jax.ShapeDtypeStruct((n0, n1), U.dtype),
+                      jax.ShapeDtypeStruct((nstrips * GP, CP), U.dtype)]
+    out = pl.pallas_call(
         kern,
-        grid=(n0 // S,),
+        grid=(nstrips,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
                  [pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
-        out_specs=(ox_spec,
-                   pl.BlockSpec((S, n1p), lambda s: (s, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((cs, n1), lambda s: (s, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((cs, n1), lambda s: (s, 0),
-                                memory_space=pltpu.VMEM)),
-        out_shape=(ox_shape,
-                   jax.ShapeDtypeStruct((n0, n1p), U.dtype),
-                   jax.ShapeDtypeStruct((cs * (n0 // S), n1), U.dtype),
-                   jax.ShapeDtypeStruct((cs * (n0 // S), n1), U.dtype)),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[
             pltpu.VMEM((W, CP + n1 + CP), U.dtype),
             pltpu.VMEM((W, CP + n1 + CP), U.dtype),
@@ -209,6 +248,8 @@ def interp_faces(U, V, gp=None, dtv=None, *, sgn_u, off_u, sgn_v, off_v,
         ],
         interpret=interpret,
     )(dt_arr, U, V, gx_in, gy_in)
+    ox, oy, ou, ov = out[:4]
+    divs = (out[4], jnp.sum(out[5])) if with_div else ()
     if packed:
         uf_out = FacePack(x=ox, y=oy, n0=n0, n1=n1)
         if use_gp:
@@ -218,8 +259,8 @@ def interp_faces(U, V, gp=None, dtv=None, *, sgn_u, off_u, sgn_v, off_v,
     ufx = jnp.concatenate([ox, top], axis=0) if fbx[1] is not None \
         else jnp.concatenate([ox, ox[-1:, :]], axis=0)
     if use_gp:
-        return ufx, oy[:, :n1 + 1], ou, ov
-    return ufx, oy[:, :n1 + 1]
+        return (ufx, oy[:, :n1 + 1], ou, ov) + divs
+    return (ufx, oy[:, :n1 + 1]) + divs
 
 
 def _kern_div(sc_ref, ux_hbm, uy_hbm, odiv, osum, uxb, uyb, sem, *,

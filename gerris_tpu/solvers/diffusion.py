@@ -77,7 +77,7 @@ def diffuse(v: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC, dt,
 
 def diffuse_pair(vs, grid: Grid, fbcs, dt, D, beta: float,
                  params: poisson.MultilevelParams, extra_rhss=None,
-                 rhss=None, t: float = 0.0):
+                 rhss=None, rr_pre=None, t: float = 0.0):
     """The U+V scalar implicit-diffusion systems solved together.
 
     On the fixed-cycle TPU path both Helmholtz systems ride ONE batched
@@ -86,11 +86,18 @@ def diffuse_pair(vs, grid: Grid, fbcs, dt, D, beta: float,
     calls.  Scalar D, unit rho (the constant-density velocity pair).
     Either ``extra_rhss`` (momentum increments; the rhs is built here)
     or ``rhss`` (the pre-built -dia*(v + extra) system rhs, e.g. from
-    the advection kernel's oscale fold) must be given.
+    the advection kernel's oscale fold) must be given — or ``rr_pre``
+    (the first cycle's (r0s, r1s, r2s) from the advection kernel's rr
+    fold; requires ncycles == 1 since later cycles would need rhss).
     Returns ([v_new...], stats)."""
     scale = beta * dt * D
     dia = 1.0 / scale
     n = len(vs)
+    if rr_pre is not None:
+        assert params is not None and params.ncycles == 1 \
+            and params.solver != "relax"
+        return poisson.solve_fixed_batched(vs, None, grid, fbcs, params,
+                                           [dia] * n, rr_pre=rr_pre)
     if (params is not None and params.ncycles > 0
             and poisson.batched_fixed_eligible(vs, grid, fbcs,
                                                [dia] * n)):

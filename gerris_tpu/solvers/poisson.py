@@ -827,17 +827,23 @@ def solve_relax_pair(us, rhss, grid: Grid, fbcs,
 
 
 def solve_fixed_batched(us, rhss, grid: Grid, fbcs,
-                        params: MultilevelParams, dias, subs=None):
+                        params: MultilevelParams, dias, subs=None,
+                        rr_pre=None):
     """ncycles fixed sawtooth cycles on the 2 independent scalar-dia
     systems of the U+V implicit-diffusion pair, in 3 PAIR launches per
     cycle — separate refs per system, zero host-side stacking copies
     (CLAUDE.md round-3 candidate (a)).  Caller must check
-    batched_fixed_eligible."""
+    batched_fixed_eligible.
+    ``rr_pre``: precomputed (r0s, r1s, r2s) for the FIRST cycle (the
+    advection pair kernel's rr fold, ops/pallas/bcg.advect2d_pair) —
+    the first residual_restrict_pair launch is skipped; ``rhss`` may
+    then be None when ncycles == 1."""
     from ..ops.pallas.rbgs import (residual_restrict_pair,
                                    cascade_prolong_relax_pair,
                                    prolong_relax_pair)
 
     assert len(us) == 2
+    assert rr_pre is not None or rhss is not None
     if _pallas_relax_applicable(us[0], grid, fbcs[0], None, None, True):
         params = dataclasses.replace(
             params, nrelax=max(params.nrelax, params.tpu_nrelax),
@@ -859,9 +865,12 @@ def solve_fixed_batched(us, rhss, grid: Grid, fbcs,
     U = list(us)
     h2 = grid.h * grid.h
     r0 = None
-    for _ in range(params.ncycles):
-        r0, r1, r2 = residual_restrict_pair(
-            U, rhss, scal, h2=h2, signs=signs, periodic_y=per_y)
+    for ic in range(params.ncycles):
+        if ic == 0 and rr_pre is not None:
+            r0, r1, r2 = rr_pre
+        else:
+            r0, r1, r2 = residual_restrict_pair(
+                U, rhss, scal, h2=h2, signs=signs, periodic_y=per_y)
         rep = cascade_prolong_relax_pair(
             r1, r2, dia_vec, nsweeps=params.nrelax,
             coarsest=max(params.coarsest_relax, 40),

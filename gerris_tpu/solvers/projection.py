@@ -95,7 +95,7 @@ def mac_projection(u_face: list, p: jnp.ndarray, grid: Grid,
                    params: poisson.MultilevelParams,
                    alpha=None, div_source=None, face_sources=None,
                    face_frac=None, vol_frac=None, t: float = 0.0,
-                   cells=None):
+                   cells=None, div_pre=None):
     """Project the MAC field. Returns (u_face', p, g_cell, stats).
 
     ``div_source``: optional extra divergence (the reference's
@@ -124,7 +124,13 @@ def mac_projection(u_face: list, p: jnp.ndarray, grid: Grid,
         u_face = [u_face[c] + dt * face_sources[c] for c in range(grid.dim)]
     conn = None
     div_total = None
-    if face_frac is None:
+    if div_pre is not None:
+        # the producer kernel (predict_xy / interp_faces) already
+        # emitted the divergence + its sum — zero launches here
+        assert face_frac is None and alpha is None and div_source is None
+        div, div_total = div_pre
+        alpha_solve = alpha
+    elif face_frac is None:
         from ..ops.pallas import bcg as _bcg
         if (not packed and alpha is None and div_source is None
                 and grid.dim == 2 and _bcg.applicable(p, grid)
@@ -256,7 +262,7 @@ def mac_projection(u_face: list, p: jnp.ndarray, grid: Grid,
 
 def face_interpolated_velocity(u_cell: list, grid: Grid, u_bcs: list,
                                t: float = 0.0, gp=None, dtv=None,
-                               packed: bool = False):
+                               packed: bool = False, div_scale=None):
     """MAC velocities by simple averaging of centred values, with the BC
     value imposed on boundary faces (reference:
     gfs_face_interpolated_normal_velocity src/advection.c:546-566 +
@@ -265,7 +271,10 @@ def face_interpolated_velocity(u_cell: list, grid: Grid, u_bcs: list,
     ``gp``/``dtv``: optional per-component cell gradients first folded
     into the cells (u += dtv*gp[c], the gc gradient re-add,
     src/simulation.c:520); the updated cells are then returned as a
-    second element: (faces, cells)."""
+    second element: (faces, cells).
+    ``div_scale``: ask the kernel to also emit the MAC divergence
+    (scaled by 1/(h dt_proj)); the return grows a final element —
+    (div, total), or None when the kernel path is not taken."""
     if gp is not None:
         fold = [u_cell[c] + dtv * gp[c] for c in range(grid.dim)]
     if grid.dim == 2:
@@ -282,14 +291,24 @@ def face_interpolated_velocity(u_cell: list, grid: Grid, u_bcs: list,
                           sgn_v=sv["sgn"], off_v=sv["off"],
                           per_y=su["per_y"], fbx=su["fb_x"],
                           fby=sv["fb_y"] or (None, None),
-                          packed=packed)
+                          packed=packed,
+                          div_scale=None if packed else div_scale)
                 if gp is not None:
                     out = _projops.interp_faces(
                         u_cell[0], u_cell[1], tuple(gp), dtv, **kw)
                     if packed:
-                        return out[0], [out[1], out[2]]
-                    return [out[0], out[1]], [out[2], out[3]]
+                        res = out[0], [out[1], out[2]]
+                        return res + (None,) if div_scale is not None \
+                            else res
+                    res = [out[0], out[1]], [out[2], out[3]]
+                    if div_scale is not None:
+                        return res + ((out[4], out[5]),)
+                    return res
                 out = _projops.interp_faces(u_cell[0], u_cell[1], **kw)
+                if div_scale is not None:
+                    if packed:
+                        return out, None
+                    return [out[0], out[1]], (out[2], out[3])
                 return out if packed else [out[0], out[1]]
     src = fold if gp is not None else u_cell
     out = []
@@ -298,9 +317,10 @@ def face_interpolated_velocity(u_cell: list, grid: Grid, u_bcs: list,
         uf = face_average(pad, grid, c)
         uf = bcs.apply_face_bc(uf, grid, u_bcs[c], c, t=t)
         out.append(uf)
-    if gp is not None:
-        return out, fold
-    return out
+    base = (out, fold) if gp is not None else (out,)
+    if div_scale is not None:
+        base = base + (None,)
+    return base if len(base) > 1 else base[0]
 
 
 def approximate_projection(u_cell: list, p: jnp.ndarray, grid: Grid,

@@ -171,3 +171,50 @@ def test_pair_kernel_matches_two_singles():
         interpret=True)
     assert float(jnp.max(jnp.abs(p0 - r0))) == 0.0
     assert float(jnp.max(jnp.abs(p1 - r1))) == 0.0
+
+
+def test_pair_kernel_rr_fold():
+    """advect2d_pair with rr_dia == the plain pair output fed through
+    rbgs.residual_restrict_pair (the diffusion chain's first launch
+    folded into the advection kernel)."""
+    from gerris_tpu.ops.pallas import rbgs
+    from gerris_tpu.solvers.poisson import _signs_offs
+    grid = Grid(level=6, dim=2)
+    u_bc = bcs.FieldBC.make(2, default=bcs.Dirichlet(0.0),
+                            top=bcs.Dirichlet(1.0))
+    v_bc = bcs.FieldBC.uniform(bcs.Dirichlet(0.0), 2)
+    su = bcg.kernel_spec(u_bc, with_face_bc=True)
+    sv = bcg.kernel_spec(v_bc, with_face_bc=True)
+    ks = jax.random.split(jax.random.PRNGKey(13), 7)
+    U = jax.random.normal(ks[0], grid.shape, jnp.float32)
+    V = jax.random.normal(ks[1], grid.shape, jnp.float32)
+    ufx = jax.random.normal(ks[2], (grid.n + 1, grid.n), jnp.float32)
+    ufy = jax.random.normal(ks[3], (grid.n, grid.n + 1), jnp.float32)
+    g0 = jax.random.normal(ks[4], grid.shape, jnp.float32)
+    g1 = jax.random.normal(ks[5], grid.shape, jnp.float32)
+    gp0 = jax.random.normal(ks[6], grid.shape, jnp.float32)
+    gp1 = -gp0
+    dt = jnp.float32(0.27 * grid.h)
+    dia = jnp.float32(37.5)
+    h2 = grid.h * grid.h
+    kw = dict(g0=g0, g1=g1, gp0=gp0, gp1=gp1, oscale=-dia,
+              sgns=(su["sgn"], sv["sgn"]), offs=(su["off"], sv["off"]),
+              per_y=su["per_y"], fbxs=(su["fb_x"], None),
+              fbys=(None, sv["fb_y"]), interpret=True)
+    v0, v1 = bcg.advect2d_pair(U, V, ufx, ufy, dt, grid.h, **kw)
+    signs, _ = _signs_offs(grid, u_bc, False)
+    rows = []
+    for fbc in (u_bc, v_bc):
+        _, offs = _signs_offs(grid, fbc, False)
+        rows.append(jnp.stack([dia, jnp.float32(0.0)]
+                              + [jnp.float32(o) for o in offs]))
+    scal = jnp.stack(rows)
+    ref0, ref1, ref2 = rbgs.residual_restrict_pair(
+        [U, V], [v0, v1], scal, h2=h2, signs=signs, periodic_y=False,
+        interpret=True)
+    r0s, r1s, r2s = bcg.advect2d_pair(U, V, ufx, ufy, dt, grid.h,
+                                      rr_dia=dia, h2=h2, **kw)
+    for got, ref in zip(r0s + r1s + r2s, ref0 + ref1 + ref2):
+        mag = float(jnp.max(jnp.abs(ref))) + 1e-30
+        d = float(jnp.max(jnp.abs(got - ref)))
+        assert d < 1e-5 * mag, (d, mag)

@@ -94,3 +94,43 @@ def test_predict_xy_packed_matches_plain(lid):
     from gerris_tpu.ops.pallas.bcg import GP
     assert float(jnp.max(jnp.abs(fp.x[:GP]))) == 0.0
     assert float(jnp.max(jnp.abs(fp.x[GP + grid.n + 1:]))) == 0.0
+
+
+@pytest.mark.parametrize("lid", [True, False])
+def test_predict_xy_div_fold(lid):
+    """div_scale output == projops.divergence_mac of the returned faces
+    (the MAC projection's divergence launch folded into the predictor)."""
+    from gerris_tpu.ops.pallas import projops
+    grid = Grid(level=6, dim=2)
+    if lid:
+        u_bc = bcs.FieldBC.make(2, default=bcs.Dirichlet(0.0),
+                                top=bcs.Dirichlet(1.0))
+        v_bc = bcs.FieldBC.uniform(bcs.Dirichlet(0.0), 2)
+        per_y = False
+    else:
+        u_bc = bcs.FieldBC(((bcs.Dirichlet(0.0), bcs.Dirichlet(0.0)),
+                            (bcs.Periodic(), bcs.Periodic())))
+        v_bc = u_bc
+        per_y = True
+    su = bcg.kernel_spec(u_bc, with_face_bc=True)
+    sv = bcg.kernel_spec(v_bc, with_face_bc=True)
+    ks = jax.random.split(jax.random.PRNGKey(3), 2)
+    U = jax.random.normal(ks[0], grid.shape, jnp.float32)
+    V = jax.random.normal(ks[1], grid.shape, jnp.float32)
+    dt = 0.4 * grid.h
+    dtp = dt / 2.0
+    kw = dict(sgn_u=su["sgn"], off_u=su["off"], sgn_v=sv["sgn"],
+              off_v=sv["off"], per_y=per_y, fb_x=su["fb_x"],
+              fb_y=sv["fb_y"] or (0.0, 0.0), interpret=True)
+    ufx, ufy, div, tot = predict.predict_xy(
+        U, V, dt, grid.h, div_scale=1.0 / (grid.h * dtp), **kw)
+    rx, ry = predict.predict_xy(U, V, dt, grid.h, **kw)
+    assert float(jnp.max(jnp.abs(ufx - rx))) == 0.0
+    assert float(jnp.max(jnp.abs(ufy - ry))) == 0.0
+    rdiv, rtot = projops.divergence_mac(rx, ry, jnp.asarray(dtp),
+                                        grid.h, interpret=True)
+    mag = float(jnp.max(jnp.abs(rdiv)))
+    assert float(jnp.max(jnp.abs(div - rdiv))) < 1e-6 * mag
+    # totals: different per-strip sum associations in f32
+    assert abs(float(tot) - float(rtot)) < \
+        1e-5 * float(jnp.sum(jnp.abs(rdiv))) + 1e-3

@@ -77,6 +77,44 @@ def test_divergence_mac_matches():
     assert abs(float(total) - float(jnp.sum(ref))) < 1e-7
 
 
+@pytest.mark.parametrize("use_gp", [False, True])
+def test_interp_faces_div_fold(use_gp):
+    """div_scale output == divergence_mac of the returned faces (the
+    approximate projection's divergence launch folded into the face
+    interpolation), with and without the gc gradient re-add."""
+    grid = Grid(level=6, dim=2)
+    u_bc = bcs.FieldBC.make(2, default=bcs.Dirichlet(0.0),
+                            top=bcs.Dirichlet(1.0))
+    v_bc = bcs.FieldBC.uniform(bcs.Dirichlet(0.0), 2)
+    su = bcg.kernel_spec(u_bc, with_face_bc=True)
+    sv = bcg.kernel_spec(v_bc, with_face_bc=True)
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    U, V, Gx, Gy = [jax.random.normal(k, grid.shape, jnp.float32)
+                    for k in ks]
+    dt = jnp.float32(0.05)
+    kw = dict(sgn_u=su["sgn"], off_u=su["off"], sgn_v=sv["sgn"],
+              off_v=sv["off"], per_y=False, fbx=su["fb_x"],
+              fby=sv["fb_y"], interpret=True)
+    sc = 1.0 / (grid.h * dt)
+    if use_gp:
+        ox, oy, ou, ov, div, tot = projops.interp_faces(
+            U, V, (Gx, Gy), dt, div_scale=sc, **kw)
+        rx, ry = projops.interp_faces(U + dt * Gx, V + dt * Gy, **kw)
+    else:
+        ox, oy, div, tot = projops.interp_faces(U, V, div_scale=sc,
+                                                **kw)
+        rx, ry = projops.interp_faces(U, V, **kw)
+    assert float(jnp.max(jnp.abs(ox - rx))) < 1e-5
+    assert float(jnp.max(jnp.abs(oy - ry))) < 1e-5
+    rdiv, rtot = projops.divergence_mac(rx, ry, dt, grid.h,
+                                        interpret=True)
+    mag = float(jnp.max(jnp.abs(rdiv)))
+    assert float(jnp.max(jnp.abs(div - rdiv))) < 1e-6 * mag
+    # totals: different per-strip sum associations in f32
+    assert abs(float(tot) - float(rtot)) < \
+        1e-5 * float(jnp.sum(jnp.abs(rdiv))) + 1e-3
+
+
 def test_interp_faces_gc_fold():
     """interp_faces with gp/dtv == update-then-interpolate, plus the
     updated cells as extra outputs."""
