@@ -320,7 +320,7 @@ def advect2d_pair(v0, v1, ufx, ufy, dt, h, g0=None, g1=None,
                   gp0=None, gp1=None, oscale=None, rr_dia=None,
                   h2=None, *,
                   sgns, offs, per_y=False, fbxs=(None, None),
-                  fbys=(None, None), S=32, interpret=False):
+                  fbys=(None, None), S=64, interpret=False):
     """Both velocity components' advection increments in ONE launch
     sharing the MAC-face DMAs (round-3 lever (c)).  Per-field statics:
     ``sgns``/``offs``/``fbxs``/``fbys`` are (field0, field1) tuples of
@@ -388,6 +388,9 @@ def advect2d_pair(v0, v1, ufx, ufy, dt, h, g0=None, g1=None,
             vmem(W if use_gp else GP), vmem(W if use_gp else GP),
             pltpu.SemaphoreType.DMA((8,)),
         ],
+        # S>=64 strips exceed the 16M default scoped cap
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 2**20),
         interpret=interpret,
     )(dt_arr, v0, v1, uxp, uyp,
       g0 if use_g else zg, g1 if use_g else zg,
@@ -457,7 +460,7 @@ def applicable(v, grid, par=None) -> bool:
     "sgn", "off", "per_y", "fb_x", "fb_y", "S", "interpret"))
 def advect2d(v, ufx, ufy, dt, h, g=None, gp=None, oscale=None, *,
              sgn, off, per_y=False,
-             fb_x=None, fb_y=None, S=32, interpret=False):
+             fb_x=None, fb_y=None, S=64, interpret=False):
     """Conservative BCG advection increment for one cell field:
     v_new = v + advect2d(...).
 
@@ -529,5 +532,7 @@ def advect2d(v, ufx, ufy, dt, h, g=None, gp=None, oscale=None, *,
                        v.dtype),                              # gp
             pltpu.SemaphoreType.DMA((5,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 2**20),
         interpret=interpret,
     )(dt_arr, v, uxp, uyp, g_in, gp_in)

@@ -215,7 +215,7 @@ def _kern_xy(dt_ref, u_hbm, v_hbm, ox_ref, oy_ref, *rest,
     "sgn_u", "off_u", "sgn_v", "off_v", "per_y", "fb_x", "fb_y", "S",
     "packed", "interpret"))
 def predict_xy(U, V, dt, h, *, sgn_u, off_u, sgn_v, off_v, per_y,
-               fb_x, fb_y, S=32, packed=False, div_scale=None,
+               fb_x, fb_y, S=64, packed=False, div_scale=None,
                interpret=False):
     """(ufx (n0+1, n1), ufy (n0, n1+1)): both predicted MAC face fields
     in one launch (== predict_x + predict_y).  ``packed=True``: return a
@@ -282,6 +282,8 @@ def predict_xy(U, V, dt, h, *, sgn_u, off_u, sgn_v, off_v, per_y,
             pltpu.VMEM((xstage_rows, n1), U.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 2**20),
         interpret=interpret,
     )(dt_arr, U, V)
     ox, oy = out[0], out[1]

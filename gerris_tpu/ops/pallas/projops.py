@@ -170,7 +170,7 @@ def _kern_interp(dt_ref, u_hbm, v_hbm, gx_hbm, gy_hbm,
     "sgn_u", "off_u", "sgn_v", "off_v", "per_y", "fbx", "fby", "S",
     "packed", "interpret"))
 def interp_faces(U, V, gp=None, dtv=None, *, sgn_u, off_u, sgn_v, off_v,
-                 per_y, fbx, fby, S=64, packed=False, div_scale=None,
+                 per_y, fbx, fby, S=128, packed=False, div_scale=None,
                  interpret=False):
     """(ufx, ufy[, U2, V2][, div, total]) face-interpolated MAC field
     from centred velocities with the Dirichlet face BCs applied
@@ -246,6 +246,8 @@ def interp_faces(U, V, gp=None, dtv=None, *, sgn_u, off_u, sgn_v, off_v,
             pltpu.VMEM((xstage_rows, n1), U.dtype),
             pltpu.SemaphoreType.DMA((4,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 2**20),
         interpret=interpret,
     )(dt_arr, U, V, gx_in, gy_in)
     ox, oy, ou, ov = out[:4]
@@ -459,7 +461,7 @@ def _kern_correct(dt_ref, p_hbm, ux_hbm, uy_hbm, uc_hbm, vc_hbm,
 @functools.partial(jax.jit, static_argnames=(
     "sgn", "off", "per_y", "S", "packed", "interpret"))
 def correct_project(p, ufx, ufy, dt, h, cells=None, *, sgn, off, per_y,
-                    S=64, packed=False, interpret=False):
+                    S=128, packed=False, interpret=False):
     """(ufx', ufy', gx, gy): the post-solve correction of one projection
     — face gradients of p with static-BC ghosts, uf -= dt grad p, and
     the cell-centred gradient (face mean).  Unit alpha (fallback: jnp
@@ -534,6 +536,8 @@ def correct_project(p, ufx, ufy, dt, h, cells=None, *, sgn, off, per_y,
             pltpu.VMEM((xstage_rows, n1), p.dtype),
             pltpu.SemaphoreType.DMA((5,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 2**20),
         interpret=interpret,
     )(dt_arr, p, uxp, uyp, uc_in, vc_in)
     if packed:

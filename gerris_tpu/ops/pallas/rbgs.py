@@ -99,6 +99,7 @@ def _kernel(u_hbm, rhs_hbm, dia_ref, out_ref, ub, rb, sem, *, n0, n1, S, H,
     first = rstart == 0
     last = rstart + W == n0
     denom = 4.0 + dia_ref[0, 0] * h2
+    inv_denom = 1.0 / denom
     lo, hi = GP, GP + W      # interior rows of the u buffer
     cl, ch = CP, CP + n1     # interior columns
     for _ in range(nsweeps):
@@ -109,7 +110,7 @@ def _kernel(u_hbm, rhs_hbm, dia_ref, out_ref, ub, rb, sem, *, n0, n1, S, H,
             c = ub[lo:hi, cl:ch]
             nb = (ub[lo - 1:hi - 1, cl:ch] + ub[lo + 1:hi + 1, cl:ch] +
                   ub[lo:hi, cl - 1:ch - 1] + ub[lo:hi, cl + 1:ch + 1])
-            new = (nb - h2 * rb[pl.ds(0, W), cl:ch]) / denom
+            new = (nb - h2 * rb[pl.ds(0, W), cl:ch]) * inv_denom
             if omega != 1.0:
                 new = (1.0 - omega) * c + omega * new
             ub[lo:hi, cl:ch] = jnp.where(color, new, c)
@@ -371,6 +372,7 @@ def _pr_core(s, rep_hbm, rhs_hbm, u_hbm, dia, out_ref, ub, rb, fb, sem,
     ub[GP:GP + W, cl:ch] = du
     red = ((rows + cols) % 2) == 0
     denom = 4.0 + dia * h2
+    inv_denom = 1.0 / denom
     lo, hi = GP, GP + W
     for _ in range(nsweeps):
         for color in (red, ~red):
@@ -380,7 +382,7 @@ def _pr_core(s, rep_hbm, rhs_hbm, u_hbm, dia, out_ref, ub, rb, fb, sem,
             c = ub[lo:hi, cl:ch]
             nb = (ub[lo - 1:hi - 1, cl:ch] + ub[lo + 1:hi + 1, cl:ch] +
                   ub[lo:hi, cl - 1:ch - 1] + ub[lo:hi, cl + 1:ch + 1])
-            new = (nb - h2 * rb[pl.ds(0, W), cl:ch]) / denom
+            new = (nb - h2 * rb[pl.ds(0, W), cl:ch]) * inv_denom
             if omega != 1.0:
                 new = (1.0 - omega) * c + omega * new
             ub[lo:hi, cl:ch] = jnp.where(color, new, c)
@@ -418,7 +420,7 @@ def _prolong_relax_kernel_pair(rep0, rhs0, u0, rep1, rhs1, u1, dia_ref,
     "nsweeps", "S", "signs", "omega", "h2", "periodic_y", "interpret"))
 def prolong_relax_pair(reps, rhss, dia, us, *, nsweeps: int, h2: float,
                        signs=(-1.0, -1.0, -1.0, -1.0), periodic_y=False,
-                       omega: float = 1.0, S: int = 64,
+                       omega: float = 1.0, S: int = 256,
                        interpret: bool = False):
     """Pair prolong_relax with pre_rep + add_u: reps (n0/2+2GP, n1)
     each; dia (2,) array.  Returns [u0', u1']."""
@@ -452,6 +454,9 @@ def prolong_relax_pair(reps, rhss, dia, us, *, nsweeps: int, h2: float,
             pltpu.VMEM((S, CP + n1 + CP), rhss[0].dtype),
             pltpu.SemaphoreType.DMA((3,)),
         ],
+        # large-strip variants (S=256) exceed the 16M default scoped cap
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 2**20),
         interpret=interpret,
     )(reps[0], rhss[0], us[0], reps[1], rhss[1], us[1], dia_arr)
     return [o0, o1]
@@ -462,7 +467,8 @@ def prolong_relax_pair(reps, rhss, dia, us, *, nsweeps: int, h2: float,
     "pre_rep", "interpret"))
 def prolong_relax(du_c, rhs, dia=0.0, u=None, *, nsweeps: int, h2: float,
                   signs=(-1.0, -1.0, -1.0, -1.0), periodic_y=False,
-                  omega: float = 1.0, add_u: bool = False, S: int = 64,
+                  omega: float = 1.0, add_u: bool = False,
+                  S: int = 256,
                   pre_rep: bool = False, interpret: bool = False):
     """One-launch prolong(du_c) -> relax(nsweeps) [-> + u] on the fine
     level.  du_c: (n0/2, n1/2) coarse correction; rhs: (n0, n1) fine
@@ -505,6 +511,9 @@ def prolong_relax(du_c, rhs, dia=0.0, u=None, *, nsweeps: int, h2: float,
                        rhs.dtype),                             # u
             pltpu.SemaphoreType.DMA((3,)),
         ],
+        # S=256 strips exceed the 16M default scoped cap
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 2**20),
         interpret=interpret,
     )(rep, rhs, dia_arr, u_in)
 
@@ -603,6 +612,7 @@ def _pr_correct_kernel(scal_ref, rep_hbm, rhs_hbm, u_hbm, ux_hbm, uy_hbm,
     ub[GP:GP + W, cl:ch] = du
     red = ((rows + cols) % 2) == 0
     denom = 4.0 + dia * h2
+    inv_denom = 1.0 / denom
     lo, hi = GP, GP + W
     for _ in range(nsweeps):
         for color in (red, ~red):
@@ -612,7 +622,7 @@ def _pr_correct_kernel(scal_ref, rep_hbm, rhs_hbm, u_hbm, ux_hbm, uy_hbm,
             c = ub[lo:hi, cl:ch]
             nb = (ub[lo - 1:hi - 1, cl:ch] + ub[lo + 1:hi + 1, cl:ch] +
                   ub[lo:hi, cl - 1:ch - 1] + ub[lo:hi, cl + 1:ch + 1])
-            new = (nb - h2 * rb[pl.ds(0, W), cl:ch]) / denom
+            new = (nb - h2 * rb[pl.ds(0, W), cl:ch]) * inv_denom
             if omega != 1.0:
                 new = (1.0 - omega) * c + omega * new
             ub[lo:hi, cl:ch] = jnp.where(color, new, c)
@@ -767,6 +777,7 @@ def _cv_relax(u, rhs, nsweeps, h2, dia, sgn, per_y, omega=1.0):
     cols = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)
     red = ((rows + cols) % 2) == 0
     denom = 4.0 + dia * h2
+    inv_denom = 1.0 / denom
     for _ in range(nsweeps):
         for color in (red, ~red):
             up = jnp.where(rows == 0, sgn[0] * u, jnp.roll(u, 1, 0))
@@ -778,7 +789,7 @@ def _cv_relax(u, rhs, nsweeps, h2, dia, sgn, per_y, omega=1.0):
                 lf = jnp.where(cols == 0, sgn[2] * u, jnp.roll(u, 1, 1))
                 rt = jnp.where(cols == n1 - 1, sgn[3] * u,
                                jnp.roll(u, -1, 1))
-            new = (up + dn + lf + rt - h2 * rhs) / denom
+            new = (up + dn + lf + rt - h2 * rhs) * inv_denom
             if omega != 1.0:
                 new = (1.0 - omega) * u + omega * new
             u = jnp.where(color, new, u)
@@ -1389,6 +1400,7 @@ def _cp_core(s, r1_hbm, r2_hbm, orep_hbm, dia, repsc, rb, r2b, stage,
     ub[GP:GP + W, cl:ch] = du
     red = ((rows + cols) % 2) == 0
     denom = 4.0 + dia * h2_half
+    inv_denom = 1.0 / denom
     lo, hi = GP, GP + W
     for _ in range(nsweeps):
         for color in (red, ~red):
@@ -1398,7 +1410,7 @@ def _cp_core(s, r1_hbm, r2_hbm, orep_hbm, dia, repsc, rb, r2b, stage,
             c = ub[lo:hi, cl:ch]
             nb = (ub[lo - 1:hi - 1, cl:ch] + ub[lo + 1:hi + 1, cl:ch] +
                   ub[lo:hi, cl - 1:ch - 1] + ub[lo:hi, cl + 1:ch + 1])
-            new = (nb - h2_half * rb[pl.ds(0, W), cl:ch]) / denom
+            new = (nb - h2_half * rb[pl.ds(0, W), cl:ch]) * inv_denom
             if omega != 1.0:
                 new = (1.0 - omega) * c + omega * new
             ub[lo:hi, cl:ch] = jnp.where(color, new, c)

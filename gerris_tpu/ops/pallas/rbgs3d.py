@@ -60,6 +60,7 @@ def _kernel3d(u_hbm, rhs_hbm, dia_ref, out_ref, ub, rb, sem, *,
     first = rstart == 0
     last = rstart + W == n0
     denom = 6.0 + dia_ref[0] * h2
+    inv_denom = 1.0 / denom
     cl, ch = CP, CP + n2         # real lanes inside the padded axis
     for _ in range(nsweeps):
         for color in (red, ~red):
@@ -87,7 +88,7 @@ def _kernel3d(u_hbm, rhs_hbm, dia_ref, out_ref, ub, rb, sem, *,
                   + ub[0:W, Y0 + 1:Y0 + n1 + 1, cl:ch]
                   + ub[0:W, Y0:Y0 + n1, cl - 1:ch - 1]
                   + ub[0:W, Y0:Y0 + n1, cl + 1:ch + 1])
-            new = (nb - h2 * rb[pl.ds(0, W), :, 0:n2]) / denom
+            new = (nb - h2 * rb[pl.ds(0, W), :, 0:n2]) * inv_denom
             if omega != 1.0:
                 new = (1.0 - omega) * c + omega * new
             ub[0:W, Y0:Y0 + n1, cl:ch] = jnp.where(color, new, c)

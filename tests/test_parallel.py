@@ -126,3 +126,35 @@ def test_sharded_twophase_step_matches_single_device():
 def test_sharded_composite_amr_step_matches_single_device():
     g = _graft()
     g._dryrun_composite(pmesh.make_mesh(8, dim=2))
+
+
+@needs_devices
+def test_gfsjoin_tool(tmp_path):
+    """save_sharded per-rank files -> tools/gfsjoin.py -> one global
+    restart equal to the unsharded state (reference: tools/gfsjoin2.c
+    box merging; here shard offsets are the box-graph metadata)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    import gfsjoin
+    from gerris_tpu.parallel import checkpoint as ckpt
+
+    grid = Grid(level=5, dim=2)
+    mesh = pmesh.make_mesh(8)
+    key = jax.random.PRNGKey(3)
+    ks = jax.random.split(key, 2)
+    state = {"U": jax.random.normal(ks[0], grid.shape, jnp.float32),
+             "P": jax.random.normal(ks[1], grid.shape, jnp.float32)}
+    sharded = pmesh.shard_state(state, mesh)
+    prefix = str(tmp_path / "ck")
+    files = ckpt.save_sharded(prefix, sharded, meta={"t": 1.5})
+    assert len(files) == 8
+    out = str(tmp_path / "joined.npz")
+    assert gfsjoin.main([prefix, "-o", out]) == 0
+    z = np.load(out)
+    import json as _json
+    meta = _json.loads(str(z["__meta__"]))
+    assert meta["t"] == 1.5
+    for name in ("U", "P"):
+        np.testing.assert_array_equal(z[name], np.asarray(state[name]))

@@ -89,3 +89,59 @@ def test_gse_spreads_and_conserves():
     # (wave.c:131-141)
     assert dvy > 0.0
     assert dvy > 5.0 * abs(dvx), (dvx, dvy)
+
+
+def _jonswap_like(cfg, amp=1.0e3, ipeak=14, sigma=0.35, th0=0.0):
+    """Smooth peaked spectrum away from the f-grid edges."""
+    f = cfg.frequencies
+    th = cfg.thetas
+    lf = np.log(f / f[ipeak]) / sigma
+    spec = np.exp(-lf ** 2)[:, None] * np.maximum(
+        np.cos(th - th0), 0.0)[None, :] ** 2
+    return amp * spec[:, :, None, None] * np.ones((1, 1, 4, 4))
+
+
+def test_snl_dia_conserves_and_downshifts():
+    """DIA gates (the WAM/WW3 w3snl1 physics, modules/wavewatch.c):
+    (a) the bin sum of Snl vanishes (adjoint gather/scatter matrices),
+    (b) the energy-weighted mean frequency DECREASES (the classic
+    nonlinear peak downshift that drives JONSWAP fetch growth)."""
+    from gerris_tpu.utils import extras
+    g = Grid(level=2, dim=2)
+    cfg = wave.WaveConfig(grid=g)
+    src = extras.wave_source_snl_dia(cfg)
+    F = jnp.asarray(_jonswap_like(cfg), jnp.float32)
+    S = np.asarray(src.snl(F))
+    tot = abs(S.sum())
+    scale = np.abs(S).sum()
+    assert scale > 0.0
+    assert tot < 1e-3 * scale, (tot, scale)
+
+    # nonlinear transfer feeds the frequencies BELOW the peak (the
+    # inverse cascade behind the JONSWAP peak downshift) — the energy
+    # in the sub-peak band must grow under Snl alone
+    def e_low(Fa, ipeak=14):
+        E = np.asarray(Fa).sum(axis=(1, 2, 3))
+        return E[:ipeak].sum()
+
+    F1 = F
+    for _ in range(5):
+        F1 = src(F1, 0.5)
+    assert np.isfinite(np.asarray(F1)).all()
+    assert float(jnp.min(F1)) >= 0.0
+    assert e_low(F1) > 1.02 * e_low(F), (e_low(F1), e_low(F))
+
+
+def test_ww3_source_package_growth():
+    """Sin+Sds+Snl composition: from a small seed under wind the total
+    energy grows (duration-limited growth) and stays finite."""
+    from gerris_tpu.utils import extras
+    g = Grid(level=2, dim=2)
+    cfg = wave.WaveConfig(grid=g)
+    src = extras.wave_source_ww3(cfg, u10=60.0, wind_dir=0.0)
+    F = jnp.asarray(_jonswap_like(cfg, amp=10.0), jnp.float32)
+    E0 = float(jnp.sum(F))
+    for _ in range(5):
+        F = src(F, 0.2)
+    assert np.isfinite(np.asarray(F)).all()
+    assert float(jnp.sum(F)) > E0
