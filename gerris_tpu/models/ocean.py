@@ -86,13 +86,77 @@ def _depth_faces(cfg: OceanConfig):
     return Hc, tuple(hf)
 
 
-def _div_Hu(U: list, cfg: OceanConfig, t):
+def _div_Hu(U: list, cfg: OceanConfig, t, u_bcs=None):
     """div(H u) from face-interpolated normal velocities (reference:
     normal_velocities + gfs_normal_divergence_2D, ocean.c:251-259,301)."""
     grid = cfg.grid
     _, Hf = _depth_faces(cfg)
-    uf = proj.face_interpolated_velocity(U, grid, list(cfg.u_bcs), t=t)
+    uf = proj.face_interpolated_velocity(
+        U, grid, list(u_bcs if u_bcs is not None else cfg.u_bcs), t=t)
     return divergence([Hf[c] * uf[c] for c in range(grid.dim)], grid)
+
+
+def _has_tide(cfg: OceanConfig) -> bool:
+    return any(b.kind == "tide"
+               for fbc in cfg.u_bcs for ax in fbc.sides for b in ax)
+
+
+def _resolve_tide_bcs(cfg: OceanConfig, state: dict, t):
+    """Materialize tidal Flather radiation BCs (GfsBcTide,
+    modules/tide.c:252-299) against the step's surface pressure: each
+    BC(kind="tide", value=BcTide) on a velocity component becomes a
+    Dirichlet whose boundary profile is
+
+        u = u0 -/+ (P - g eta_tide(t)/href) sqrt(g H)/g
+
+    evaluated from the boundary-adjacent interior P and the bathymetry.
+    Static when no tide BC is present (the usual case)."""
+    if not _has_tide(cfg):
+        return cfg.u_bcs
+    grid = cfg.grid
+    assert grid.dim == 2, "BcTide is 2D-only (tide.c bc_tide_read)"
+    Hc, _ = _depth_faces(cfg)
+    P = state["P"]
+
+    def centers1d(ax):
+        import numpy as _np
+        i = _np.arange(grid.shape[ax])
+        return jnp.asarray(grid.origin[ax] + (i + 0.5) * grid.h)
+
+    out = []
+    for c, fbc in enumerate(cfg.u_bcs):
+        sides = []
+        for ax in range(grid.dim):
+            pair = []
+            for sd in range(2):
+                b = fbc.sides[ax][sd]
+                if b.kind != "tide":
+                    pair.append(b)
+                    continue
+                assert ax == c, "tide BC applies to the normal velocity"
+                bt = b.value
+                # positive index: jnp.take clips negatives
+                idx = 0 if sd == 0 else grid.shape[ax] - 1
+                tr = 1 - ax
+                coord = centers1d(tr)
+                P_line = jnp.take(P, idx, axis=ax)
+                H_line = jnp.take(Hc, idx, axis=ax)
+                # boundary faces point from the ghost cell to the
+                # interior (tide(), tide.c:286: f->cell is the boundary
+                # cell): a LOW-side boundary has d = RIGHT/TOP = direct
+                vals = bt.flather_value(coord, t, P_line, H_line,
+                                        direct=(sd == 0))
+
+                def mk(vals=vals, coord=coord, tr=tr):
+                    def f(x, y, t_):
+                        q = (x, y)[tr]
+                        flat = jnp.interp(jnp.ravel(q), coord, vals)
+                        return flat.reshape(jnp.shape(q))
+                    return f
+                pair.append(bcs.Dirichlet(mk()))
+            sides.append(tuple(pair))
+        out.append(bcs.FieldBC(tuple(sides)))
+    return tuple(out)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -108,14 +172,19 @@ def ocean_step(state: dict, dt, t, cfg: OceanConfig) -> dict:
     U = [state[n] for n in names]
     p = state["P"]
 
+    # tidal Flather radiation BCs read the step-start surface pressure
+    u_bcs = _resolve_tide_bcs(cfg, state, t)
+    proxy = _ns_proxy(cfg)
+    if u_bcs is not cfg.u_bcs:
+        proxy = dataclasses.replace(proxy, u_bcs=u_bcs)
+
     # explicit momentum: u* = u + dt (adv + nu lap) - (1-th) dt grad p
     gp = proj.face_gradients(p, grid, cfg.p_bc, t=t)
     g_cell = proj.cell_gradient_from_faces(gp, grid)
-    uf = nsm.predicted_face_velocities(U, grid,
-                                       _ns_proxy(cfg), dt, t)
+    uf = nsm.predicted_face_velocities(U, grid, proxy, dt, t)
     Ustar = nsm.velocity_advection_diffusion(
         U, uf, [jnp.zeros_like(g) for g in g_cell], None, grid,
-        _ns_proxy(cfg), dt, t)
+        proxy, dt, t)
     Ustar = [Ustar[c] - (1.0 - th) * dt * g_cell[c] for c in range(dim)]
 
     if cfg.coriolis is not None:
@@ -130,7 +199,8 @@ def ocean_step(state: dict, dt, t, cfg: OceanConfig) -> dict:
 
     # Helmholtz free-surface solve (gfs_free_surface_pressure,
     # ocean.c:203-246: dia = c, rhs = 2 div/dt - c pn with theta=1/2)
-    divs = th * _div_Hu(Ustar, cfg, t) + (1.0 - th) * _div_Hu(U, cfg, t)
+    divs = (th * _div_Hu(Ustar, cfg, t, u_bcs)
+            + (1.0 - th) * _div_Hu(U, cfg, t, u_bcs))
     dia = 1.0 / (cfg.G * th * th * dt * dt)
     rhs = -dia * (p - cfg.G * dt * divs)
     _, Hf = _depth_faces(cfg)
@@ -166,3 +236,52 @@ def timescale(state: dict, cfg: OceanConfig):
         ts = jnp.minimum(ts, jnp.min(
             grid.h / (jnp.abs(state[n]) + c + 1e-30)))
     return ts
+
+
+class OceanSimulation:
+    """Simulation-style driver for GfsOcean runs (ocean_run,
+    src/ocean.c:261-358): CFL-limited semi-implicit stepping with the
+    shared Event machinery (same API as RiverSimulation)."""
+
+    def __init__(self, cfg: OceanConfig, time=None, events=(), cfl=0.5):
+        from .simulation import Time
+        self.cfg = cfg
+        self.time = time or Time()
+        self.events = list(events)
+        self.cfl = cfl
+        z = jnp.zeros(cfg.grid.shape)
+        self.state = {n: z for n in nsm.velocity_names(cfg.grid.dim)}
+        self.state["P"] = z
+        self.dt = 0.0
+
+    def init(self, **fields):
+        for k, v in fields.items():
+            self.state[k] = jnp.asarray(v) + jnp.zeros(self.cfg.grid.shape)
+        return self
+
+    def run(self, max_steps=None):
+        import math as _m
+        n = 0
+        while (self.time.t < self.time.end
+               and self.time.i < self.time.iend):
+            dt = float(self.cfl * timescale(self.state, self.cfg))
+            if _m.isfinite(self.time.dtmax):
+                dt = min(dt, self.time.dtmax)
+            if _m.isfinite(self.time.end):
+                dt = min(dt, self.time.end - self.time.t)
+            self.state = ocean_step(self.state,
+                                    jnp.asarray(dt,
+                                                self.state["P"].dtype),
+                                    jnp.asarray(self.time.t,
+                                                self.state["P"].dtype),
+                                    self.cfg)
+            self.time.t += dt
+            self.time.i += 1
+            self.dt = dt
+            for ev in self.events:
+                if ev.should_fire(self.time.t, self.time.i):
+                    ev.fire(self, self.time.t, self.time.i)
+            n += 1
+            if max_steps is not None and n >= max_steps:
+                break
+        return self

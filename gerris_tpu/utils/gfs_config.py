@@ -426,6 +426,7 @@ class ParsedSim:
     surface_bcs: dict = field(default_factory=dict)    # var -> (kind, fn)
     metric_spec: Optional[tuple] = None                # (kind, kv)
     physical: dict = field(default_factory=dict)       # PhysicalParams kv
+    tide_reference: Optional[str] = None  # GModule tide { reference = }
     refine_solid: Optional[int] = None                 # RefineSolid level
     tracer_gradients: dict = field(default_factory=dict)  # name -> limiter
     advection_params: dict = field(default_factory=dict)  # AdvectionParams kv
@@ -650,6 +651,15 @@ def parse_gfs(text: str, defines: dict = None,
     mods = set(re.findall(r"^\s*GModule\s+(\w+)\s*$", text, re.MULTILINE))
     solver_backend = "mgcg" if mods & {"hypre", "lis", "agmg"} else None
     text = re.sub(r"^\s*GModule\s+\w+\s*$", "", text, flags=re.MULTILINE)
+    # GModule tide { reference = Y/m/d-H:M:S-UTC } (gfs_module_read,
+    # modules/tide.c:368-396): calendar origin of simulation t=0
+    tide_reference = None
+    mt = re.search(r"^\s*GModule\s+tide\s*\{([^}]*)\}", text, re.MULTILINE)
+    if mt:
+        mref = re.search(r"reference\s*=\s*(\S+)", mt.group(1))
+        if mref:
+            tide_reference = mref.group(1)
+        text = text[:mt.start()] + text[mt.end():]
     # GfsGlobal C blocks feed the GfsFunction namespace (src/utils.c:382)
     text = _extract_globals(text, defines, func_macros)
     # -DNAME=VALUE textual substitution
@@ -661,6 +671,7 @@ def parse_gfs(text: str, defines: dict = None,
     toks = tokenize(text)
     sim = ParsedSim()
     sim.solver_backend = solver_backend
+    sim.tide_reference = tide_reference
 
     # header: NB NE Class GfsBox GfsGEdge {}
     i = 0
@@ -1313,6 +1324,18 @@ def _parse_box(sim: ParsedSim, toks, defines):
                         bcs_here[var] = ("dirichlet" if kind == "BcDirichlet"
                                          else "neumann", fn)
                         j += 3
+                    elif blk[j] == "BcTide":
+                        # BcTide V H P { a0 g0 a1 g1 ... } — embedded
+                        # N x 14 (amplitude, phase) samples along the
+                        # boundary (bc_tide_read, modules/tide.c:78-198;
+                        # without a block the FES2004 atlas is required)
+                        var, hvar, pvar = blk[j + 1], blk[j + 2], blk[j + 3]
+                        j += 4
+                        nums = ()
+                        if j < len(blk) and blk[j] == "{":
+                            sub, j = _read_block(blk, j)
+                            nums = tuple(float(x) for x in sub)
+                        bcs_here[var] = ("tide", (hvar, pvar, nums))
                     else:
                         j += 1
                 sim.boundaries[side] = bcs_here
@@ -1339,6 +1362,8 @@ def build_simulation(sim: ParsedSim, dim: int = 2):
         return _build_poisson(sim)
     if sim.sim_class == "GfsRiver":
         return _build_river(sim)
+    if sim.sim_class == "GfsOcean":
+        return _build_ocean(sim)
 
     def mk_grid(level):
         if dim == 3:
@@ -1383,6 +1408,8 @@ def build_simulation(sim: ParsedSim, dim: int = 2):
                     pair.append(default(ax, sd))
                 elif b[0] == "dirichlet":
                     pair.append(bcs.Dirichlet(b[1]))
+                elif b[0] == "tide":
+                    pair.append(_make_tide_bc(sim, grid, ax, b[1]))
                 else:
                     pair.append(bcs.Neumann(b[1]))
             sides.append(tuple(pair))
@@ -2100,6 +2127,82 @@ def _make_adapt_error_spec(sched, params, var, sim: ParsedSim, cfg):
         minlevel=minlevel, maxlevel=maxlevel,
         istep=int(float(sched.get("istep", 1))),
         maxcells=None if maxcells is None else int(float(maxcells)))
+
+
+def _make_tide_bc(sim: ParsedSim, grid, ax: int, spec):
+    """Turn a parsed ("tide", (h, p, coeffs)) boundary entry into the
+    tide.Tide BC (GfsBcTide) — coefficient rows are boundary samples of
+    the 14 FES2004 constituents (modules/tide.c bc_tide_read)."""
+    import numpy as _np
+    from ..physics import tide as tidem
+    hvar, pvar, nums = spec
+    arr = _np.asarray(nums, _np.float64).reshape(-1, 14, 2)
+    tr = 1 - ax
+    x0 = grid.origin[tr]
+    size = grid.shape[tr] * grid.h
+    deltat = (tidem.reference_offset_hours(sim.tide_reference)
+              if sim.tide_reference else 0.0)
+    bt = tidem.BcTide.make(arr[:, :, 0], arr[:, :, 1], x0=x0, size=size,
+                           g=float(sim.physical.get("g", 1.0)),
+                           deltat_h=deltat)
+    return tidem.Tide(bt)
+
+
+def _build_ocean(sim: ParsedSim):
+    """Minimal GfsOcean builder: linearised free-surface on one box —
+    PhysicalParams g, constant/expression bathymetry (Init H), Init of
+    P/U/V, BcTide open boundaries (reference: src/ocean.c + the tide
+    module's test setups)."""
+    from ..core.grid import Grid
+    from ..core import bc as bcs
+    from ..models import ocean as ocm
+    from ..models.simulation import Time
+
+    grid = Grid(level=sim.level, dim=2)
+    names = (("left", "right"), ("bottom", "top"))
+
+    def vel_bc(c, var):
+        sides = []
+        for ax in range(2):
+            pair = []
+            for sd in range(2):
+                if ax in sim.periodic:
+                    pair.append(bcs.Periodic())
+                    continue
+                b = sim.boundaries.get(names[ax][sd], {}).get(var)
+                if b is None:
+                    pair.append(bcs.Dirichlet(0.0) if ax == c
+                                else bcs.Neumann())
+                elif b[0] == "tide":
+                    pair.append(_make_tide_bc(sim, grid, ax, b[1]))
+                elif b[0] == "dirichlet":
+                    pair.append(bcs.Dirichlet(b[1]))
+                else:
+                    pair.append(bcs.Neumann(b[1]))
+            sides.append(tuple(pair))
+        return bcs.FieldBC(tuple(sides))
+
+    depth = sim.inits.get("H", 1.0)
+    cfg = ocm.OceanConfig(
+        grid=grid, u_bcs=(vel_bc(0, "U"), vel_bc(1, "V")),
+        depth=depth, G=float(sim.physical.get("g", 1.0)),
+        coriolis=sim.coriolis + (0.5,) if sim.coriolis else None)
+    tkw = {}
+    if "end" in sim.time:
+        tkw["end"] = float(sim.time["end"])
+    if "dtmax" in sim.time:
+        tkw["dtmax"] = float(sim.time["dtmax"])
+    if "iend" in sim.time:
+        tkw["iend"] = int(float(sim.time["iend"]))
+    s = ocm.OceanSimulation(cfg, time=Time(**tkw))
+    s.errors = sim.errors
+    fields = {}
+    x, y = grid.centers
+    for var, fn in sim.inits.items():
+        if var in ("P", "U", "V"):
+            fields[var] = fn(x, y) if callable(fn) else fn
+    s.init(**fields)
+    return s
 
 
 def _build_river(sim: ParsedSim):
