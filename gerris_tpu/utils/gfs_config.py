@@ -1700,6 +1700,13 @@ def build_simulation(sim: ParsedSim, dim: int = 2):
         args, blocks = extra
         kw = schedule_kw(sched)
         fileish = args[0] if args and not args[0].startswith("{") else None
+        if name == "EventBalance":
+            # GfsEventBalance istep max (src/balance.c:262-297)
+            from ..parallel.balance import EventBalance
+            events.append(EventBalance(
+                max_ratio=float(args[0]) if args else 1.1,
+                istep=int(float(sched.get("istep", 1)))))
+            continue
         try:
             if name == "OutputTime":
                 events.append(out.OutputTime(file=fileish, **kw))
