@@ -27,15 +27,15 @@ jax.config.update("jax_compilation_cache_dir", os.path.join(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 LEVEL = int(os.environ.get("BENCH_LEVEL", "11"))   # 2048^2
-# 500-step window: the tunnel costs ~54ms fixed per host dispatch
+# 1000-step window: the tunnel costs ~54ms fixed per host dispatch
 # (independent of nsteps — the fori_loop body is one device program);
 # short windows under-report SUSTAINED throughput (372.9M@10 vs
-# 620.8M@100 same program; 896.6M@100 vs 987.3M@500 with the round-4
-# session-2 schedule, measured idle box).  Production runs take
-# thousands of steps, so the amortized number is the honest one; the
-# fixed-vs-adaptive check also runs from the (closer-to-steady) state
-# the window ends in.
-STEPS = int(os.environ.get("BENCH_STEPS", "500"))
+# 620.8M@100 same program; 896.6M@100 vs 987.3M@500 vs 1009.2M@1000
+# with the round-4 session-2 schedule, measured idle box).  Production
+# runs take thousands of steps, so the amortized number is the honest
+# one; the fixed-vs-adaptive check also runs from the (closer-to-
+# steady) state the window ends in.
+STEPS = int(os.environ.get("BENCH_STEPS", "1000"))
 
 
 def _probe_backend(timeout_s: float) -> str:
