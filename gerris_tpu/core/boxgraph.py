@@ -1,0 +1,349 @@
+"""General box graph with rotated connections (GfsGEdge rotate).
+
+Reference: boxes are nodes of a weighted graph (GfsDomain extends
+GtsWGraph, src/boundary.h:290-327); an edge ``GfsGEdge b1 b2 d rotate``
+connects side ``d`` of box b1 to side ``rotate`` of box b2
+(gfs_gedge_link_boxes, src/boundary.c:1704-1753: a rotated-periodic
+boundary pair with orientations +1/-1) — the topology that makes the
+six-panel cubed sphere (and any non-grid box layout) possible.
+
+TPU-native form: every box is its own (n, n) array; ghost exchange is a
+static per-edge gather — source strip, tangential reversal flag — baked
+at trace time (pure slicing/flips, no data-dependent control flow), so
+the whole multi-box solve jits into one program.  Linear box stacks
+keep the faster embedded single-array path (core/grid.py extents);
+this module handles the general graph.
+
+Sides follow the FttDirection order: 0=right(+x) 1=left(-x) 2=top(+y)
+3=bottom(-y) (src/ftt.h:52-59).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+RIGHT, LEFT, TOP, BOTTOM = 0, 1, 2, 3
+_AXIS = {RIGHT: 0, LEFT: 0, TOP: 1, BOTTOM: 1}
+_SIDE = {RIGHT: 1, LEFT: 0, TOP: 1, BOTTOM: 0}
+OPPOSITE = {RIGHT: LEFT, LEFT: RIGHT, TOP: BOTTOM, BOTTOM: TOP}
+
+
+@dataclasses.dataclass(frozen=True)
+class Edge:
+    """One directed connection: ghosts of ``b1`` at side ``d1`` read the
+    interior strip of ``b2`` adjacent to side ``d2``; ``rev`` reverses
+    the tangential order (the discrete form of the reference's rotated
+    buffer traversal, boundary.c match/send/receive)."""
+    b1: int
+    d1: int
+    b2: int
+    d2: int
+    rev: bool = False
+
+
+def link(edges: List[Tuple]) -> Tuple[Edge, ...]:
+    """Expand user edges (b1, d1, b2, d2[, rev]) with their reciprocal
+    partners (gfs_gedge_link_boxes creates both boundary objects)."""
+    out = []
+    for e in edges:
+        b1, d1, b2, d2, *r = e
+        rev = bool(r[0]) if r else False
+        out.append(Edge(b1, d1, b2, d2, rev))
+        out.append(Edge(b2, d2, b1, d1, rev))
+    # deduplicate (keep first occurrence of each (b1, d1))
+    seen = {}
+    for e in out:
+        seen.setdefault((e.b1, e.d1), e)
+    return tuple(seen.values())
+
+
+def _interior_strip(f: jnp.ndarray, d: int) -> jnp.ndarray:
+    """Interior row/column adjacent to side ``d`` (1D, tangential
+    order = increasing index)."""
+    if d == RIGHT:
+        return f[-1, :]
+    if d == LEFT:
+        return f[0, :]
+    if d == TOP:
+        return f[:, -1]
+    return f[:, 0]
+
+
+def fill_ghosts(fields: List[jnp.ndarray], edges: Tuple[Edge, ...],
+                default: str = "neumann") -> List[jnp.ndarray]:
+    """Pad every box with one ghost layer: connected sides copy the
+    neighbor's interior strip (with reversal), unconnected sides mirror
+    (symmetry) — gfs_domain_bc over the box graph.  Corner ghosts take
+    the mirror of the tangential ghost (adequate for 5-point stencils)."""
+    emap = {(e.b1, e.d1): e for e in edges}
+    out = []
+    for b, f in enumerate(fields):
+        n0, n1 = f.shape
+        g = jnp.zeros((n0 + 2, n1 + 2), f.dtype)
+        g = g.at[1:-1, 1:-1].set(f)
+        for d in (LEFT, RIGHT, BOTTOM, TOP):
+            e = emap.get((b, d))
+            if e is None:
+                strip = _interior_strip(f, d)       # mirror
+            else:
+                strip = _interior_strip(fields[e.b2], e.d2)
+                if e.rev:
+                    strip = strip[::-1]
+            if d == LEFT:
+                g = g.at[0, 1:-1].set(strip)
+            elif d == RIGHT:
+                g = g.at[-1, 1:-1].set(strip)
+            elif d == BOTTOM:
+                g = g.at[1:-1, 0].set(strip)
+            else:
+                g = g.at[1:-1, -1].set(strip)
+        out.append(g)
+    return out
+
+
+def laplacian(fields: List[jnp.ndarray], edges: Tuple[Edge, ...],
+              h: float, cm: Optional[list] = None,
+              fm: Optional[list] = None) -> List[jnp.ndarray]:
+    """Metric-weighted 5-point Laplacian over the box graph:
+    (1/(cm h^2)) sum_faces fm (u_nb - u) — the face-coefficient operator
+    of gfs_poisson_coefficients (src/poisson.c:756-901) with the metric
+    factors of src/metric.c.  ``fm[b] = (fmx (n+1, n), fmy (n, n+1))``."""
+    padded = fill_ghosts(fields, edges)
+    out = []
+    for b, g in enumerate(padded):
+        flux_x = g[1:, 1:-1] - g[:-1, 1:-1]      # (n+1, n) face diffs
+        flux_y = g[1:-1, 1:] - g[1:-1, :-1]      # (n, n+1)
+        if fm is not None:
+            flux_x = jnp.asarray(fm[b][0]) * flux_x
+            flux_y = jnp.asarray(fm[b][1]) * flux_y
+        lap = (flux_x[1:, :] - flux_x[:-1, :]
+               + flux_y[:, 1:] - flux_y[:, :-1])
+        area = (jnp.asarray(cm[b]) if cm is not None else 1.0) * h * h
+        out.append(lap / area)
+    return out
+
+
+def solve_cg(rhs: List[jnp.ndarray], edges: Tuple[Edge, ...], h: float,
+             cm: Optional[list] = None, fm: Optional[list] = None,
+             tol: float = 1e-10, maxiter: int = 2000,
+             demean: bool = True):
+    """Matrix-free CG for -lap(u) = -rhs on a closed box graph (pure
+    rotated-periodic topology: solution defined up to a constant —
+    demean like the reference's compatibility projection).  Weighted
+    inner products use the metric cell areas so the operator is
+    symmetric (the reference's stencil symmetry, poisson.c relax)."""
+    w = [jnp.asarray(cm[b]) * h * h if cm is not None
+         else jnp.full(rhs[b].shape, h * h) for b in range(len(rhs))]
+
+    def dot(a, b):
+        return sum(jnp.sum(w[i] * a[i] * b[i]) for i in range(len(a)))
+
+    def demean_f(fs):
+        if not demean:
+            return fs
+        tot = sum(jnp.sum(w[i] * fs[i]) for i in range(len(fs)))
+        area = sum(jnp.sum(w[i]) for i in range(len(fs)))
+        m = tot / area
+        return [f - m for f in fs]
+
+    def A(u):
+        return [-l for l in laplacian(u, edges, h, cm, fm)]
+
+    b = demean_f([-r for r in rhs])
+    x = [jnp.zeros_like(r) for r in rhs]
+    r = b
+    p = list(r)
+    rs = dot(r, r)
+
+    def body(state):
+        x, r, p, rs, it = state
+        Ap = A(p)
+        alpha = rs / dot(p, Ap)
+        x = [x[i] + alpha * p[i] for i in range(len(x))]
+        r = [r[i] - alpha * Ap[i] for i in range(len(r))]
+        rs_new = dot(r, r)
+        p = [r[i] + (rs_new / rs) * p[i] for i in range(len(p))]
+        return x, r, p, rs_new, it + 1
+
+    def cond(state):
+        _, _, _, rs, it = state
+        return (rs > tol * tol) & (it < maxiter)
+
+    x, r, p, rs, it = jax.lax.while_loop(
+        cond, body, (x, r, p, rs, jnp.asarray(0)))
+    return demean_f(x), {"niter": it, "rnorm": jnp.sqrt(rs)}
+
+
+_DIR = {"right": RIGHT, "left": LEFT, "top": TOP, "bottom": BOTTOM}
+
+
+def edges_from_gfs(box_edges) -> Tuple[Edge, ...]:
+    """Convert parsed .gfs connections [(b1, b2, d, rotate|None)]
+    (1-based ids, ParsedSim.box_edges) into linked Edge tuples.  The
+    reference encodes tangential orientation implicitly in its boundary
+    traversal order; here reversals must be set from geometry
+    (cubed_sphere() derives them for the sphere) — plain .gfs edges map
+    with rev=False."""
+    raw = []
+    for b1, b2, d, rot in box_edges:
+        if b1 == b2:
+            continue                               # periodicity, not graph
+        d1 = _DIR[d]
+        d2 = _DIR[rot] if rot else OPPOSITE[d1]
+        raw.append((b1 - 1, d1, b2 - 1, d2, False))
+    return link(raw)
+
+
+# ---------------------------------------------------------------------------
+# cubed sphere: the six-panel rotated topology
+# ---------------------------------------------------------------------------
+
+# panel frames: point = R @ [1, X, Y] normalized, X = tan(a x), Y = tan(a y)
+def _panel_frames():
+    e = np.eye(3)
+    frames = []
+    # (normal, x-tangent, y-tangent) for panels 0..5
+    specs = [(+e[0], +e[1], +e[2]),   # 0: +x
+             (+e[1], -e[0], +e[2]),   # 1: +y
+             (-e[0], -e[1], +e[2]),   # 2: -x
+             (-e[1], +e[0], +e[2]),   # 3: -y
+             (+e[2], +e[1], -e[0]),   # 4: +z (north)
+             (-e[2], +e[1], +e[0])]   # 5: -z (south)
+    for n, tx, ty in specs:
+        frames.append(np.stack([n, tx, ty], axis=1))   # columns
+    return frames
+
+
+def cubed_centers(n: int, panel: int, a: float = math.pi / 2.0):
+    """3D unit-sphere positions of panel cell centers (equiangular
+    gnomonic, MetricCubed's mapping)."""
+    R = _panel_frames()[panel]
+    h = 1.0 / n
+    c = -0.5 + (np.arange(n) + 0.5) * h
+    X, Y = np.meshgrid(np.tan(a * c), np.tan(a * c), indexing="ij")
+    v = np.stack([np.ones_like(X), X, Y], -1)
+    v = v / np.linalg.norm(v, axis=-1, keepdims=True)
+    return v @ R.T
+
+
+def edge_face_centers(n: int, panel: int, d: int,
+                      a: float = math.pi / 2.0):
+    """Positions of the boundary FACE centres of side ``d`` — points on
+    the shared cube edge (boundary coordinate exactly +-0.5, tangential
+    cell centres).  Unlike ghost-cell centres (the equiangular
+    tangential coordinate compresses across the edge), these coincide
+    exactly between adjacent panels — they define the topology match,
+    just as the reference matches boundary ghost trees cell-by-cell
+    along box faces (gfs_domain_match, src/domain.c:1257-1291)."""
+    R = _panel_frames()[panel]
+    h = 1.0 / n
+    t = -0.5 + (np.arange(n) + 0.5) * h
+    if d == RIGHT:
+        x = np.full(n, 0.5); y = t
+    elif d == LEFT:
+        x = np.full(n, -0.5); y = t
+    elif d == TOP:
+        x = t; y = np.full(n, 0.5)
+    else:
+        x = t; y = np.full(n, -0.5)
+    v = np.stack([np.ones_like(x), np.tan(a * x), np.tan(a * y)], -1)
+    v = v / np.linalg.norm(v, axis=-1, keepdims=True)
+    return v @ R.T
+
+
+def cubed_sphere(n: int):
+    """Six-panel cubed-sphere topology: the 12 edges (with rotations and
+    reversals) are DERIVED from the gnomonic geometry — two panel sides
+    are joined iff their boundary face centres coincide along the shared
+    cube edge (matching orientation sets the reversal flag).  Ghost
+    cells are then index-matched copies of the neighbor's interior
+    strip, exactly the reference's rotated-periodic boundary
+    (gfs_gedge_link_boxes rotate, src/boundary.c:1718-1724).  Returns
+    (edges, centers) with centers[panel] of shape (n, n, 3)."""
+    centers = [cubed_centers(n, p) for p in range(6)]
+    edges = []
+    seen = set()
+    for p in range(6):
+        for d in (RIGHT, LEFT, TOP, BOTTOM):
+            if (p, d) in seen:
+                continue
+            g = edge_face_centers(n, p, d)
+            best = None
+            for q in range(6):
+                if q == p:
+                    continue
+                for d2 in (RIGHT, LEFT, TOP, BOTTOM):
+                    if (q, d2) in seen:
+                        continue
+                    s = edge_face_centers(n, q, d2)
+                    if np.allclose(g, s, atol=1e-12):
+                        best = (q, d2, False)
+                        break
+                    if np.allclose(g, s[::-1], atol=1e-12):
+                        best = (q, d2, True)
+                        break
+                if best:
+                    break
+            assert best is not None, (p, d)
+            q, d2, rev = best
+            edges.append((p, d, q, d2, rev))
+            seen.add((p, d))
+            seen.add((q, d2))
+    assert len(edges) == 12
+    return link(edges), centers
+
+
+def cubed_metric_weights(n: int):
+    """Per-panel MetricCubed weights (identical on all panels by
+    symmetry): cm (n, n), (fmx (n+1, n), fmy (n, n+1)).
+
+    MetricCubed extends the centre-to-centre arc at panel boundaries by
+    copying the last interior distance (fine for a standalone panel);
+    on the full six-panel sphere the neighbor centre is the CONTINUED
+    equiangular point, so the boundary face weights are recomputed here
+    with the true cross-edge arc (the property cubed_sphere() asserts)."""
+    from .grid import Grid
+    from .metric import MetricCubed
+    g = Grid(level=int(round(math.log2(n))), dim=2)
+    assert g.n == n, "n must be a power of two"
+    m = MetricCubed()
+    cm, (fmx, fmy) = m.weights(g)
+    a = m.a
+    h = 1.0 / n
+
+    def proj(x, y):
+        v = np.stack([np.ones_like(x), np.tan(a * x), np.tan(a * y)], -1)
+        return v / np.linalg.norm(v, axis=-1, keepdims=True)
+
+    def arc(p, q):
+        return np.arctan2(np.linalg.norm(np.cross(p, q), axis=-1),
+                          np.sum(p * q, -1))
+
+    t = -0.5 + (np.arange(n) + 0.5) * h
+    yf = np.asarray(g.axis_faces(1))
+    xf = np.asarray(g.axis_faces(0))
+    # true cross-edge centre distance: between the last interior centre
+    # [1, T1, tau] and its INDEX-MATCHED neighbor cell [T1, 1, tau]
+    # (adjacent panel frame; same for every edge by cube symmetry, and
+    # symmetric under tangential reversal)
+    T1 = np.tan(a * (0.5 - h / 2.0))
+    tau = np.tan(a * t)
+    A = np.stack([np.ones_like(tau), np.full_like(tau, T1), tau], -1)
+    B = np.stack([np.full_like(tau, T1), np.ones_like(tau), tau], -1)
+    A = A / np.linalg.norm(A, axis=-1, keepdims=True)
+    B = B / np.linalg.norm(B, axis=-1, keepdims=True)
+    dist = arc(A, B)
+    arc_fx_hi = arc(proj(np.full(n, 0.5), yf[:-1]),
+                    proj(np.full(n, 0.5), yf[1:]))
+    fmx = jnp.asarray(fmx).at[-1, :].set(arc_fx_hi / dist)
+    fmx = fmx.at[0, :].set(arc_fx_hi / dist)       # mirror symmetry
+    arc_fy_hi = arc(proj(xf[:-1], np.full(n, 0.5)),
+                    proj(xf[1:], np.full(n, 0.5)))
+    fmy = jnp.asarray(fmy).at[:, -1].set(arc_fy_hi / dist)
+    fmy = fmy.at[:, 0].set(arc_fy_hi / dist)
+    return cm, (fmx, fmy)

@@ -415,6 +415,7 @@ class ParsedSim:
     n_boxes: int = 1
     unknown_directives: list = field(default_factory=list)
     box_stack: tuple = (1, 1)
+    box_edges: list = field(default_factory=list)  # (b1, b2, d, rotate)
     errors: list = field(default_factory=list)         # build diagnostics
     # the fork's module classes (modules/particulatecommon.c,
     # modules/bubbles.c, modules/fft.c, modules/turbulence.c)
@@ -722,10 +723,18 @@ def parse_gfs(text: str, defines: dict = None,
         elif re.match(r"^\d+$", toks[i]) and i + 2 < len(toks):
             b1, b2, d = int(toks[i]), int(toks[i + 1]), toks[i + 2]
             i += 3
+            rotate = None
+            if i < len(toks) and toks[i] in ("right", "left",
+                                             "top", "bottom"):
+                # GfsGEdge rotation: b1's side d joins b2's side rotate
+                # (gfs_gedge_link_boxes, src/boundary.c:1718-1724)
+                rotate = toks[i]
+                i += 1
+            sim.box_edges.append((b1, b2, d, rotate))
             if b1 == b2:
                 sim.periodic.add({"right": 0, "left": 0,
                                   "top": 1, "bottom": 1}[d])
-            else:
+            elif rotate is None:
                 # linear stacks: count connections per axis
                 ax = {"right": 0, "left": 0, "top": 1, "bottom": 1}[d]
                 s = list(sim.box_stack)

@@ -1,0 +1,212 @@
+"""Rotated box-graph gates (GfsGEdge rotate, src/boundary.c:1704-1753).
+
+The six-panel cubed sphere is the canonical rotated topology (the
+reference's test/lonlat/cubed runs GfsRiver on exactly this 12-edge
+graph): edges are derived from the gnomonic geometry, ghost exchange is
+the index-matched rotated-periodic copy, and the metric-weighted FV
+operator must satisfy the exact discrete conservation and symmetry
+identities across rotated edges.  (Two-point fluxes are first-order on
+the non-orthogonal gnomonic grid — like the reference, the cubed metric
+targets flux-form hyperbolic systems; elliptic convergence is gated on
+orthogonal/plain graphs.)
+"""
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gerris_tpu.core import boxgraph as bg
+
+
+def test_cubed_sphere_edges_derived():
+    edges, centers = bg.cubed_sphere(8)
+    assert len(edges) == 24                       # 12 undirected links
+    # every panel has all four sides connected
+    sides = {(e.b1, e.d1) for e in edges}
+    assert len(sides) == 24
+    # some edges MUST be rotated (reversed) — a cube cannot be meshed
+    # with translation-only identifications
+    assert any(e.rev for e in edges)
+
+
+def test_ghost_exchange_is_index_matched_copy():
+    """Every edge joins two panel sides whose boundary face centres
+    coincide (with the recorded reversal), and ghost strips are the
+    index-matched neighbor interior values at those positions — the
+    rotated-periodic boundary semantics (src/boundary.c
+    center_periodic_rotate + gfs_domain_match)."""
+    n = 8
+    edges, centers = bg.cubed_sphere(n)
+
+    def f3(v):                                    # smooth, asymmetric
+        return v[..., 0] + 2.0 * v[..., 1] * v[..., 2] + 0.5 * v[..., 2]
+
+    fields = [jnp.asarray(f3(c)) for c in centers]
+    padded = bg.fill_ghosts(fields, edges)
+    for e in edges:
+        # topology: shared cube-edge face centres coincide
+        g1 = bg.edge_face_centers(n, e.b1, e.d1)
+        g2 = bg.edge_face_centers(n, e.b2, e.d2)
+        assert np.allclose(g1, g2[::-1] if e.rev else g2, atol=1e-12)
+        # data: ghost strip is the (possibly reversed) neighbor strip
+        g = padded[e.b1]
+        got = {bg.LEFT: g[0, 1:-1], bg.RIGHT: g[-1, 1:-1],
+               bg.BOTTOM: g[1:-1, 0], bg.TOP: g[1:-1, -1]}[e.d1]
+        src = np.asarray(centers[e.b2])
+        strip = {bg.LEFT: src[0, :], bg.RIGHT: src[-1, :],
+                 bg.BOTTOM: src[:, 0], bg.TOP: src[:, -1]}[e.d2]
+        want = f3(strip[::-1] if e.rev else strip)
+        assert np.allclose(np.asarray(got), want, atol=1e-12), e
+
+
+def test_rotated_two_box_reversal():
+    """A reversed edge flips the tangential order (the buffer traversal
+    of the rotated periodic boundary)."""
+    a = jnp.arange(16.0).reshape(4, 4)
+    b = 100.0 + jnp.arange(16.0).reshape(4, 4)
+    edges = bg.link([(0, bg.RIGHT, 1, bg.RIGHT, True)])
+    pa, pb = bg.fill_ghosts([a, b], edges)
+    # ghost right of box 0 = box 1's right interior column, reversed
+    assert np.allclose(np.asarray(pa[-1, 1:-1]),
+                       np.asarray(b[-1, ::-1]))
+    assert np.allclose(np.asarray(pb[-1, 1:-1]),
+                       np.asarray(a[-1, ::-1]))
+
+
+def test_discrete_gauss_identity_on_sphere():
+    """Global integral of the FV Laplacian vanishes EXACTLY on the
+    closed six-panel topology: every cross-edge face flux must cancel
+    with its partner, which only happens when the edge matching
+    (including reversals) is right — the conservation property the
+    rotated-periodic boundaries guarantee in the reference."""
+    n = 16
+    edges, centers = bg.cubed_sphere(n)
+    cm, fm = bg.cubed_metric_weights(n)
+    h = 1.0 / n
+    rng = np.random.default_rng(3)
+
+    def f3(v):
+        return (np.sin(3 * v[..., 0]) + v[..., 1] * v[..., 2] ** 2
+                + 0.3 * np.cos(2 * v[..., 1]))
+
+    fields = [jnp.asarray(f3(c) + rng.normal(scale=0.1, size=(n, n)))
+              for c in centers]
+    L = bg.laplacian(fields, edges, h, cm=[cm] * 6, fm=[fm] * 6)
+    total = sum(float(jnp.sum(jnp.asarray(cm) * h * h * L[i]))
+                for i in range(6))
+    scale = sum(float(jnp.sum(jnp.abs(jnp.asarray(cm) * h * h * L[i])))
+                for i in range(6))
+    assert abs(total) < 1e-12 * scale, (total, scale)
+
+
+def test_operator_symmetry_on_sphere():
+    """<u, -lap v> == <-lap u, v> in the metric inner product — the
+    stencil symmetry gfs_relax relies on, across rotated edges too."""
+    n = 8
+    edges, centers = bg.cubed_sphere(n)
+    cm, fm = bg.cubed_metric_weights(n)
+    h = 1.0 / n
+    rng = np.random.default_rng(7)
+    u = [jnp.asarray(rng.normal(size=(n, n))) for _ in range(6)]
+    v = [jnp.asarray(rng.normal(size=(n, n))) for _ in range(6)]
+    Lu = bg.laplacian(u, edges, h, cm=[cm] * 6, fm=[fm] * 6)
+    Lv = bg.laplacian(v, edges, h, cm=[cm] * 6, fm=[fm] * 6)
+    w = jnp.asarray(cm) * h * h
+    a = sum(float(jnp.sum(w * u[i] * Lv[i])) for i in range(6))
+    b = sum(float(jnp.sum(w * Lu[i] * v[i])) for i in range(6))
+    assert abs(a - b) < 1e-11 * (abs(a) + 1.0), (a, b)
+
+
+def test_plain_box_graph_matches_single_grid():
+    """A 2x2 box graph with translation edges reproduces the embedded
+    single-array 5-point Laplacian EXACTLY (mirror outer boundaries) —
+    the box-graph engine vs the fast-path equivalence."""
+    n = 8
+    rng = np.random.default_rng(1)
+    big = rng.normal(size=(2 * n, 2 * n))
+    boxes = [jnp.asarray(big[:n, :n]), jnp.asarray(big[n:, :n]),
+             jnp.asarray(big[:n, n:]), jnp.asarray(big[n:, n:])]
+    # box 0 lower-left, 1 lower-right(+x), 2 upper-left(+y), 3 upper-right
+    edges = bg.link([(0, bg.RIGHT, 1, bg.LEFT),
+                     (2, bg.RIGHT, 3, bg.LEFT),
+                     (0, bg.TOP, 2, bg.BOTTOM),
+                     (1, bg.TOP, 3, bg.BOTTOM)])
+    h = 1.0
+    L = bg.laplacian(boxes, edges, h)
+    # reference: mirror-padded single grid
+    g = np.pad(big, 1, mode="edge")
+    ref = (g[2:, 1:-1] + g[:-2, 1:-1] + g[1:-1, 2:] + g[1:-1, :-2]
+           - 4 * big)
+    got = np.zeros_like(big)
+    got[:n, :n] = L[0]; got[n:, :n] = L[1]
+    got[:n, n:] = L[2]; got[n:, n:] = L[3]
+    assert np.allclose(got, ref, atol=1e-13)
+
+
+def test_poisson_solve_on_plain_box_graph():
+    """solve_cg on a closed (fully periodic) 2-box graph matches the
+    analytic periodic solution to second order."""
+    import math as m
+    errs = []
+    for n in (16, 32):
+        # two boxes side by side, wrapped periodically in both axes:
+        # domain = [0, 2] x [0, 1]
+        h = 1.0 / n
+        edges = bg.link([(0, bg.RIGHT, 1, bg.LEFT),
+                         (1, bg.RIGHT, 0, bg.LEFT),
+                         (0, bg.TOP, 0, bg.BOTTOM),
+                         (1, bg.TOP, 1, bg.BOTTOM)])
+        xs = (np.arange(n) + 0.5) * h
+        def exact(x0):
+            X, Y = np.meshgrid(x0, xs, indexing="ij")
+            return np.cos(m.pi * X) * np.cos(2 * m.pi * Y)
+        u_ex = [exact(xs), exact(1.0 + xs)]
+        lam = (m.pi ** 2 + 4 * m.pi ** 2)
+        rhs = [jnp.asarray(-lam * u) for u in u_ex]
+        u, stats = bg.solve_cg(rhs, edges, h, tol=1e-12, maxiter=4000)
+        err = max(float(jnp.max(jnp.abs(u[i] - u_ex[i])))
+                  for i in range(2))
+        errs.append(err)
+    order = m.log2(errs[0] / errs[1])
+    assert errs[1] < 4e-3 and order > 1.8, (errs, order)
+
+
+def test_total_sphere_area():
+    """Sum of metric cell areas over the six panels = 4 pi (the
+    discrete partition of the sphere the reference's cubed metric
+    guarantees, src/metric.c)."""
+    n = 16
+    cm, _ = bg.cubed_metric_weights(n)
+    area = 6.0 * float(jnp.sum(cm)) / n ** 2
+    assert area == pytest.approx(4.0 * math.pi, rel=1e-12)
+
+
+def test_gfs_rotated_edges_parse():
+    """`1 2 right top` records a rotated GfsGEdge (b1 side right joins
+    b2 side top) and converts to linked Edge pairs."""
+    from gerris_tpu.utils import gfs_config as gc
+    gfs = """
+3 3 GfsSimulation GfsBox GfsGEdge {} {
+  Refine 3
+  Time { iend = 0 }
+}
+GfsBox {}
+GfsBox {}
+GfsBox {}
+1 2 right top
+2 3 right
+3 3 top
+"""
+    sim = gc.parse_gfs(gfs)
+    assert (1, 2, "right", "top") in sim.box_edges
+    assert (2, 3, "right", None) in sim.box_edges
+    assert (3, 3, "top", None) in sim.box_edges
+    edges = bg.edges_from_gfs(sim.box_edges)
+    # rotated link: box0 right <-> box1 top, both directions present
+    assert bg.Edge(0, bg.RIGHT, 1, bg.TOP, False) in edges
+    assert bg.Edge(1, bg.TOP, 0, bg.RIGHT, False) in edges
+    # plain link: box1 right <-> box2 left
+    assert bg.Edge(2, bg.LEFT, 1, bg.RIGHT, False) in edges
+    # self-edge (periodicity) excluded from the graph
+    assert all(e.b1 != e.b2 or e.d1 != e.d2 for e in edges)
