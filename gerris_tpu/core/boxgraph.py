@@ -78,8 +78,9 @@ def fill_ghosts(fields: List[jnp.ndarray], edges: Tuple[Edge, ...],
                 default: str = "neumann") -> List[jnp.ndarray]:
     """Pad every box with one ghost layer: connected sides copy the
     neighbor's interior strip (with reversal), unconnected sides mirror
-    (symmetry) — gfs_domain_bc over the box graph.  Corner ghosts take
-    the mirror of the tangential ghost (adequate for 5-point stencils)."""
+    (symmetry) — gfs_domain_bc over the box graph.  Corner ghosts stay
+    zero: every consumer here is a 5-point stencil that never reads
+    them (extend before adding 9-point consumers)."""
     emap = {(e.b1, e.d1): e for e in edges}
     out = []
     for b, f in enumerate(fields):
@@ -412,3 +413,147 @@ def advect_upwind(fields, edges, fluxes, cm, h, dt):
 def total_mass(fields, cm, h):
     return sum(jnp.sum(jnp.asarray(cm[b]) * h * h * fields[b])
                for b in range(len(fields)))
+
+
+# ---------------------------------------------------------------------------
+# shallow water on the sphere (the reference's test/lonlat/cubed class:
+# GfsRiver dam break on the six-panel graph)
+# ---------------------------------------------------------------------------
+
+def cubed_face_geometry(n: int):
+    """Per-panel face geometry for flux-form solvers: for each x/y face
+    its arc length L and constant in-surface unit normal (the pole of
+    the great circle through the face corners — exact, since every
+    gnomonic grid line is a great-circle arc).  Returns
+    [(Lx (n+1,n), Nx (n+1,n,3), Ly (n,n+1), Ny (n,n+1,3))] and cell
+    areas [(n,n)] (spherical excess, same discrete areas as
+    MetricCubed)."""
+    def tri_area(p, q, r):
+        num = np.abs(np.sum(p * np.cross(q, r), -1))
+        den = (1.0 + np.sum(p * q, -1) + np.sum(q * r, -1)
+               + np.sum(r * p, -1))
+        return 2.0 * np.arctan2(num, den)
+
+    def oriented(A, B, ref):
+        """Great-circle face normal unit(A x B), flipped to align with
+        the +axis reference direction ``ref`` at each face."""
+        cross = np.cross(A, B)
+        L = np.arctan2(np.linalg.norm(cross, axis=-1),
+                       np.sum(A * B, -1))
+        N = cross / np.linalg.norm(cross, axis=-1, keepdims=True)
+        sgn = np.where(np.sum(N * ref, -1, keepdims=True) < 0, -1.0, 1.0)
+        return L, N * sgn
+
+    out = []
+    areas = []
+    for p in range(6):
+        c = cubed_corner_points(n, p)             # (n+1, n+1, 3)
+        centers = cubed_centers(n, p)
+        # +x reference at every x-face: interior = centre-to-centre;
+        # boundary = face-midpoint to first/last centre
+        A = c[:, :-1]; B = c[:, 1:]
+        midx = A + B
+        midx = midx / np.linalg.norm(midx, axis=-1, keepdims=True)
+        refx = np.empty_like(midx)
+        refx[1:-1] = centers[1:] - centers[:-1]
+        refx[0] = centers[0] - midx[0]
+        refx[-1] = midx[-1] - centers[-1]
+        Lx, Nx = oriented(A, B, refx)
+        A2 = c[:-1, :]; B2 = c[1:, :]
+        midy = A2 + B2
+        midy = midy / np.linalg.norm(midy, axis=-1, keepdims=True)
+        refy = np.empty_like(midy)
+        refy[:, 1:-1] = centers[:, 1:] - centers[:, :-1]
+        refy[:, 0] = centers[:, 0] - midy[:, 0]
+        refy[:, -1] = midy[:, -1] - centers[:, -1]
+        Ly, Ny = oriented(A2, B2, refy)
+        # cell areas
+        p00 = c[:-1, :-1]; p10 = c[1:, :-1]; p11 = c[1:, 1:]
+        p01 = c[:-1, 1:]
+        area = tri_area(p00, p10, p11) + tri_area(p00, p11, p01)
+        out.append((jnp.asarray(Lx), jnp.asarray(Nx),
+                    jnp.asarray(Ly), jnp.asarray(Ny)))
+        areas.append(jnp.asarray(area))
+    return out, areas
+
+
+def _fill_ghosts_vec(fields, edges):
+    """Component-wise ghost exchange of (n, n, 3) ambient-vector
+    fields: storing momentum as tangent 3-vectors makes the rotated
+    exchange a plain scalar copy per component — no swap/sign swizzle
+    (the reference approximates the cross-panel vector transform with
+    +-1 component swaps, boundary.c face_periodic_rotate; ambient
+    storage is exact)."""
+    comps = [fill_ghosts([f[..., k] for f in fields], edges)
+             for k in range(3)]
+    return [jnp.stack([comps[k][b] for k in range(3)], -1)
+            for b in range(len(fields))]
+
+
+def swe_step(h, m, geom, areas, edges, dt, g: float = 1.0):
+    """One Rusanov flux-form shallow-water step on the box graph:
+    state per panel = depth h (n, n) and ambient tangent momentum
+    m (n, n, 3).  Pressure fluxes use the well-balanced difference form
+    g (h_f^2 - h_c^2)/2 (the discrete geometric source: a lake at rest
+    is EXACTLY steady on the curved geometry — the C-property of the
+    reference's well-balanced GfsRiver, src/river.c).  Momentum is
+    re-projected onto the local tangent plane after the update."""
+    hp = fill_ghosts(h, edges)
+    mp = _fill_ghosts_vec(m, edges)
+    out_h = []
+    out_m = []
+    for b in range(len(h)):
+        Lx, Nx, Ly, Ny = geom[b]
+        A = areas[b]
+        hg = hp[b]
+        mg = mp[b]
+
+        def face_flux(hL, hR, mL, mR, N, L):
+            eps = 1e-12
+            unL = jnp.sum(mL * N, -1) / jnp.maximum(hL, eps)
+            unR = jnp.sum(mR * N, -1) / jnp.maximum(hR, eps)
+            cL = jnp.sqrt(g * jnp.maximum(hL, 0.0))
+            cR = jnp.sqrt(g * jnp.maximum(hR, 0.0))
+            lam = jnp.maximum(jnp.abs(unL) + cL, jnp.abs(unR) + cR)
+            Fh = 0.5 * (hL * unL + hR * unR) - 0.5 * lam * (hR - hL)
+            Fp = 0.5 * g * 0.5 * (hL * hL + hR * hR)
+            Fm = (0.5 * (mL * unL[..., None] + mR * unR[..., None])
+                  + Fp[..., None] * N
+                  - 0.5 * lam[..., None] * (mR - mL))
+            return L * Fh, L[..., None] * Fm, Fp
+
+        # x faces: left state = cell west of face, right = east
+        Fh_x, Fm_x, Fp_x = face_flux(hg[:-1, 1:-1], hg[1:, 1:-1],
+                                     mg[:-1, 1:-1], mg[1:, 1:-1],
+                                     Nx, Lx)
+        Fh_y, Fm_y, Fp_y = face_flux(hg[1:-1, :-1], hg[1:-1, 1:],
+                                     mg[1:-1, :-1], mg[1:-1, 1:],
+                                     Ny, Ly)
+        hc = h[b]
+        # well-balance: subtract the cell-pressure geometric source
+        # g h_c^2/2 * sum(L N) so a constant-h lake at rest is steady
+        src = (g * 0.5 * hc * hc)[..., None] * (
+            Lx[1:, :, None] * Nx[1:, :] - Lx[:-1, :, None] * Nx[:-1, :]
+            + Ly[:, 1:, None] * Ny[:, 1:]
+            - Ly[:, :-1, None] * Ny[:, :-1])
+        div_h = (Fh_x[1:, :] - Fh_x[:-1, :]
+                 + Fh_y[:, 1:] - Fh_y[:, :-1])
+        div_m = (Fm_x[1:, :] - Fm_x[:-1, :]
+                 + Fm_y[:, 1:] - Fm_y[:, :-1]) - src
+        h_new = hc - dt * div_h / A
+        m_new = m[b] - dt * div_m / A[..., None]
+        out_h.append(h_new)
+        out_m.append(m_new)
+    # keep momentum tangent to the sphere (curvature drift control)
+    return out_h, out_m
+
+
+def swe_project_tangent(m, centers):
+    """Remove the radial momentum component (m stays in the tangent
+    plane; the ambient-vector analogue of the metric's Christoffel
+    terms acting on the radial direction)."""
+    out = []
+    for b in range(len(m)):
+        r = jnp.asarray(centers[b])
+        out.append(m[b] - jnp.sum(m[b] * r, -1, keepdims=True) * r)
+    return out

@@ -285,3 +285,70 @@ def test_solid_body_rotation_conserves_and_transports():
     corr32 = run(32)
     assert corr16 > 0.55, corr16
     assert corr32 > corr16, (corr16, corr32)
+
+
+def test_swe_lake_at_rest_is_exact():
+    """C-property on the curved geometry: constant depth + zero
+    momentum stays EXACTLY steady (the well-balanced pressure/geometric
+    source cancellation of the reference's GfsRiver, src/river.c)."""
+    n = 16
+    edges, centers = bg.cubed_sphere(n)
+    geom, areas = bg.cubed_face_geometry(n)
+    h = [jnp.full((n, n), 1.0) for _ in range(6)]
+    m = [jnp.zeros((n, n, 3)) for _ in range(6)]
+    dt = 0.01
+    for _ in range(3):
+        h, m = bg.swe_step(h, m, geom, areas, edges, dt, g=1.0)
+        m = bg.swe_project_tangent(m, centers)
+    for b in range(6):
+        assert float(jnp.max(jnp.abs(h[b] - 1.0))) < 1e-13, b
+        assert float(jnp.max(jnp.abs(m[b]))) < 1e-13, b
+
+
+def test_swe_dam_break_conserves_and_stays_radial():
+    """Radially-symmetric dam break centred on a panel CORNER (the
+    worst spot: the flow crosses three panels immediately) — total mass
+    conserved to round-off, depth field stays a function of
+    great-circle radius (the symmetry measure of the reference's
+    test/lonlat dam-break cases)."""
+    import math as m_
+    n = 24
+    edges, centers = bg.cubed_sphere(n)
+    geom, areas = bg.cubed_face_geometry(n)
+    # cylinder of extra depth around the point where panels meet
+    p0 = np.array([1.0, 1.0, 1.0]) / m_.sqrt(3.0)
+    rad = [np.arccos(np.clip(np.asarray(c) @ p0, -1, 1))
+           for c in centers]
+    h = [jnp.asarray(np.where(r < 0.35, 1.2, 1.0)) for r in rad]
+    m = [jnp.zeros((n, n, 3)) for _ in range(6)]
+    mass0 = float(sum(jnp.sum(areas[b] * h[b]) for b in range(6)))
+
+    import jax as _jax
+
+    @_jax.jit
+    def step(h, m):
+        h, m = bg.swe_step(h, m, geom, areas, edges, 0.004, g=1.0)
+        return h, bg.swe_project_tangent(m, centers)
+
+    for _ in range(60):                   # t = 0.24, front well inside
+        h, m = step(h, m)
+    mass1 = float(sum(jnp.sum(areas[b] * h[b]) for b in range(6)))
+    assert abs(mass1 - mass0) < 1e-11 * mass0
+    assert all(bool(jnp.all(jnp.isfinite(x))) for x in h)
+    # radial-symmetry scatter: bin depth by great-circle radius and
+    # measure the in-bin spread relative to the full signal range
+    r_all = np.concatenate([r.ravel() for r in rad])
+    h_all = np.concatenate([np.asarray(x).ravel() for x in h])
+    nb = 24
+    bins = np.linspace(0.0, m_.pi, nb + 1)
+    idx = np.digitize(r_all, bins) - 1
+    spread = 0.0
+    wsum = 0
+    for k in range(nb):
+        sel = idx == k
+        if sel.sum() > 8:
+            spread += float(h_all[sel].std()) * sel.sum()
+            wsum += int(sel.sum())
+    spread /= wsum
+    rng = float(h_all.max() - h_all.min())
+    assert spread < 0.08 * rng, (spread, rng)
