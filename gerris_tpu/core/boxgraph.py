@@ -387,6 +387,242 @@ def streamfunction_face_fluxes(n: int, psi):
     return out
 
 
+def _interior_strip2(f: jnp.ndarray, d: int) -> jnp.ndarray:
+    """The TWO interior rows/columns adjacent to side ``d``, shaped
+    (2, n) with row 0 = the strip nearest the boundary (matching the
+    first ghost layer) and row 1 = one cell deeper."""
+    if d == RIGHT:
+        return jnp.stack([f[-1, :], f[-2, :]])
+    if d == LEFT:
+        return jnp.stack([f[0, :], f[1, :]])
+    if d == TOP:
+        return jnp.stack([f[:, -1], f[:, -2]])
+    return jnp.stack([f[:, 0], f[:, 1]])
+
+
+def fill_ghosts2(fields: List[jnp.ndarray],
+                 edges: Tuple[Edge, ...]) -> List[jnp.ndarray]:
+    """Two-deep ghost exchange: pad every box with TWO ghost layers
+    (the stencil width the slope-reconstructing advection needs — the
+    upwind cell of a panel-boundary face can be a ghost cell, and its
+    normal slope reads one cell beyond it).  Connected sides copy the
+    neighbor's two interior strips (with tangential reversal),
+    unconnected sides mirror.  Corner blocks stay zero: the scheme
+    only ever reads normal-direction neighbors of first-layer ghosts,
+    never diagonal corners."""
+    emap = {(e.b1, e.d1): e for e in edges}
+    out = []
+    for b, f in enumerate(fields):
+        n0, n1 = f.shape
+        g = jnp.zeros((n0 + 4, n1 + 4), f.dtype)
+        g = g.at[2:-2, 2:-2].set(f)
+        for d in (LEFT, RIGHT, BOTTOM, TOP):
+            e = emap.get((b, d))
+            if e is None:
+                strip = _interior_strip2(f, d)       # mirror
+            else:
+                strip = _interior_strip2(fields[e.b2], e.d2)
+                if e.rev:
+                    strip = strip[:, ::-1]
+            if d == LEFT:
+                g = g.at[1, 2:-2].set(strip[0])
+                g = g.at[0, 2:-2].set(strip[1])
+            elif d == RIGHT:
+                g = g.at[-2, 2:-2].set(strip[0])
+                g = g.at[-1, 2:-2].set(strip[1])
+            elif d == BOTTOM:
+                g = g.at[2:-2, 1].set(strip[0])
+                g = g.at[2:-2, 0].set(strip[1])
+            else:
+                g = g.at[2:-2, -2].set(strip[0])
+                g = g.at[2:-2, -1].set(strip[1])
+        out.append(g)
+    return out
+
+
+def _slope(gm, gc, gp, limiter: str):
+    """Per-cell normal slope from the three-cell stencil (index space).
+    ``centered`` is the reference's default unlimited gfs_center_gradient
+    (src/graphic.c advection defaults; test/cosine uses it); minmod /
+    vanleer for monotone transport."""
+    if limiter == "centered":
+        return 0.5 * (gp - gm)
+    dl = gc - gm
+    dr = gp - gc
+    if limiter == "minmod":
+        s = jnp.sign(dl)
+        return s * jnp.maximum(0.0, jnp.minimum(jnp.abs(dl), s * dr))
+    if limiter == "vanleer":
+        prod = dl * dr
+        return jnp.where(prod > 0.0, 2.0 * prod / (dl + dr + 1e-300), 0.0)
+    raise ValueError(limiter)
+
+
+def flux_divergence_muscl(fields, edges, fluxes, cm, h,
+                          limiter: str = "centered"):
+    """dc/dt = -div(F c)/(cm h^2) with SECOND-ORDER face values:
+    c_face = c_up + slope_up / 2 (slope limited per ``limiter``).  The
+    flux-form counterpart of the reference's tracer advection on
+    MetricCubed (test/cosine: VariableTracer { gradient =
+    gfs_center_gradient }, advection.c gfs_face_advection_flux).
+
+    Cross-edge faces stay exactly conservative: the upwind cell is the
+    same physical cell seen from both panels and its two-deep ghost
+    copy reproduces the identical reconstruction, so the shared-face
+    value (and the equal-and-opposite stream-function flux) agree."""
+    padded = fill_ghosts2(fields, edges)
+    out = []
+    for b, g in enumerate(padded):
+        Fx, Fy = fluxes[b]
+        # x-direction slopes at all cells incl. one ghost layer:
+        # columns 1..-1 of the (n+4) padded axis
+        sx = _slope(g[:-2, 2:-2], g[1:-1, 2:-2], g[2:, 2:-2], limiter)
+        cW = g[1:-2, 2:-2] + 0.5 * sx[:-1]           # (n+1, n) from west
+        cE = g[2:-1, 2:-2] - 0.5 * sx[1:]            # from east
+        fx = Fx * jnp.where(Fx > 0, cW, cE)
+        sy = _slope(g[2:-2, :-2], g[2:-2, 1:-1], g[2:-2, 2:], limiter)
+        cS = g[2:-2, 1:-2] + 0.5 * sy[:, :-1]        # (n, n+1) from south
+        cN = g[2:-2, 2:-1] - 0.5 * sy[:, 1:]
+        fy = Fy * jnp.where(Fy > 0, cS, cN)
+        div = (fx[1:, :] - fx[:-1, :] + fy[:, 1:] - fy[:, :-1])
+        out.append(-div / (jnp.asarray(cm[b]) * h * h))
+    return out
+
+
+def bcg_flux_context(fluxes, edges, cm, n: int):
+    """Static per-panel context for the BCG-style face values
+    (advect_bcg): padded donor volumes and signed transverse-flux cell
+    means, including the first ghost layer through the (possibly
+    rotated) edges.
+
+    Ghost transverse means are gathered from the NEIGHBOR panel's own
+    flux arrays with the edge orientation applied (rev flips both the
+    tangential order and the flux sign), so a shared-face donor
+    reconstructs to the identical value from both panels — the property
+    that keeps cross-edge advection exactly conservative."""
+    nb = len(fluxes)
+    emap = {(e.b1, e.d1): e for e in edges}
+    Fx = [np.asarray(f[0]) for f in fluxes]
+    Fy = [np.asarray(f[1]) for f in fluxes]
+
+    def tmean_strip(b2, d2):
+        """Neighbor's boundary-cell transverse-flux means along side
+        d2, in the neighbor's own tangential order/orientation."""
+        if d2 == LEFT:
+            return 0.5 * (Fy[b2][0, :-1] + Fy[b2][0, 1:])
+        if d2 == RIGHT:
+            return 0.5 * (Fy[b2][-1, :-1] + Fy[b2][-1, 1:])
+        if d2 == BOTTOM:
+            return 0.5 * (Fx[b2][:-1, 0] + Fx[b2][1:, 0])
+        return 0.5 * (Fx[b2][:-1, -1] + Fx[b2][1:, -1])
+
+    def ghost_tmean(b, d):
+        e = emap.get((b, d))
+        if e is None:                       # mirror: reflected tangential
+            return tmean_strip(b, d)        # flow keeps its sign
+        s = tmean_strip(e.b2, e.d2)
+        return -s[::-1] if e.rev else s
+
+    MY, MX = [], []
+    for b in range(nb):
+        my = np.zeros((n + 2, n))
+        my[1:-1] = 0.5 * (Fy[b][:, :-1] + Fy[b][:, 1:])
+        my[0] = ghost_tmean(b, LEFT)
+        my[-1] = ghost_tmean(b, RIGHT)
+        MY.append(jnp.asarray(my))
+        mx = np.zeros((n, n + 2))
+        mx[:, 1:-1] = 0.5 * (Fx[b][:-1, :] + Fx[b][1:, :])
+        mx[:, 0] = ghost_tmean(b, BOTTOM)
+        mx[:, -1] = ghost_tmean(b, TOP)
+        MX.append(jnp.asarray(mx))
+
+    cmp = fill_ghosts([jnp.asarray(w) for w in cm], edges)
+    VX = [w[:, 1:-1] for w in cmp]          # (n+2, n) volumes/h^2
+    VY = [w[1:-1, :] for w in cmp]          # (n, n+2)
+    return {"MY": MY, "MX": MX, "VX": VX, "VY": VY}
+
+
+def _corner_mask(n: int):
+    """(n+2, n) mask zeroing the transverse slope at cells within one
+    cell of a panel corner (incl. their ghost copies): three panels
+    meet there and no consistent transverse stencil exists — both
+    views of a shared-face donor apply the same rule, preserving exact
+    conservation."""
+    m = np.ones((n + 2, n))
+    m[np.ix_([0, 1, n, n + 1], [0, n - 1])] = 0.0
+    return jnp.asarray(m)
+
+
+def advect_bcg(fields, edges, fluxes, cm, h, dt, ctx,
+               limiter: str = "centered"):
+    """One single-stage step with the reference's BCG-style face value
+    (gfs_face_advection_flux, src/advection.c): donor value plus the
+    CFL-corrected normal slope and the transverse upwind shift,
+    c_face = c_d + (1 - nu)/2 * s_n - tau/2 * s_t,
+    nu = F dt / V_donor, tau = (mean transverse flux) dt / V_donor.
+    At nu -> 1 the normal correction vanishes (exact 1D translation):
+    run at CFL ~0.8 for the near-dissipation-free transport the
+    reference demonstrates on test/cosine at cfl = 1.  ``ctx`` from
+    bcg_flux_context."""
+    padded = fill_ghosts2(fields, edges)
+    n = fields[0].shape[0]
+    cmask = _corner_mask(n)
+    out = []
+    for b, g in enumerate(padded):
+        Fx, Fy = fluxes[b]
+        VXp, VYp = ctx["VX"][b], ctx["VY"][b]
+        MYp, MXp = ctx["MY"][b], ctx["MX"][b]
+        hh = h * h
+
+        # x-faces -------------------------------------------------
+        sx = _slope(g[:-2, 2:-2], g[1:-1, 2:-2], g[2:, 2:-2], limiter)
+        PX = g[1:-1, :]                      # (n+2, n+4) cells + x-ghosts
+        sy_x = _slope(PX[:, 1:-3], PX[:, 2:-2], PX[:, 3:-1],
+                      limiter) * cmask
+        nuL = Fx * dt / (VX_L := VXp[:-1] * hh)
+        tauL = MYp[:-1] * dt / VX_L
+        cW = (g[1:-2, 2:-2] + 0.5 * (1.0 - nuL) * sx[:-1]
+              - 0.5 * tauL * sy_x[:-1])
+        nuR = Fx * dt / (VX_R := VXp[1:] * hh)
+        tauR = MYp[1:] * dt / VX_R
+        cE = (g[2:-1, 2:-2] - 0.5 * (1.0 + nuR) * sx[1:]
+              - 0.5 * tauR * sy_x[1:])
+        fx = Fx * jnp.where(Fx > 0, cW, cE)
+
+        # y-faces -------------------------------------------------
+        sy = _slope(g[2:-2, :-2], g[2:-2, 1:-1], g[2:-2, 2:], limiter)
+        PY = g[:, 1:-1]                      # (n+4, n+2)
+        sx_y = _slope(PY[1:-3, :], PY[2:-2, :], PY[3:-1, :],
+                      limiter) * cmask.T
+        nuS = Fy * dt / (VY_S := VYp[:, :-1] * hh)
+        tauS = MXp[:, :-1] * dt / VY_S
+        cS = (g[2:-2, 1:-2] + 0.5 * (1.0 - nuS) * sy[:, :-1]
+              - 0.5 * tauS * sx_y[:, :-1])
+        nuN = Fy * dt / (VY_N := VYp[:, 1:] * hh)
+        tauN = MXp[:, 1:] * dt / VY_N
+        cN = (g[2:-2, 2:-1] - 0.5 * (1.0 + nuN) * sy[:, 1:]
+              - 0.5 * tauN * sx_y[:, 1:])
+        fy = Fy * jnp.where(Fy > 0, cS, cN)
+
+        div = (fx[1:, :] - fx[:-1, :] + fy[:, 1:] - fy[:, :-1])
+        out.append(fields[b] - dt * div / (jnp.asarray(cm[b]) * hh))
+    return out
+
+
+def advect_muscl(fields, edges, fluxes, cm, h, dt,
+                 limiter: str = "centered"):
+    """One second-order step (Heun / RK2 in time, slope-reconstructed
+    upwind fluxes in space) of flux-form transport over the box graph.
+    Mass is conserved to round-off; with ``centered`` slopes this is
+    the scheme class the reference validates on test/cosine (Williamson
+    problem #1, cosine bell once around the sphere on MetricCubed)."""
+    k1 = flux_divergence_muscl(fields, edges, fluxes, cm, h, limiter)
+    mid = [c + dt * d for c, d in zip(fields, k1)]
+    k2 = flux_divergence_muscl(mid, edges, fluxes, cm, h, limiter)
+    return [c + 0.5 * dt * (d1 + d2)
+            for c, d1, d2 in zip(fields, k1, k2)]
+
+
 def advect_upwind(fields, edges, fluxes, cm, h, dt):
     """One conservative donor-cell step over the box graph:
     c^{n+1} = c - dt/(cm h^2) * sum_faces F * c_upwind.  Ghost upwind
