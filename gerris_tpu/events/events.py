@@ -97,9 +97,16 @@ class EventStop(Event):
             cur = np.asarray(sim.fine(self.var))
         else:
             cur = np.asarray(v)
+        if self.diff_name and self.diff_name not in sim.state:
+            sim.state[self.diff_name] = np.zeros_like(cur)
         if self._prev is not None and cur.shape == self._prev.shape:
-            d = np.max(np.abs(cur - self._prev))
+            dfield = np.abs(cur - self._prev)
+            d = np.max(dfield)
             if self.diff_name:
+                # the reference stores the per-cell change as a real
+                # variable (gfs_event_stop, src/event.c) readable by
+                # Output* — mirror that in state
+                sim.state[self.diff_name] = dfield
                 sim.diagnostics[self.diff_name] = d
             if d < self.tolerance:
                 sim.stop = True

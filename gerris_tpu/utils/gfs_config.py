@@ -484,15 +484,37 @@ def _maybe_shape(expr, defines):
     s = expr.strip()
     if s.startswith("(") and s.endswith(")"):
         s = s[1:-1].strip()
+    # unary minus flips which side is solid (test/wannier: the outer
+    # cylinder `Solid (- ellipse (...))` bounds the fluid from outside)
+    neg = False
+    while s.startswith("-"):
+        neg = not neg
+        s = s[1:].lstrip()
     if not re.match(r"^(ellipse|sphere|cube|union|intersection|difference)"
                     r"\s*\(", s):
         return None
+    # textual Define substitution (values are expression strings, and
+    # may reference other defines — iterate to a fixpoint)
+    for _ in range(8):
+        s2 = s
+        for k in sorted(defines or {}, key=len, reverse=True):
+            s2 = re.sub(rf"\b{re.escape(k)}\b", f"({defines[k]})", s2)
+        if s2 == s:
+            break
+        s = s2
     try:
-        val = eval(s, {"__builtins__": {}},
-                   dict(_FUNS, **_csg_namespace(), **(defines or {})))
+        jnp.tanh(0.0)   # force lazy jax init: the sandboxed eval below
+        # has no __import__ for it (first-ever jnp call imports)
+        val = eval(_c_to_py(s), {"__builtins__": {}},
+                   dict(_FUNS, **_csg_namespace()))
     except Exception:
         return None
-    return val if callable(val) else None
+    if not callable(val):
+        return None
+    if neg:
+        inner = val
+        return lambda x, y, z=0.0, t=0.0: -inner(x, y, z, t)
+    return val
 
 
 def _expand_func_macros(text: str, macros: dict) -> str:
@@ -1057,6 +1079,10 @@ def _parse_sim_body(sim: ParsedSim, toks, defines, strict: bool = False):
                 expr = "{" + " ".join(blk) + "}"
             else:
                 j += 1
+            # ax/ay/az (solid-surface area centroid, simulation.c:919-921):
+            # our DirichletSurface evaluates value callables AT the
+            # surface projection point already, so they alias x/y/z here
+            expr = re.sub(r"\ba([xyz])\b", r"\1", expr)
             sim.surface_bcs[var] = (kind, translate_expr(expr, defines))
             i = j
         elif t in ("MetricStretch", "MetricLonLat", "MetricCubed"):
@@ -1084,11 +1110,13 @@ def _parse_sim_body(sim: ParsedSim, toks, defines, strict: bool = False):
             # optional diff variable name (gfs_event_stop_read): an
             # ALL-CAPS identifier like DU is a variable, not a
             # CamelCase directive
+            diff = None
             if i < n and toks[i] not in "{}" \
                     and (not _is_directive(toks[i])
                          or re.match(r"^[A-Z][A-Z0-9]*$", toks[i])):
+                diff = toks[i]
                 i += 1
-            sim.events.append(("EventStop", sched, (var, tol)))
+            sim.events.append(("EventStop", sched, (var, tol, diff)))
         elif t in ("GfsParticleList", "ParticleList"):
             # the fork's Lagrangian container (gfs_particle_list_read,
             # modules/particulatecommon.c:1022-1093 over GfsEventList
@@ -1700,9 +1728,15 @@ def build_simulation(sim: ParsedSim, dim: int = 2):
     adapt_spec = None
     for name, sched, extra in sim.events:
         if name == "EventStop":
-            var, tol = extra
-            events.append(EventStop(var, tol,
-                                    istep=int(float(sched.get("istep", 1)))))
+            var, tol, diff = (extra if len(extra) == 3
+                              else (extra[0], extra[1], None))
+            # time-interval schedules also clamp dt via Event.next_time
+            # (gfs_event_next — test/wannier relies on step=1e-2 pacing
+            # the otherwise unconstrained scheme=none timestep)
+            kw = ({"step": float(sched["step"]), "istep": None}
+                  if "step" in sched
+                  else {"istep": int(float(sched.get("istep", 1)))})
+            events.append(EventStop(var, tol, diff_name=diff, **kw))
             continue
         if extra is None:
             continue
