@@ -4,14 +4,20 @@ Full Navier-Stokes steps (BCG advection + MAC & approximate projections with
 multigrid + implicit viscous diffusion), f32, on whatever chip jax selects
 (the axon-tunneled TPU in this environment; CPU otherwise).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
-vs_baseline relative to the 1e9 cell-updates/s/chip north-star
+Prints one JSON line per phase: {"metric", "value", "unit", "vs_baseline"}
+with vs_baseline relative to the 1e9 cell-updates/s/chip north-star
 (BASELINE.json; the reference publishes no throughput numbers, BASELINE.md).
+The driver parses the LAST parseable line, so each successive line is a
+strict enrichment of the previous one (quick window -> full window ->
++honesty check -> +3D figure).  Every line is flushed immediately and a
+SIGTERM/SIGALRM handler re-emits the best-so-far line, so a driver timeout
+(BENCH_r04 rc=124: nothing on stdout) still records the best measured value.
 """
 import functools
 import json
 import math
 import os
+import signal
 import sys
 import time
 
@@ -21,7 +27,7 @@ import jax.numpy as jnp
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # persistent compilation cache: cold 2048^2 compiles through the remote
-# TPU compiler take ~25 minutes; cached re-runs take seconds
+# TPU compiler take ~80-420s per program; cached re-runs take seconds
 jax.config.update("jax_compilation_cache_dir", os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -33,9 +39,43 @@ LEVEL = int(os.environ.get("BENCH_LEVEL", "11"))   # 2048^2
 # 620.8M@100 same program; 896.6M@100 vs 987.3M@500 vs 1009.2M@1000
 # with the round-4 session-2 schedule, measured idle box).  Production
 # runs take thousands of steps, so the amortized number is the honest
-# one; the fixed-vs-adaptive check also runs from the (closer-to-
-# steady) state the window ends in.
+# one.  A QUICK window is emitted first so a driver timeout mid-phase
+# still records a real measurement.
 STEPS = int(os.environ.get("BENCH_STEPS", "1000"))
+STEPS_QUICK = int(os.environ.get("BENCH_STEPS_QUICK", "100"))
+# wall-clock budget: phases that have not STARTED by the deadline are
+# skipped (each emitted line is already self-contained, so skipping
+# late phases only drops enrichment fields, never the headline)
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1500"))
+T_START = time.time()
+
+_BEST = None  # best-so-far result dict, re-emitted on SIGTERM/SIGALRM
+
+
+def _emit(d):
+    global _BEST
+    _BEST = d
+    print(json.dumps(d), flush=True)
+
+
+def _on_term(signum, frame):  # noqa: ARG001
+    if _BEST is not None:
+        print(json.dumps(dict(_BEST, truncated_by="signal %d" % signum)),
+              flush=True)
+    sys.exit(0)
+
+
+signal.signal(signal.SIGTERM, _on_term)
+signal.signal(signal.SIGALRM, _on_term)
+
+
+def _left():
+    return DEADLINE_S - (time.time() - T_START)
+
+
+def _note(msg):
+    print(f"[bench +{time.time() - T_START:.0f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 
 def _probe_backend(timeout_s: float) -> str:
@@ -70,11 +110,11 @@ def _wait_for_backend() -> str:
             last = "backend init hang (>180s)"
         except Exception as e:  # noqa: BLE001
             last = str(e)
-    print(json.dumps({
+    _emit({
         "metric": f"cell-updates/sec/chip on {2**LEVEL}^2 cavity",
         "value": 0.0, "unit": "cell-updates/s/chip", "vs_baseline": 0.0,
         "error": f"TPU backend unavailable after {len(delays)} attempts: {last}",
-    }))
+    })
     sys.exit(0)
 
 
@@ -88,77 +128,33 @@ def main():
     grid = Grid(level=LEVEL, dim=2)
     u_bc = bcs.FieldBC.make(2, default=bcs.Dirichlet(0.0), top=bcs.Dirichlet(1.0))
     v_bc = bcs.FieldBC.uniform(bcs.Dirichlet(0.0), 2)
-    # production schedule: fixed 1 sawtooth cycle per solve (3 fused
-    # kernel launches each).  The startup transient needs 2-3 cycles
-    # (measured), so warmup runs a fixed-3 config first; the
-    # fixed-vs-adaptive check below validates that 1 cycle/solve is
-    # converged at steady state (steady-state adaptive niter == 1).
-    # production smoothing schedule (measured 2048^2, idle box):
-    # projections at 5 over-relaxed sweeps/level (omega 1.5) instead of
-    # the 8-sweep omega-1 default — 356.2M -> 368.4M cell-updates/s.
-    # Steady-state convergence at 1 cycle/solve re-validated by the CPU
-    # probe (L9-L10) and the fixed-vs-adaptive honesty check below.
+    # production schedule (measured 2048^2, idle box, round 2-4 A/Bs):
+    # fixed 1 sawtooth cycle per solve, 5 over-relaxed sweeps/level
+    # (omega 1.5) for the projections; pair-advect kernel ON; diffusion
+    # pair at 1 fine sweep/cycle (identity-dominated Helmholtz,
+    # dia*h2 ~ 0.6 at 2048^2; dnr5 716M -> dnr1 896.6M @100 steps).
+    # The fixed-vs-adaptive honesty check below validates convergence at
+    # steady state in every recorded bench, and
+    # tests/test_bench_schedule.py gates the same schedule against Ghia
+    # on a 256^2 lid plus a multi-step fixed-vs-adaptive drift bound.
     omega = float(os.environ.get("GERRIS_OMEGA", "1.5"))
     nr5 = int(os.environ.get("GERRIS_TPU_NRELAX", "5"))
-    # GERRIS_FOLD_DIV=1: A/B the folded-divergence projection kernels
-    # (a COLD compile through the remote tunnel, ~minutes; the default
-    # program is byte-identical to the cached round-3 one)
-    # round-4 A/B @100 steps, idle box: default 620.8M, fold_div 642.0M,
-    # pair 659.3M, fold_div+pair 641.5M, foldc+pair 654.2M,
-    # pair+diff_nrelax5 722.3M — pair_advect and the 5-sweep diffusion
-    # schedule win; the fold_div combination regresses with pair ON, so
-    # it stays opt-in.
     fold = bool(int(os.environ.get("GERRIS_FOLD_DIV", "0")))
     pair = bool(int(os.environ.get("GERRIS_PAIR_ADVECT", "1")))
-    # GERRIS_DIV_SRC=1: fold each projection's divergence into its
-    # PRODUCER launch (predict_xy / interp_faces emit div from VMEM)
-    # instead of the separate divergence_mac launches (-2 launches/step,
-    # no face re-read — the fix for fold_div's measured regression)
     divsrc = bool(int(os.environ.get("GERRIS_DIV_SRC", "0")))
-    # GERRIS_RR_ADVECT=1: the advection pair kernel also emits the
-    # diffusion chain's first-cycle residual pyramid (r0/r1/r2) — the
-    # residual_restrict_pair launch disappears (-1 launch/step)
     rradv = bool(int(os.environ.get("GERRIS_RR_ADVECT", "0")))
-    # GERRIS_FOLD_CORRECT=1: also fold the projection correction into
-    # the solve's final prolong_relax launch (implies fold_div)
     foldc = bool(int(os.environ.get("GERRIS_FOLD_CORRECT", "0")))
     mp1 = poisson.MultilevelParams(tolerance=1e-3, nitermax=100, ncycles=1,
                                    omega=omega, tpu_nrelax=nr5,
                                    fold_div=fold or foldc,
                                    fold_correct=foldc)
-    mp3 = dataclasses.replace(mp1, ncycles=3)
-    # diffusion: the fused 3-launch MG chain.  (A relax-only schedule
-    # needs ~20 fine sweeps to meet tolerance at 2048^2 — measured 85M
-    # SLOWER than the MG chain's 16: fine-level sweeps are the compute
-    # driver once launches are fused, solvers/poisson.solve_relax_pair
-    # remains available for stiffer dia regimes.)
-    # diffusion keeps the deep default smoothing: the CPU steady-state
-    # probe shows the over-relaxed 6-sweep schedule leaves the diffusion
-    # pair at niter=2 while both projections reach niter=1 (the
-    # projections are the ones omega helps).
-    # (inherits tpu_nrelax=5: reproduces the recorded r3 schedule —
-    # nrelax=max(8,5)=8 sweeps, coarsest=max(8,10)=10 — byte-identical
-    # HLO to the cached programs)
-    # GERRIS_DIFF_NRELAX / GERRIS_DIFF_OMEGA: A/B the diffusion-solve
-    # smoothing schedule (the dia>0 Helmholtz pair is better conditioned
-    # than the projections; defaults reproduce the recorded schedule)
-    # default 1 (was 8 -> 5 -> 3): the Helmholtz diffusion pair is
-    # identity-dominated (dia*h2 ~ 0.6 at 2048^2) and the sawtooth
-    # cycle's coarse correction carries the smooth error — ONE fine
-    # sweep per cycle keeps fixed-vs-adaptive at 6.2e-5 during the
-    # 100-step transient and 6.7e-6 at the 500-step steady state
-    # (round-4 session 2: dnr5 716M -> dnr3 787.7 -> dnr2 812.9 ->
-    # dnr1 896.6M @100 steps, all honesty-clean; the check runs in
-    # every recorded bench, so a regression is visible to the driver)
+    # diffusion: the fused 3-launch MG chain at 1 fine sweep/cycle.
+    # tpu_nrelax must follow nrelax: solve_fixed_batched floors nrelax at
+    # params.tpu_nrelax (round-4 note: dnr<5 silently cache-hit the =5
+    # program until tpu_nrelax followed).
     dnr = int(os.environ.get("GERRIS_DIFF_NRELAX", "1"))
     dom = float(os.environ.get("GERRIS_DIFF_OMEGA", "1.0"))
-    # GERRIS_DIFF_SOLVER=relax: 2-launch fine-relax-only diffusion pair
-    # (no coarse cascade — dia*h2 ~ 0.6 makes the coarse correction
-    # nearly irrelevant for this Helmholtz pair); honesty-gated
     dsol = os.environ.get("GERRIS_DIFF_SOLVER", "")
-    # tpu_nrelax must follow: solve_fixed_batched floors nrelax at
-    # params.tpu_nrelax, so dnr<5 was silently cache-hitting the =5
-    # program (round-4 note).  Default dnr=5 keeps the program identical.
     mpd = dataclasses.replace(mp1, nrelax=dnr, omega=dom, tpu_nrelax=dnr)
     if dsol:
         mpd = dataclasses.replace(mpd, solver=dsol)
@@ -175,8 +171,6 @@ def main():
                            div_in_src=divsrc, rr_in_advect=rradv)
 
     cfg = make_cfg(mp1, mpd)
-    cfg_warm = make_cfg(mp3, dataclasses.replace(mp3, solver="relax",
-                                                 nrelax=20))
     cfg_ada = make_cfg(poisson.MultilevelParams(tolerance=1e-3,
                                                 nitermax=100,
                                                 tpu_nrelax=nr5),
@@ -198,52 +192,87 @@ def main():
             return jax.lax.fori_loop(0, nsteps, body, state)
         return run
 
-    # GERRIS_BENCH_FAST=1: iterate on the timed program only (skip the
-    # fixed-3 warmup and adaptive cross-check programs — each is its own
-    # slow remote compile).  The recorded/final bench always runs full.
-    fast = bool(os.environ.get("GERRIS_BENCH_FAST"))
     run = make_run(cfg)
-    run_warm = run if fast else make_run(cfg_warm)
-    run_ada = None if fast else make_run(cfg_ada)
 
-    # warmup / compile.  NOTE: on the axon remote runtime
-    # block_until_ready can return before remote execution completes —
-    # force a device->host scalar transfer to close the timing window
-    # (CLAUDE.md memoization/async gotchas).
+    # warmup / compile the MAIN program only — time-to-first-line is what
+    # killed BENCH_r04 (single print at the very end + cold cache).  The
+    # fixed-1 schedule is stable from the zero state (GERRIS_BENCH_FAST
+    # mode warmed this way all round 4).  NOTE: on the axon remote
+    # runtime block_until_ready can return before remote execution
+    # completes — force a device->host scalar transfer to close every
+    # timing window (CLAUDE.md memoization/async gotchas).
+    _note(f"compiling+warming the production program (L{LEVEL})...")
     t0 = time.time()
-    state = run_warm(state, 8)
-    state = run(state, 2)
+    state = run(state, 10)
     chk = float(jnp.sum(state["U"]))
     compile_s = time.time() - t0
-
-    t0 = time.time()
-    state = run(state, STEPS)
-    chk = float(jnp.sum(state["U"])) + float(jnp.sum(state["P"]))
-    dt_wall = time.time() - t0
     assert math.isfinite(chk), chk
-
-    # honesty check (outside the timed loop): one fixed-schedule step vs
-    # one adaptive-tolerance step from the same state — if the fixed
-    # schedule is converged they coincide to solver tolerance.
-    if run_ada is None:
-        rel = -1.0
-    else:
-        s_fix = run(state, 1)
-        s_ada = run_ada(state, 1)
-        rel = max(
-            float(jnp.max(jnp.abs(s_fix[n] - s_ada[n])) /
-                  jnp.maximum(jnp.max(jnp.abs(s_ada[n])), 1e-30))
-            for n in ("U", "V"))
+    _note(f"warm ({compile_s:.1f}s); quick {STEPS_QUICK}-step window...")
 
     cells = grid.n ** grid.dim
-    cups = cells * STEPS / dt_wall
     dev = jax.devices()[0]
 
-    # 3D figure (VERDICT r3 item 9): a 128^3 cavity driven by the same
-    # ns_step (7-point MG with the fused 3D Pallas smoother on TPU).
-    # Fail-soft: the 2D headline line must survive a 3D-path fault.
-    cups3d = None
-    if os.environ.get("GERRIS_BENCH_3D", "1") == "1":
+    def window(nsteps):
+        nonlocal state
+        t0 = time.time()
+        state = run(state, nsteps)
+        chk = float(jnp.sum(state["U"])) + float(jnp.sum(state["P"]))
+        dt_wall = time.time() - t0
+        assert math.isfinite(chk), chk
+        return cells * nsteps / dt_wall, nsteps / dt_wall
+
+    # phase 1: quick window — first parseable headline ASAP
+    cups, sps = window(STEPS_QUICK)
+    base = {
+        "metric": f"cell-updates/sec/chip on {grid.n}^2 cavity",
+        "value": cups,
+        "unit": "cell-updates/s/chip",
+        "vs_baseline": cups / 1e9,
+        "steps_per_sec": sps,
+        "window_steps": STEPS_QUICK,
+        "compile_s": round(compile_s, 1),
+        "device": str(dev),
+    }
+    _emit(base)
+
+    # phase 2: full window (same cached program; sustained/amortized
+    # number — short windows under-report ~35%, see header comment)
+    est_full = STEPS_QUICK and STEPS / (sps or 1)
+    if STEPS > STEPS_QUICK and _left() > est_full + 30:
+        _note(f"full {STEPS}-step window (~{est_full:.0f}s)...")
+        cups, sps = window(STEPS)
+        base.update(value=cups, vs_baseline=cups / 1e9, steps_per_sec=sps,
+                    window_steps=STEPS)
+        _emit(base)
+    else:
+        _note("skipping full window (deadline)")
+
+    # phase 3: honesty check (outside the timed loop): one
+    # fixed-schedule step vs one adaptive-tolerance step from the same
+    # steady state — if the fixed schedule is converged they coincide to
+    # solver tolerance.  Its program is a separate (cached) compile.
+    if _left() > 240:
+        _note("honesty check (fixed vs adaptive)...")
+        try:
+            run_ada = make_run(cfg_ada)
+            s_fix = run(state, 1)
+            s_ada = run_ada(state, 1)
+            rel = max(
+                float(jnp.max(jnp.abs(s_fix[n] - s_ada[n])) /
+                      jnp.maximum(jnp.max(jnp.abs(s_ada[n])), 1e-30))
+                for n in ("U", "V"))
+            base["fixed_vs_adaptive_rel"] = rel
+        except Exception as e:  # noqa: BLE001 — keep the headline alive
+            base["fixed_vs_adaptive_rel"] = f"failed: {type(e).__name__}"
+        _emit(base)
+    else:
+        _note("skipping honesty check (deadline)")
+
+    # phase 4: 3D figure — a 128^3 cavity driven by the same ns_step
+    # (7-point MG with the fused 3D Pallas smoother on TPU).  Fail-soft:
+    # the 2D headline line must survive a 3D-path fault.
+    if os.environ.get("GERRIS_BENCH_3D", "1") == "1" and _left() > 240:
+        _note("3D bench (128^3)...")
         try:
             g3 = Grid(level=int(os.environ.get("BENCH_LEVEL_3D", "7")),
                       dim=3)
@@ -266,25 +295,17 @@ def main():
 
             s3 = run3(s3, 3)
             float(jnp.sum(s3["U"]))                     # close warmup
-            n3 = int(os.environ.get("BENCH_STEPS_3D", "5"))
+            n3 = int(os.environ.get("BENCH_STEPS_3D", "50"))
             t0 = time.time()
             s3 = run3(s3, n3)
             chk3 = float(jnp.sum(s3["U"]))
             assert math.isfinite(chk3), chk3
-            cups3d = g3.n ** 3 * n3 / (time.time() - t0)
+            base["cups_3d_128"] = g3.n ** 3 * n3 / (time.time() - t0)
         except Exception:  # noqa: BLE001 — keep the 2D line parseable
-            cups3d = -1.0
-    print(json.dumps({
-        "metric": f"cell-updates/sec/chip on {grid.n}^2 cavity",
-        "value": cups,
-        "unit": "cell-updates/s/chip",
-        "vs_baseline": cups / 1e9,
-        "steps_per_sec": STEPS / dt_wall,
-        "compile_s": round(compile_s, 1),
-        "fixed_vs_adaptive_rel": rel,
-        "cups_3d_128": cups3d,
-        "device": str(dev),
-    }))
+            base["cups_3d_128"] = -1.0
+        _emit(base)
+    elif os.environ.get("GERRIS_BENCH_3D", "1") == "1":
+        _note("skipping 3D bench (deadline)")
 
 
 if __name__ == "__main__":
@@ -292,11 +313,15 @@ if __name__ == "__main__":
     try:
         main()
     except Exception as e:  # noqa: BLE001 — always emit a parseable line
-        print(json.dumps({
-            "metric": f"cell-updates/sec/chip on {2**LEVEL}^2 cavity",
-            "value": 0.0, "unit": "cell-updates/s/chip",
-            "vs_baseline": 0.0,
-            "error": f"bench failed on {platform}: "
-                     f"{type(e).__name__}: {str(e)[:300]}",
-        }))
+        if _BEST is not None:
+            _emit(dict(_BEST,
+                       truncated_by=f"{type(e).__name__}: {str(e)[:200]}"))
+        else:
+            _emit({
+                "metric": f"cell-updates/sec/chip on {2**LEVEL}^2 cavity",
+                "value": 0.0, "unit": "cell-updates/s/chip",
+                "vs_baseline": 0.0,
+                "error": f"bench failed on {platform}: "
+                         f"{type(e).__name__}: {str(e)[:300]}",
+            })
         sys.exit(0)
