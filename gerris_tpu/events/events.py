@@ -91,12 +91,19 @@ class EventStop(Event):
 
     def fire(self, sim, t, i):
         super().fire(sim, t, i)
-        v = sim.state[self.var]
-        if isinstance(v, dict):
-            # AMR per-level stack: compare at the finest representation
-            cur = np.asarray(sim.fine(self.var))
+        if self.var in sim.state:
+            v = sim.state[self.var]
+            if isinstance(v, dict):
+                # AMR per-level stack: compare at the finest level
+                cur = np.asarray(sim.fine(self.var))
+            else:
+                cur = np.asarray(v)
         else:
-            cur = np.asarray(v)
+            # derived variables (EventStop K 1e-5 DK on a
+            # VariableCurvature, test/sessile/sessile.gfs) — sim_field
+            # resolves curvature/Velocity/… names and maps NODATA to 0
+            from .outputs import sim_field
+            cur = np.asarray(sim_field(sim, self.var))
         if self.diff_name and self.diff_name not in sim.state:
             sim.state[self.diff_name] = np.zeros_like(cur)
         if self._prev is not None and cur.shape == self._prev.shape:
@@ -107,7 +114,14 @@ class EventStop(Event):
                 # variable (gfs_event_stop, src/event.c) readable by
                 # Output* — mirror that in state
                 sim.state[self.diff_name] = dfield
+                if not hasattr(sim, "diagnostics"):
+                    sim.diagnostics = {}
                 sim.diagnostics[self.diff_name] = d
             if d < self.tolerance:
                 sim.stop = True
+        elif self._prev is not None and self.diff_name:
+            # shape changed (e.g. AMR resample): the stored per-cell
+            # diff is stale — reset it to the new shape rather than
+            # leaving the old-shape array in state
+            sim.state[self.diff_name] = np.zeros_like(cur)
         self._prev = cur

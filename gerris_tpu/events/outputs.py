@@ -463,11 +463,26 @@ class OutputSimulation(Event):
 def save_checkpoint(path: str, sim):
     """Uniform sims store {name: array}; AMR sims store every level as
     ``name@level`` plus the depth map (bit-exact multi-level resume,
-    mirroring the reference's tree dump, src/output.c:1354)."""
+    mirroring the reference's tree dump, src/output.c:1354).
+
+    A path ending in ``.gfs`` (the reference's OutputSimulation
+    convention — end.gfs dumps are themselves runnable .gfs files,
+    src/output.c:1354-1564) writes a RE-PARSEABLE text dump: the
+    original config source with an ``InitCheckpoint <sidecar>``
+    directive injected, plus the state arrays in ``<path>.npz``.
+    ``parse_gfs(open(path)) -> build_simulation -> run`` resumes."""
+    if path.endswith(".gfs") and getattr(sim, "gfs_source", None):
+        text, defines = sim.gfs_source
+        _save_gfs_text(path, text, defines, sim)
+        path = path + ".npz"
     amr = hasattr(sim, "topo")
     if amr:
+        # flat (non-stack) entries — e.g. an EventStop diff field —
+        # live at the finest level
         arrays = {f"{k}@{l}": np.asarray(v)
-                  for k, stack in sim.state.items() for l, v in stack.items()}
+                  for k, stack in sim.state.items()
+                  for l, v in (stack.items() if isinstance(stack, dict)
+                               else ((sim.topo.lmax, stack),))}
         arrays["__depth__"] = np.asarray(sim.depth)
     else:
         arrays = {k: np.asarray(v) for k, v in sim.state.items()}
@@ -475,6 +490,28 @@ def save_checkpoint(path: str, sim):
             "iend": min(sim.time.iend, 2 ** 31), "dtmax": sim.time.dtmax
             if math.isfinite(sim.time.dtmax) else -1.0, "amr": amr}
     np.savez(path, __meta__=json.dumps(meta), **arrays)
+
+
+def _save_gfs_text(path: str, text: str, defines: dict, sim):
+    """Write the re-parseable .gfs dump: original source with any prior
+    InitCheckpoint removed, -D defines materialised as Define lines, and
+    an InitCheckpoint directive injected after the simulation block's
+    opening brace."""
+    import re as _re
+    text = _re.sub(r"^\s*InitCheckpoint\s+\S+\s*$", "", text,
+                   flags=_re.MULTILINE)
+    # the header line is "NB NE GfsClass GfsBox GfsGEdge {...} {"; the
+    # simulation parameter block is the NEXT '{' after the GfsGEdge block
+    m = _re.search(r"(GfsGEdge\s*\{[^}]*\}\s*\{)", text)
+    inj = f"\n    InitCheckpoint {path}.npz\n"
+    if m:
+        text = text[:m.end()] + inj + text[m.end():]
+    else:
+        text = inj + text
+    header = "".join(f"Define {k} {v}\n" for k, v in defines.items()
+                     if _re.match(r"^\w+$", str(k)))
+    with open(path, "w") as f:
+        f.write(header + text)
 
 
 def load_checkpoint(path: str, sim):
