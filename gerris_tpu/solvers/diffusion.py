@@ -43,8 +43,12 @@ def diffuse(v: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC, dt,
         # identity-dominated, 1-2 cycles reach it
         params = poisson.MultilevelParams(tolerance=1e-3, nitermax=10)
     dim = grid.dim
-    scalar_system = jnp.ndim(D) == 0 and jnp.ndim(rho) == 0
-    if jnp.ndim(D) == 0:
+    # NOTE: D may be a tuple/list of traced per-axis face arrays —
+    # jnp.ndim on such a container np.asarray's it (TracerArrayConversion
+    # under jit); test isinstance first
+    d_scalar = not isinstance(D, (tuple, list)) and jnp.ndim(D) == 0
+    scalar_system = d_scalar and jnp.ndim(rho) == 0
+    if d_scalar:
         alpha = tuple(jnp.full(grid.face_shape(c), D, dtype=v.dtype)
                       for c in range(dim))
     else:

@@ -390,6 +390,10 @@ class ParsedSim:
     nu_expr: Optional[object] = None     # SourceViscosity GfsFunction
     refine_surface: int = 0              # RefineSurface N (init fractions)
     curvature_vars: list = field(default_factory=list)  # (K, tracer, Kmax)
+    turbulent_viscosity: list = field(default_factory=list)  # (name, Cs, model)
+    source: Optional[str] = None          # original .gfs text (round-trip)
+    source_defines: dict = field(default_factory=dict)
+    checkpoint: Optional[str] = None      # InitCheckpoint sidecar path
     tension_css: list = field(default_factory=list)     # (tracer, sigma)
     solver_backend: Optional[str] = None  # GModule hypre/lis/agmg -> mgcg
     pipes: list = field(default_factory=list)  # SourcePipe/Culvert entries
@@ -438,22 +442,29 @@ class ParsedSim:
 
 
 _SHAPES = {
-    # spatial.h CSG shape macros (reference: src/spatial.h:27-29 + shapes)
+    # spatial.h CSG shape macros in the REFERENCE's sign convention:
+    # POSITIVE OUTSIDE the shape (src/spatial.h ellipse:40-44,
+    # sphere:46-49).  Round-5 fix: these used to be positive-inside,
+    # which silently complemented every shape-based InitFraction —
+    # masked by complement-symmetric gates until the sessile
+    # contact-angle case made the phase identity matter.
     "ellipse": lambda xc, yc, a, b: (
-        lambda x, y, z=0.0, t=0.0: 1.0 - ((x - xc) / a) ** 2 - ((y - yc) / b) ** 2),
+        lambda x, y, z=0.0, t=0.0: ((x - xc) / a) ** 2
+        + ((y - yc) / b) ** 2 - 1.0),
     "sphere": lambda xc, yc, zc, r: (
-        lambda x, y, z=0.0, t=0.0: r * r - (x - xc) ** 2 - (y - yc) ** 2 - (z - zc) ** 2),
+        lambda x, y, z=0.0, t=0.0: (x - xc) ** 2 + (y - yc) ** 2
+        + (z - zc) ** 2 - r * r),
 }
 
 
 def _csg_namespace():
-    """Shape constructors + CSG combinators over level-set callables.
+    """Shape constructors + CSG combinators over level-set callables, in
+    the reference's sign convention (positive outside; InitFraction and
+    Solid both fill/keep fluid where the expression is POSITIVE).
 
-    Reference: src/spatial.h — shapes ellipse:41, sphere:47, cube:52 and
-    the CSG macros intersection/union/difference:27-29.  The reference's
-    sign convention is negative-inside; ours is positive-inside (fluid/
-    fraction = {phi > 0}), so MIN<->MAX swap: union=max, intersection=
-    min, difference(a,b)=min(a,-b)."""
+    Reference: src/spatial.h — shapes ellipse:40, sphere:46, cube:51 and
+    the CSG macros intersection=MAX / union=MIN / difference(a,b)=
+    MAX(a,-b) (:27-29)."""
     import jax.numpy as jnp
 
     def _lift(v):
@@ -461,20 +472,20 @@ def _csg_namespace():
 
     ns = dict(_SHAPES)
     ns["cube"] = lambda xc, yc, zc, h: (
-        lambda x, y, z=0.0, t=0.0: jnp.minimum(
-            jnp.minimum((h / 2) ** 2 - (x - xc) ** 2,
-                        (h / 2) ** 2 - (y - yc) ** 2),
-            (h / 2) ** 2 - (jnp.asarray(z) - zc) ** 2
-            if zc is not None else jnp.inf))
+        lambda x, y, z=0.0, t=0.0: jnp.maximum(
+            jnp.maximum((x - xc) ** 2 - (h / 2) ** 2,
+                        (y - yc) ** 2 - (h / 2) ** 2),
+            (jnp.asarray(z) - zc) ** 2 - (h / 2) ** 2
+            if zc is not None else -jnp.inf))
     ns["union"] = lambda a, b: (
         lambda x, y, z=0.0, t=0.0, a=_lift(a), b=_lift(b):
-        jnp.maximum(a(x, y, z, t), b(x, y, z, t)))
+        jnp.minimum(a(x, y, z, t), b(x, y, z, t)))
     ns["intersection"] = lambda a, b: (
         lambda x, y, z=0.0, t=0.0, a=_lift(a), b=_lift(b):
-        jnp.minimum(a(x, y, z, t), b(x, y, z, t)))
+        jnp.maximum(a(x, y, z, t), b(x, y, z, t)))
     ns["difference"] = lambda a, b: (
         lambda x, y, z=0.0, t=0.0, a=_lift(a), b=_lift(b):
-        jnp.minimum(a(x, y, z, t), -b(x, y, z, t)))
+        jnp.maximum(a(x, y, z, t), -b(x, y, z, t)))
     return ns
 
 
@@ -655,6 +666,8 @@ def parse_gfs(text: str, defines: dict = None,
     ``strict``: unknown directives raise instead of warning (the
     verbatim test suites run strict so silently-ignored physics cannot
     pass a gate)."""
+    text0 = text
+    defines0 = dict(defines or {})
     defines = dict(defines or {})
     func_macros = {}
     # Define macros (the reference pipes through m4, src/gerris.c:245-259)
@@ -693,6 +706,8 @@ def parse_gfs(text: str, defines: dict = None,
         text = _expand_func_macros(text, func_macros)
     toks = tokenize(text)
     sim = ParsedSim()
+    sim.source = text0
+    sim.source_defines = defines0
     sim.solver_backend = solver_backend
     sim.tide_reference = tide_reference
 
@@ -899,6 +914,26 @@ def _parse_sim_body(sim: ParsedSim, toks, defines, strict: bool = False):
         elif t == "VariablePosition":
             # Position is an output-only helper
             i += 4
+        elif t == "InitCheckpoint":
+            # our re-parseable .gfs dump format: the original config
+            # text plus this directive pointing at the sidecar state
+            # arrays (the reference dumps per-cell data inside the
+            # GfsBox block instead, src/output.c:1354-1564)
+            sim.checkpoint = toks[i + 1]
+            i += 2
+        elif t == "VariableTurbulentViscosity":
+            # VariableTurbulentViscosity NUT CS [smagorinsky|sigma]
+            # (modules/turbulence.c:934-1131; the C reader takes Cs
+            # only — model_type 1 = Smagorinsky — the optional model
+            # token here exposes the compiled-in sigma variant too)
+            vname = toks[i + 1]
+            cs = float(toks[i + 2])
+            i += 3
+            model = "smagorinsky"
+            if i < n and toks[i] in ("smagorinsky", "sigma"):
+                model = toks[i]
+                i += 1
+            sim.turbulent_viscosity.append((vname, cs, model))
         elif t == "SourceTension":
             tracer = toks[i + 1]
             sigma = float(eval(toks[i + 2], {"__builtins__": {}}, {}))
@@ -992,12 +1027,18 @@ def _parse_sim_body(sim: ParsedSim, toks, defines, strict: bool = False):
                                float(kv.get("ty", 0.0)),
                                float(kv.get("tz", 0.0))),
                     flip=bool(int(float(kv.get("flip", 0)))))
+                # GTS surface_phi is positive INSIDE the surface; the
+                # fluid is outside the solid body
+                fn = (lambda x, y, z=0.0, t=0.0, f=fn: -f(x, y, z, t))
             else:
                 shape = _maybe_shape(expr, defines)
                 fn = shape or translate_expr(expr, defines)
-            # Solid surfaces bound the SOLID region: fluid is outside,
-            # so the fluid level set is the negation
-            sim.solids.append(lambda x, y, z=0.0, t=0.0, f=fn: -f(x, y, z, t))
+            # reference semantics: the FLUID is where the Solid
+            # expression is POSITIVE (gfs_solid_read + spatial.h sign
+            # convention; e.g. Solid (ellipse(...)) keeps the fluid
+            # outside the disk, Solid (- ellipse(...)) inside —
+            # test/wannier uses both)
+            sim.solids.append(fn)
             sim.solids_raw.append(fn)
         elif t == "Init":
             _, i2 = _read_block(toks, i + 1)      # schedule block
@@ -1352,14 +1393,15 @@ def _parse_box(sim: ParsedSim, toks, defines):
                 j = 0
                 bcs_here = {}
                 while j < len(blk):
-                    if blk[j] in ("BcDirichlet", "BcNeumann"):
+                    if blk[j] in ("BcDirichlet", "BcNeumann", "BcAngle"):
                         kind = blk[j]
                         var = blk[j + 1]
                         expr = blk[j + 2]
                         fn = translate_expr(expr, defines) if not _isnum(expr) \
                             else float(expr)
-                        bcs_here[var] = ("dirichlet" if kind == "BcDirichlet"
-                                         else "neumann", fn)
+                        bcs_here[var] = ({"BcDirichlet": "dirichlet",
+                                          "BcNeumann": "neumann",
+                                          "BcAngle": "angle"}[kind], fn)
                         j += 3
                     elif blk[j] == "BcTide":
                         # BcTide V H P { a0 g0 a1 g1 ... } — embedded
@@ -1403,17 +1445,24 @@ def build_simulation(sim: ParsedSim, dim: int = 2):
         return _build_ocean(sim)
 
     def mk_grid(level):
+        # PhysicalParams { L = ... }: box edge in physical units
+        # (gfs_physical_params_read, src/simulation.c) — coordinates in
+        # Init/BC expressions are physical (test/rotate L = 2)
+        L = float(sim.physical.get("L", 1.0))
         if dim == 3:
             # the reference's gerris3D on the same file (the .gfs format
             # is dimension-agnostic, src/ftt.h FTT_DIMENSION)
             assert sim.box_stack == (1, 1), \
                 "3D multi-box layouts not supported"
-            return Grid(level=level, dim=3)
-        sx, sy = sim.box_shift[0], sim.box_shift[1]
-        return Grid(level=level, dim=dim, extents=sim.box_stack
+            return Grid(level=level, dim=3, size=L,
+                        origin=(-L / 2,) * 3)
+        sx, sy = sim.box_shift[0] * L, sim.box_shift[1] * L
+        return Grid(level=level, dim=dim, size=L, extents=sim.box_stack
                     if sim.box_stack != (1, 1) else None,
-                    origin=(-0.5 + sx, -0.5 * sim.box_stack[1] + sy)
-                    if sim.box_stack != (1, 1) else (-0.5 + sx, -0.5 + sy))
+                    origin=(-L / 2 + sx,
+                            -L / 2 * sim.box_stack[1] + sy)
+                    if sim.box_stack != (1, 1)
+                    else (-L / 2 + sx, -L / 2 + sy))
 
     if sim.refine_expr is not None:
         # true max depth: a level-l cell refines while refine(center) > l
@@ -1447,6 +1496,10 @@ def build_simulation(sim: ParsedSim, dim: int = 2):
                     pair.append(bcs.Dirichlet(b[1]))
                 elif b[0] == "tide":
                     pair.append(_make_tide_bc(sim, grid, ax, b[1]))
+                elif b[0] == "angle":
+                    # GfsBcAngle contact angle for a VOF fraction
+                    # (src/boundary.c:412-457; degrees)
+                    pair.append(bcs.Contact(b[1]))
                 else:
                     pair.append(bcs.Neumann(b[1]))
             sides.append(tuple(pair))
@@ -1475,18 +1528,42 @@ def build_simulation(sim: ParsedSim, dim: int = 2):
         from ..models.simulation import Time as _Time
         import jax.numpy as _jnp
 
-        if sim.stream_function is None:
-            raise ValueError("GfsAdvection needs VariableStreamFunction")
-        _, psi_fn, _psched = sim.stream_function
         xf = grid.axis_faces(0)
         yf = grid.axis_faces(1)
+        if sim.stream_function is not None:
+            _, psi_fn, _psched = sim.stream_function
 
-        def u_face(t, fn=psi_fn):
-            Psi = fn(_jnp.asarray(xf)[:, None], _jnp.asarray(yf)[None, :],
-                     t=t) + _jnp.zeros((xf.size, yf.size))
-            uf = (Psi[:, 1:] - Psi[:, :-1]) / grid.h
-            vf = -(Psi[1:, :] - Psi[:-1, :]) / grid.h
-            return [uf, vf]
+            def u_face(t, fn=psi_fn):
+                Psi = fn(_jnp.asarray(xf)[:, None],
+                         _jnp.asarray(yf)[None, :],
+                         t=t) + _jnp.zeros((xf.size, yf.size))
+                uf = (Psi[:, 1:] - Psi[:, :-1]) / grid.h
+                vf = -(Psi[1:, :] - Psi[:-1, :]) / grid.h
+                return [uf, vf]
+        elif "U" in sim.inits or "V" in sim.inits:
+            # prescribed cell velocities (test/rotate/rotate.gfs
+            # Init {} { U = y }): evaluate the expressions directly at
+            # the face centres — exact for the linear fields these
+            # cases use (the reference face-interpolates the cell
+            # init, gfs_face_interpolated_value)
+            _psched = {}
+            ufn = sim.inits.get("U", 0.0)
+            vfn = sim.inits.get("V", 0.0)
+            xc = grid.axis_centers(0)
+            yc = grid.axis_centers(1)
+
+            def _ev(fn, X, Y, t):
+                if not callable(fn):
+                    return jnp.full((X.size, Y.size), float(fn))
+                return fn(_jnp.asarray(X)[:, None],
+                          _jnp.asarray(Y)[None, :], t=t) \
+                    + _jnp.zeros((X.size, Y.size))
+
+            def u_face(t, uf_=ufn, vf_=vfn):
+                return [_ev(uf_, xf, yc, t), _ev(vf_, xc, yf, t)]
+        else:
+            raise ValueError("GfsAdvection needs VariableStreamFunction "
+                             "or Init U/V velocities")
 
         tracers = ([(nm, tracer_bc(nm), True) for nm in sim.vof_tracers]
                    + [(nm, tracer_bc(nm), False) for nm in sim.tracers])
@@ -1733,9 +1810,11 @@ def build_simulation(sim: ParsedSim, dim: int = 2):
             # time-interval schedules also clamp dt via Event.next_time
             # (gfs_event_next — test/wannier relies on step=1e-2 pacing
             # the otherwise unconstrained scheme=none timestep)
-            kw = ({"step": float(sched["step"]), "istep": None}
-                  if "step" in sched
-                  else {"istep": int(float(sched.get("istep", 1)))})
+            kw = schedule_kw(sched)
+            if "step" in kw:
+                kw["istep"] = None
+            elif "istep" not in kw:
+                kw["istep"] = 1
             events.append(EventStop(var, tol, diff_name=diff, **kw))
             continue
         if extra is None:
@@ -1883,9 +1962,28 @@ def build_simulation(sim: ParsedSim, dim: int = 2):
                 target_grid, phi,
                 refine=max(0, min(sim.refine_surface - target_grid.level,
                                   5)))
+        for vname, _cs, _model in sim.turbulent_viscosity:
+            # nu_t starts at 0; the VariableTurbulentViscosity event
+            # recomputes it from the velocity gradients every step
+            fields.setdefault(vname, lambda *c: 0.0 * c[0])
         return fields
 
+    if sim.turbulent_viscosity:
+        from ..events.variables import VariableTurbulentViscosity
+        for vname, _cs, _model in sim.turbulent_viscosity:
+            events.append(VariableTurbulentViscosity(vname, _cs, _model))
+
     # adaptive / statically-refined runs use the composite AMR driver
+    if adapt_spec is not None \
+            and getattr(adapt_spec, "cmax", None) == 0.0 \
+            and adapt_spec.minlevel == adapt_spec.maxlevel == sim.level:
+        # degenerate adaptation: cmax = 0 with min == max == the static
+        # Refine level pins every flagged cell at the level the domain
+        # already has — a no-op on dense arrays (see the minlevel rule
+        # in _make_adapt_spec).  Run the uniform engine: identical
+        # physics, and the composite machinery's wall-contact sweeps
+        # are not mass-exact for contact-angle BCs (round-5 sessile)
+        adapt_spec = None
     if adapt_spec is not None or sim.refine_expr is not None:
         from ..models import amr_ns
         from ..solvers.composite import CompositeGrid
@@ -1905,7 +2003,11 @@ def build_simulation(sim: ParsedSim, dim: int = 2):
         s.errors = sim.errors
         s.curvature_vars = {k: (tr, km)
                             for k, tr, km in sim.curvature_vars}
+        s.gfs_source = (sim.source, sim.source_defines)
         s.init(**init_fields(fine_grid))
+        if sim.checkpoint:
+            from ..events.outputs import load_checkpoint
+            load_checkpoint(sim.checkpoint, s)
         return s
 
     if sim.sim_class == "GfsSkewSymmetric":
@@ -1943,9 +2045,13 @@ def build_simulation(sim: ParsedSim, dim: int = 2):
         s.particle_systems = particle_systems
     s.errors = sim.errors
     s.curvature_vars = {k: (tr, km) for k, tr, km in sim.curvature_vars}
+    s.gfs_source = (sim.source, sim.source_defines)
     s.init(**init_fields(fine_grid))
     if sim.init_spectra is not None:
         _apply_init_spectra(s, sim.init_spectra)
+    if sim.checkpoint:
+        from ..events.outputs import load_checkpoint
+        load_checkpoint(sim.checkpoint, s)
     return s
 
 
@@ -2037,13 +2143,26 @@ def _make_adapt_spec(sched, params, expr, sim: ParsedSim, cfg):
                 ns_vars[v] = vorticity(U, g, list(s.cfg.u_bcs), t=s.time.t)
             else:
                 ns_vars[v] = sim_field(s, v)
-        c_at = lambda dl: fn(*g.centers, t=s.time.t, dL=dl, **ns_vars)
+        import jax.numpy as _jnp
+
+        def c_at(dl):
+            # boolean criteria ((T > 0 && T < 1), sessile.gfs) must
+            # become floats before the dL finite difference below
+            return _jnp.asarray(
+                fn(*g.centers, t=s.time.t, dL=dl, **ns_vars), float)
         c0 = c_at(0.0)
         c1 = c_at(1.0) - c0
         return c0, c1
 
     maxlevel = int(float(params.get("maxlevel", sim.level)))
     minlevel = int(float(params.get("minlevel", max(2, maxlevel - 4))))
+    if float(params.get("cmax", 1e-2)) == 0.0 and maxlevel >= sim.level:
+        # cmax = 0 pins the flagged cells at maxlevel (test/sessile);
+        # coarsening the remaining background is purely a cell-count
+        # optimisation in the tree code — on dense level arrays the
+        # uniform grid costs the same, and the composite background
+        # adds fine-coarse churn at the contact line for nothing
+        minlevel = int(float(params.get("minlevel", maxlevel)))
     maxcells = params.get("maxcells")
     return amr_ns.AdaptSpec(
         criterion=criterion,
@@ -2208,7 +2327,11 @@ def _build_ocean(sim: ParsedSim):
     from ..models import ocean as ocm
     from ..models.simulation import Time
 
-    grid = Grid(level=sim.level, dim=2)
+    # PhysicalParams L: the ocean tests use physical metres
+    # (test/geo/geo.gfs L = 1000e3) — scale the box to physical size so
+    # Init/BC expressions evaluate in their own units
+    L = float(sim.physical.get("L", 1.0))
+    grid = Grid(level=sim.level, dim=2, origin=(-L / 2, -L / 2), size=L)
     names = (("left", "right"), ("bottom", "top"))
 
     def vel_bc(c, var):
@@ -2233,9 +2356,21 @@ def _build_ocean(sim: ParsedSim):
         return bcs.FieldBC(tuple(sides))
 
     depth = sim.inits.get("H", 1.0)
+    if depth == 1.0 and sim.solids_raw:
+        # GfsOcean bathymetry comes from the Solid surface: the 2D3
+        # mode's ``Solid (z + H0)`` means sea floor at z = -H0, i.e.
+        # depth = root of phi(x, y, z) = 0 in z (src/ocean.c:534-549
+        # height()).  Solve the z-linear case exactly from two samples.
+        raw = sim.solids_raw[0]
+
+        def depth(x, y, _f=raw):
+            p0 = _f(x, y, 0.0)
+            slope = _f(x, y, 1.0) - p0
+            return p0 / jnp.where(jnp.abs(slope) < 1e-30, 1.0, slope)
     cfg = ocm.OceanConfig(
         grid=grid, u_bcs=(vel_bc(0, "U"), vel_bc(1, "V")),
         depth=depth, G=float(sim.physical.get("g", 1.0)),
+        scheme_none=sim.advection_params.get("scheme") == "none",
         coriolis=sim.coriolis + (0.5,) if sim.coriolis else None)
     tkw = {}
     if "end" in sim.time:
