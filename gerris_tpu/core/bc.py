@@ -34,6 +34,7 @@ DIRICHLET = "dirichlet"
 NEUMANN = "neumann"
 PERIODIC = "periodic"
 NAVIER = "navier"
+CONTACT = "contact"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -62,6 +63,27 @@ def Navier(slip_length: float = 0.0) -> BC:
     src/boundary.c; lambda=0 is no-slip Dirichlet, lambda->inf free
     slip).  Ghost = (2 lambda - h)/(2 lambda + h) * interior."""
     return BC(NAVIER, slip_length)
+
+
+def bc_value(b: BC):
+    """BC value for static-offset ghost consumers (Pallas offsets,
+    block engines, roll+mask ghosts).  A CONTACT angle is NOT a
+    Dirichlet/Neumann value — those consumers must pad it as a plain
+    mirror (value 0); the angle only acts inside physics/vof.py.
+    Omitting this turned the 60-degree angle into a Neumann gradient of
+    60 in the block advection path (test/sessile blow-up, round 5)."""
+    return 0.0 if b.kind == CONTACT else b.value
+
+
+def Contact(angle: Value = 90.0) -> BC:
+    """Contact-angle BC for a VOF fraction (reference: GfsBcAngle,
+    src/boundary.c:412-457).  ``angle`` is in degrees (constant or a
+    function of the boundary-face coordinates and t).  For the fraction
+    itself this is a homogeneous Neumann (mirror) ghost — the reference
+    sets ``bc = homogeneous_neumann`` (src/boundary.c:426-430); the
+    angle acts on the height functions / PLIC ghosts inside
+    physics/vof.py (box_contact_bc, src/vof.c:3333-3352)."""
+    return BC(CONTACT, angle)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -185,8 +207,9 @@ def apply_bc(field: jnp.ndarray, grid: Grid, fbc: FieldBC, width: int = 1,
                     lam = float(lo_bc.value)
                     g_lo = (2.0 * lam - grid.h) / (2.0 * lam + grid.h) \
                         * int_lo
-                else:  # NEUMANN
-                    g = 0.0 if homogeneous else _eval(
+                else:  # NEUMANN (CONTACT pads as mirror, src/boundary.c:426)
+                    g = 0.0 if homogeneous or lo_bc.kind == CONTACT \
+                        else _eval(
                         lo_bc.value,
                         _boundary_coords(grid, axis, 0, width, k, tuple(pad_done_lo), tuple(pad_done_hi)), t)
                     g_lo = int_lo - g * (2 * k - 1) * grid.h
@@ -200,7 +223,8 @@ def apply_bc(field: jnp.ndarray, grid: Grid, fbc: FieldBC, width: int = 1,
                     g_hi = (2.0 * lam - grid.h) / (2.0 * lam + grid.h) \
                         * int_hi
                 else:
-                    g = 0.0 if homogeneous else _eval(
+                    g = 0.0 if homogeneous or hi_bc.kind == CONTACT \
+                        else _eval(
                         hi_bc.value,
                         _boundary_coords(grid, axis, 1, width, k, tuple(pad_done_lo), tuple(pad_done_hi)), t)
                     g_hi = int_hi + g * (2 * k - 1) * grid.h
@@ -252,7 +276,8 @@ def _apply_bc_nocorner(field: jnp.ndarray, grid: Grid, fbc: FieldBC,
                     lo_slab = (2.0 * lam - grid.h) / (2.0 * lam
                                                       + grid.h) * int_lo
                 else:
-                    gr = 0.0 if homogeneous else _eval(
+                    gr = 0.0 if homogeneous or lo_bc.kind == CONTACT \
+                        else _eval(
                         lo_bc.value,
                         _boundary_coords(grid, axis, 0, width, k,
                                          (0,) * dim, (0,) * dim), t)
@@ -268,7 +293,8 @@ def _apply_bc_nocorner(field: jnp.ndarray, grid: Grid, fbc: FieldBC,
                     hi_slab = (2.0 * lam - grid.h) / (2.0 * lam
                                                       + grid.h) * int_hi
                 else:
-                    gr = 0.0 if homogeneous else _eval(
+                    gr = 0.0 if homogeneous or hi_bc.kind == CONTACT \
+                        else _eval(
                         hi_bc.value,
                         _boundary_coords(grid, axis, 1, width, k,
                                          (0,) * dim, (0,) * dim), t)

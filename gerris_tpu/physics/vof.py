@@ -423,10 +423,12 @@ def _face_flux_1d(f_pad, mx_pad, my_pad, un, axis, dun=None, bands=4):
 
 
 def normals(f: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC, t=0.0):
-    f_pad = bcs.apply_bc(f, grid, fbc, 1, t=t)
     if grid.dim == 3:
-        return mycs_normals_3d(f_pad)
-    return mycs_normals(f_pad)
+        return mycs_normals_3d(bcs.apply_bc(f, grid, fbc, 1, t=t))
+    if has_contact(fbc):
+        return mycs_normals(contact_fill(
+            bcs.apply_bc(f, grid, fbc, 1, t=t), 1, grid, fbc, t=t))
+    return mycs_normals(bcs.apply_bc(f, grid, fbc, 1, t=t))
 
 
 def _face_flux_3d(f_pad, m_pads, un, axis):
@@ -534,9 +536,20 @@ def sweep_flux(f: jnp.ndarray, u_face: list, grid: Grid, fbc: bcs.FieldBC,
     ONE direction-split sweep along ``c`` — factored out of ``advect``
     so the composite-AMR advection can restrict fine fluxes onto coarse
     faces (gfs_vof_flux fine/coarse branches, src/vof.c:1214-1272)."""
+    import os
     dim = grid.dim
-    f_pad = bcs.apply_bc(f, grid, fbc, 1, t=t)
-    pad2 = bcs.apply_bc(f, grid, fbc, 2, t=t)
+    if dim == 2 and has_contact(fbc) \
+            and os.environ.get("GERRIS_CONTACT_SWEEPS", "1") != "0":
+        # contact-angle ghosts feed the reconstruction normals so the
+        # interface advects through a wall contact line at the imposed
+        # angle (the reference routes this through the height-function
+        # normals, vof_height_plane/height_normal src/vof.c:3354-3412)
+        pad2 = contact_fill(bcs.apply_bc(f, grid, fbc, 2, t=t), 2,
+                            grid, fbc, t=t)
+        f_pad = pad2[1:-1, 1:-1]
+    else:
+        f_pad = bcs.apply_bc(f, grid, fbc, 1, t=t)
+        pad2 = bcs.apply_bc(f, grid, fbc, 2, t=t)
     un = u_face[c] * dt / grid.h
     if dim == 3:
         m_pads = mycs_normals_3d(pad2)
@@ -625,13 +638,15 @@ def curvature(f: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC, t=0.0,
     OFF = (0,) + sum(((-o, o) for o in range(1, o_max + 1)), ())
     P = R + o_max + 1
     f_pad = bcs.apply_bc(f, grid, fbc, P, t=t)
+    if has_contact(fbc):
+        f_pad = contact_fill(f_pad, P, grid, fbc, t=t)
     n0, n1 = grid.shape
 
     def sub(di, dj):
         """(n0, n1) block of f_pad offset by (di, dj) cells."""
         return f_pad[P + di:P + di + n0, P + dj:P + dj + n1]
 
-    mx, my = mycs_normals(bcs.apply_bc(f, grid, fbc, 1, t=t))
+    mx, my = mycs_normals(f_pad[P - 1:P + n0 + 1, P - 1:P + n1 + 1])
     interface = (f > FULL_TOL) & (f < 1.0 - FULL_TOL)
 
     kappas = []
@@ -654,6 +669,29 @@ def curvature(f: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC, t=0.0,
                                for k in range(o - R, o + R + 1))
                 top, bot = sub(o + R, 0), sub(o - R, 0)
             Hm, H0, Hp = col(-1), col(0), col(1)
+            # contact-angle walls transverse to this height direction:
+            # the ghost column height is EXACTLY the wall cell's height
+            # shifted by cot(theta) (contact_angle_height,
+            # src/vof.c:3282-3313; our column sums are orientation-free
+            # so the shift is +cot at a low wall, -cot at a high wall)
+            tr = 1 - d
+            for side_ in range(2):
+                if fbc.sides[tr][side_].kind != bcs.CONTACT \
+                        or min(grid.shape) < _CONTACT_MIN_CELLS:
+                    continue
+                th_w = _contact_theta(grid, fbc, tr, side_, t, f.dtype)
+                cot = jnp.clip(1.0 / jnp.tan(th_w), -_SLOPE_MAX,
+                               _SLOPE_MAX)
+                sgn = 1.0 if side_ == 0 else -1.0
+                shp = [1, 1]
+                shp[d] = grid.shape[d]
+                cot = cot.reshape(shp)
+                ridx = jax.lax.broadcasted_iota(jnp.int32, grid.shape, tr)
+                wall = ridx == (0 if side_ == 0 else grid.shape[tr] - 1)
+                if side_ == 0:
+                    Hm = jnp.where(wall, H0 + sgn * cot, Hm)
+                else:
+                    Hp = jnp.where(wall, H0 + sgn * cot, Hp)
             Hx = 0.5 * (Hp - Hm)
             Hxx = Hp - 2.0 * H0 + Hm
             # orientation-free: heights counted along +d; with the fluid
@@ -683,6 +721,143 @@ def curvature(f: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC, t=0.0,
     kap_fit = parabola_curvature(f, grid, fbc, mx, my, t=t)
     kap = jnp.where(jnp.isfinite(kap), kap, kap_fit)
     return jnp.where(interface, kap, jnp.nan)
+
+
+def has_contact(fbc: bcs.FieldBC) -> bool:
+    """True if any boundary side carries a contact-angle BC."""
+    return any(b.kind == bcs.CONTACT for pair in fbc.sides for b in pair)
+
+
+# reference saturation: SLOPE_MAX = 2*HMAX/3 (src/vof.c:3211); cot(theta)
+# beyond this can't be represented by neighbouring height columns anyway
+_SLOPE_MAX = 2.0
+# contact machinery needs the wall band resolved; below this many cells
+# per axis (coarse AMR restrictions) it falls back to mirror ghosts
+_CONTACT_MIN_CELLS = 12
+
+
+def _contact_theta(grid: Grid, fbc: bcs.FieldBC, tr_ax: int, side: int,
+                   t, dtype):
+    """Contact angle (radians, saturated) along the wall on
+    (tr_ax, side), evaluated at the wall-face centres."""
+    b = fbc.sides[tr_ax][side]
+    ta = 1 - tr_ax
+    ntan = grid.shape[ta]
+    xt = grid.origin[ta] + (jnp.arange(ntan) + 0.5) * grid.h
+    xw = grid.boundary_coord(tr_ax, side)
+    coords = (xt, xw) if tr_ax == 1 else (xw, xt)
+    theta = jnp.deg2rad(jnp.broadcast_to(
+        jnp.asarray(bcs._eval(b.value, coords, t), dtype), (ntan,)))
+    tmin = jnp.arctan(1.0 / _SLOPE_MAX)
+    return jnp.clip(theta, tmin, jnp.pi - tmin)
+
+
+def contact_fill(f_pad: jnp.ndarray, P: int, grid: Grid,
+                 fbc: bcs.FieldBC, t=0.0) -> jnp.ndarray:
+    """Overwrite the ghost band of ``f_pad`` at contact-angle boundaries
+    with fractions of the PLIC interface EXTENDED into the wall at the
+    prescribed angle (2D).
+
+    The reference imposes contact angles on its cached height columns:
+    tangential ghost columns get h + cot(theta)
+    (contact_angle_height, src/vof.c:3282-3313) and wall-normal columns
+    at the contact line get heights from a plane with normal
+    (sin(theta), cos(theta)) (height_contact_normal_bc,
+    src/vof.c:3224-3284).  On dense arrays every height IS a column sum
+    of the padded fraction, so one ghost-band construction yields both:
+    for each wall-adjacent interior cell whose reconstruction wets part
+    of the wall face (a contact-line cell), build the line with
+    fluid-out normal at angle theta to the inward wall normal and the
+    cell's own alpha, and evaluate its fraction in the ghost cells below
+    (including tangentially shifted ghost columns, the analogue of the
+    reference also setting the neighbouring column n1).  Cells with a
+    fully wet (dry) wall face continue full (empty) into the wall.
+    """
+    if grid.dim != 2:
+        return f_pad
+    n0, n1 = [s - 2 * P for s in f_pad.shape]
+    if min(n0, n1) < _CONTACT_MIN_CELLS:
+        # coarse composite-AMR restrictions can't support the line
+        # construction (the drop spans ~2 cells there); contact ghosts
+        # on those levels destabilise the per-level sweeps + tension —
+        # measured on test/sessile (L4 stack blows up at t~0.02 with
+        # contact applied at the 4^2/8^2 levels, relaxes cleanly
+        # without).  The reference has no analogue: its heights/angles
+        # live on leaf cells only.
+        return f_pad
+    shape = (n0, n1)
+    mxa, mya = mycs_normals(f_pad[P - 1:P + n0 + 1, P - 1:P + n1 + 1])
+    ms = (mxa, mya)
+    for tr_ax in range(2):
+        for side in range(2):
+            b = fbc.sides[tr_ax][side]
+            if b.kind != bcs.CONTACT:
+                continue
+            ta = 1 - tr_ax
+            ntan = shape[ta]
+            r0 = 0 if side == 0 else shape[tr_ax] - 1
+
+            def row(a):
+                return a[r0, :] if tr_ax == 0 else a[:, r0]
+
+            fr = row(f_pad[P:P + n0, P:P + n1])
+            s_t = jnp.where(row(ms[ta]) < 0.0, -1.0, 1.0)
+            # angle at the wall-face centres, saturated like the
+            # reference (THETA_MIN, src/vof.c:3211)
+            theta = _contact_theta(grid, fbc, tr_ax, side, t, f_pad.dtype)
+            # local frame: +tr = INTO the domain; the fluid-out normal
+            # makes angle theta with it (theta < pi/2 wets the wall)
+            nrm = jnp.sin(theta) + jnp.abs(jnp.cos(theta))
+            mt = s_t * jnp.sin(theta) / nrm
+            mi = jnp.cos(theta) / nrm
+            a_pos = line_alpha_positive(jnp.abs(mt), jnp.abs(mi), fr)
+            alpha = a_pos - jnp.maximum(-mt, 0.0) - jnp.maximum(-mi, 0.0)
+            # wetted fraction of the wall face (local tr = 0 edge)
+            small = jnp.abs(mt) < 1e-6
+            w = jnp.where(
+                small, (alpha > 0.0).astype(fr.dtype),
+                jnp.clip((alpha - jnp.minimum(mt, 0.0))
+                         / jnp.maximum(jnp.abs(mt), EPS), 0.0, 1.0))
+            interf = (fr > FULL_TOL) & (fr < 1.0 - FULL_TOL)
+            contact = interf & (w > FULL_TOL) & (w < 1.0 - FULL_TOL)
+
+            def line_val(al, k, g):
+                """Fraction the line (mt, mi, al) cuts from the ghost
+                cell k columns over, g rows into the wall."""
+                a_kg = al + k * mt + g * mi
+                ap = a_kg + jnp.maximum(-mt, 0.0) + jnp.maximum(-mi, 0.0)
+                return line_area_positive(jnp.abs(mt), jnp.abs(mi), ap)
+
+            idx = jnp.arange(ntan)
+            for g in range(1, P + 1):
+                ghost = jnp.where(fr >= 0.5, 1.0, 0.0)
+                ghost = jnp.where(interf,
+                                  jnp.where(w >= 0.5, 1.0, 0.0), ghost)
+                ghost = jnp.where(contact, line_val(alpha, 0, g), ghost)
+                # tangentially shifted contributions: a contact cell's
+                # extended interface can cross neighbouring ghost
+                # columns when |cot theta| > 1 (the reference sets the
+                # neighbour column n1 explicitly, src/vof.c:3270-3279).
+                # At ghost depth g the shift reaches g*SLOPE_MAX columns
+                # — widen with depth, nearest-k written last (wins).
+                kmax = int(g * _SLOPE_MAX) + 1
+                for k in sorted(range(-kmax, kmax + 1),
+                                key=lambda q: -abs(q)):
+                    if k == 0:
+                        continue
+                    cand = jnp.roll(line_val(alpha, k, g), -k)
+                    src_contact = jnp.roll(contact, -k)
+                    inb = (idx + k >= 0) & (idx + k < ntan)
+                    take = src_contact & inb & ~contact \
+                        & (cand > FULL_TOL) & (cand < 1.0 - FULL_TOL)
+                    ghost = jnp.where(take, cand, ghost)
+                gi = P - g if side == 0 else P + shape[tr_ax] - 1 + g
+                ghost = ghost.astype(f_pad.dtype)
+                if tr_ax == 0:
+                    f_pad = f_pad.at[gi, P:P + n1].set(ghost)
+                else:
+                    f_pad = f_pad.at[P:P + n0, gi].set(ghost)
+    return f_pad
 
 
 def height_fields(f: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC, t=0.0,
@@ -803,8 +978,12 @@ def parabola_curvature(f: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
     of the cell normal using interface fragments of the 5x5 stencil).
     """
     W = 2  # 5x5 window
-    f_all = bcs.apply_bc(f, grid, fbc, W, t=t)      # (n+2W) layout
-    mcx, mcy = mycs_normals(bcs.apply_bc(f, grid, fbc, W + 1, t=t))
+    f_big = bcs.apply_bc(f, grid, fbc, W + 1, t=t)
+    if grid.dim == 2 and has_contact(fbc):
+        f_big = contact_fill(f_big, W + 1, grid, fbc, t=t)
+    f_all = f_big[1:-1, 1:-1] if grid.dim == 2 else \
+        bcs.apply_bc(f, grid, fbc, W, t=t)          # (n+2W) layout
+    mcx, mcy = mycs_normals(f_big)
     n0, n1 = grid.shape
 
     def sub(a, di, dj, P=W):

@@ -34,9 +34,14 @@ from .blockrt import scatter_blocks, _bc_kinds
 
 
 def applicable(grid: Grid, par: AdvectionParams, fbc: bcs.FieldBC) -> bool:
-    """Same static envelope as the blockrt solves plus the scheme."""
+    """Same static envelope as the blockrt solves plus the scheme.
+    Contact-angle BCs take the dense path: their ghost construction
+    (physics/vof.contact_fill) is not encoded in the block tables —
+    treating the angle as a BC value turned BcAngle 60 into a Neumann
+    gradient of 60 (test/sessile blow-up, round 5)."""
     return (grid.dim == 2 and par.scheme == "godunov"
-            and not any(callable(b.value) or b.kind == bcs.PERIODIC
+            and not any(callable(b.value) or b.kind
+                        in (bcs.PERIODIC, bcs.CONTACT)
                         for ax in fbc.sides for b in ax))
 
 

@@ -453,7 +453,7 @@ def _bvals(mesh: BlockMesh, l: int, fbc: bcs.FieldBC, homogeneous):
                                          np.full_like(tcoord, bc_coord))
                     dval[:, k] = np.asarray(b.value(*xy))
                 else:
-                    dval[:, k] = b.value
+                    dval[:, k] = bcs.bc_value(b)
     return (jnp.asarray(isdir), None, jnp.asarray(dval))
 
 

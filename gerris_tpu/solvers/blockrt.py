@@ -143,7 +143,8 @@ def _bc_kinds(fbc: bcs.FieldBC):
             (1, 0) if k == 2 else (1, 1)
         b = fbc.sides[ax][sd]
         isdir.append(b.kind == bcs.DIRICHLET)
-        dval.append(0.0 if callable(b.value) else float(b.value or 0.0))
+        dval.append(0.0 if callable(b.value)
+                    else float(bcs.bc_value(b) or 0.0))
     return tuple(isdir), tuple(dval)
 
 

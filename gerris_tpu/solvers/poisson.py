@@ -164,7 +164,7 @@ def residual(u: jnp.ndarray, rhs: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
                     offs.append(2.0 * float(b.value))
                 else:
                     offs.append((1.0 if sd else -1.0)
-                                * float(b.value) * grid.h)
+                                * float(bcs.bc_value(b)) * grid.h)
         d = dia if dia is not None else 0.0
         return residual_pallas(u, rhs, d, h2=grid.h * grid.h, signs=signs,
                                offs=tuple(offs),
@@ -234,7 +234,8 @@ def _shifted_neighbor(u: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
         b = 0.0 if (homogeneous or callable(bc.value)) else bc.value
         ghost = 2.0 * b - u
     else:
-        g = 0.0 if (homogeneous or callable(bc.value)) else bc.value
+        g = 0.0 if (homogeneous or callable(bc.value)) \
+            else bcs.bc_value(bc)
         ghost = u - g * grid.h if lo else u + g * grid.h
     return jnp.where(m, ghost, v)
 
@@ -640,7 +641,7 @@ def _signs_offs(grid: Grid, fbc: bcs.FieldBC, homogeneous: bool):
                 offs.append(2.0 * float(b.value))
             else:
                 offs.append((1.0 if sd else -1.0)
-                            * float(b.value) * grid.h)
+                            * float(bcs.bc_value(b)) * grid.h)
     return signs, tuple(offs)
 
 
