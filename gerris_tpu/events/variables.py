@@ -34,6 +34,105 @@ class VariableFunction(Event):
         sim.state[self.var] = jnp.asarray(self.fn(sim))
 
 
+class VariableTurbulentViscosity(Event):
+    """LES subgrid eddy viscosity nu_t recomputed from the resolved
+    velocity gradients every step (reference:
+    GfsVariableTurbulentViscosity, modules/turbulence.c:934-1131).
+
+    model="smagorinsky": nu_t = (Cs h)^2 sqrt(2 S_ij S_ij) with
+    S_ij = (d_i u_j + d_j u_i)/2 (get_smagorinsky_viscosity,
+    modules/turbulence.c:965-981).
+    model="sigma": the Nicoud et al. sigma model
+    nu_t = (Cs h)^2 sigma3 (sigma1-sigma2)(sigma2-sigma3)/sigma1^2
+    from the singular values of the velocity-gradient tensor
+    (get_sigma_viscosity, modules/turbulence.c:983-1054).
+
+    Feeds SourceViscosity expressions by name, e.g.
+    ``SourceViscosity (MU + NUT)`` — the reference wires it the same
+    way (an expression-valued viscosity reading the variable).
+    """
+
+    def __init__(self, name: str, cs: float = 0.17,
+                 model: str = "smagorinsky", **kw):
+        kw.setdefault("istep", 1)
+        super().__init__(name=f"VariableTurbulentViscosity({name})", **kw)
+        self.var = name
+        self.cs = float(cs)
+        self.model = model
+
+    def fire(self, sim, t, i):
+        super().fire(sim, t, i)
+        from ..core import bc as bcs
+        from ..models.ns import velocity_names
+
+        amr = hasattr(sim, "fine")
+        grid = sim.topo.grid(sim.topo.lmax) if amr else sim.cfg.grid
+        dim = grid.dim
+        U = [jnp.asarray(sim.fine(n)) if amr else sim.state[n]
+             for n in velocity_names(dim)]
+        h = grid.h
+        # velocity-gradient tensor g[i][j] = d u_i / d x_j (central)
+        pads = [bcs.apply_bc(u, grid, sim.cfg.u_bcs[k], 1, t=t)
+                for k, u in enumerate(U)]
+
+        def ctr(p, ax):
+            lo = [slice(1, -1)] * dim
+            hi = [slice(1, -1)] * dim
+            lo[ax] = slice(0, -2)
+            hi[ax] = slice(2, None)
+            return (p[tuple(hi)] - p[tuple(lo)]) / (2.0 * h)
+
+        g = [[ctr(pads[i_], j) for j in range(dim)] for i_ in range(dim)]
+        cs2h2 = (self.cs * h) ** 2
+        if self.model == "smagorinsky":
+            s2 = sum((0.5 * (g[a][b] + g[b][a])) ** 2
+                     for a in range(dim) for b in range(dim))
+            nut = cs2h2 * jnp.sqrt(2.0 * s2)
+        else:  # sigma model
+            # G = g^T g; invariants -> singular values (exact 2x2/3x3
+            # closed forms, modules/turbulence.c:1005-1049)
+            G = [[sum(g[k][a] * g[k][b] for k in range(dim))
+                  for b in range(dim)] for a in range(dim)]
+            inv1 = sum(G[a][a] for a in range(dim))
+            G2tr = sum(sum(G[a][k] * G[k][a] for k in range(dim))
+                       for a in range(dim))
+            inv2 = (inv1 ** 2 - G2tr) / 2.0
+            if dim == 2:
+                # embed as diag(G, 0): the third singular value of a 2D
+                # gradient is 0, so det of the 3x3 embedding vanishes
+                # (the C's 2D branch uses the 2x2 det — dimensionally
+                # inconsistent and unreachable: model_type is never
+                # parsed, modules/turbulence.c:1073-1086)
+                inv3 = jnp.zeros_like(inv1)
+            else:
+                inv3 = (G[0][0] * (G[1][1] * G[2][2] - G[1][2] * G[2][1])
+                        - G[0][1] * (G[1][0] * G[2][2] - G[1][2] * G[2][0])
+                        + G[0][2] * (G[1][0] * G[2][1] - G[1][1] * G[2][0]))
+            a1 = jnp.maximum(inv1 ** 2 / 9.0 - inv2 / 3.0, 0.0)
+            a2 = inv1 ** 3 / 27.0 - inv1 * inv2 / 6.0 + inv3 / 2.0
+            a132 = jnp.power(jnp.maximum(a1, 1e-300), 1.5)
+            a3 = jnp.arccos(jnp.clip(a2 / jnp.maximum(a132, 1e-300),
+                                     -1.0, 1.0)) / 3.0
+            sq = jnp.sqrt(a1)
+            s1 = jnp.sqrt(jnp.maximum(inv1 / 3.0 + 2 * sq * jnp.cos(a3),
+                                      0.0))
+            s2_ = jnp.sqrt(jnp.maximum(
+                inv1 / 3.0 - 2 * sq * jnp.cos(jnp.pi / 3.0 + a3), 0.0))
+            s3 = jnp.sqrt(jnp.maximum(
+                inv1 / 3.0 - 2 * sq * jnp.cos(jnp.pi / 3.0 - a3), 0.0))
+            dsig = jnp.where(s1 > 0.0,
+                             s3 * (s1 - s2_) * (s2_ - s3)
+                             / jnp.maximum(s1 ** 2, 1e-300), 0.0)
+            ok = (a1 > 0.0) & (a2 < a132)
+            nut = jnp.where(ok, cs2h2 * dsig, 0.0)
+        if amr:
+            # store at the finest level; coarse sources read restrictions
+            sim.state[self.var] = sim.restrict_stack(nut) \
+                if hasattr(sim, "restrict_stack") else nut
+        else:
+            sim.state[self.var] = nut
+
+
 class VariableAverage(Event):
     """Running time average <v> over the steps fired so far (reference:
     GfsVariableAverage, src/variable.c: A_n = A_{n-1} + (v - A_{n-1})/n)."""

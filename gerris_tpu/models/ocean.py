@@ -54,6 +54,7 @@ class OceanConfig:
     nu: float = 0.0
     coriolis: tuple = None            # (f, drag, beta)
     p_bc: bcs.FieldBC = None
+    scheme_none: bool = False         # AdvectionParams { scheme = none }
     advection: adv.AdvectionParams = adv.AdvectionParams(gc=False)
     solver: poisson.MultilevelParams = poisson.MultilevelParams(
         tolerance=1e-9, nitermax=50)
@@ -181,10 +182,15 @@ def ocean_step(state: dict, dt, t, cfg: OceanConfig) -> dict:
     # explicit momentum: u* = u + dt (adv + nu lap) - (1-th) dt grad p
     gp = proj.face_gradients(p, grid, cfg.p_bc, t=t)
     g_cell = proj.cell_gradient_from_faces(gp, grid)
-    uf = nsm.predicted_face_velocities(U, grid, proxy, dt, t)
-    Ustar = nsm.velocity_advection_diffusion(
-        U, uf, [jnp.zeros_like(g) for g in g_cell], None, grid,
-        proxy, dt, t)
+    if cfg.scheme_none:
+        # AdvectionParams { scheme = none } (test/geo/geo.gfs): pure
+        # wave dynamics, no momentum self-advection
+        Ustar = list(U)
+    else:
+        uf = nsm.predicted_face_velocities(U, grid, proxy, dt, t)
+        Ustar = nsm.velocity_advection_diffusion(
+            U, uf, [jnp.zeros_like(g) for g in g_cell], None, grid,
+            proxy, dt, t)
     Ustar = [Ustar[c] - (1.0 - th) * dt * g_cell[c] for c in range(dim)]
 
     if cfg.coriolis is not None:

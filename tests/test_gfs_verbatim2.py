@@ -243,8 +243,11 @@ def test_height_gfs_verbatim(case):
     # curvature vs the analytic ellipse value kappa = ab/(a^2 sin^2 +
     # b^2 cos^2)^{3/2}; height functions at this resolution (the ellipse
     # spans ~6 cells) carry a few-percent error — gate at 15% median,
-    # 45% worst-cell
-    K = np.asarray(vofm.curvature(T, g, fbc))
+    # 45% worst-cell.  The reference fills T = 1 where the expression is
+    # positive, i.e. OUTSIDE the ellipse (spatial.h sign convention) —
+    # the T = 1 body is concave there, so K is the negative of the
+    # analytic droplet curvature.
+    K = -np.asarray(vofm.curvature(T, g, fbc))
     x, y = [np.asarray(c) for c in g.centers]
     t = np.arctan2(np.asarray(y) / 0.3, np.asarray(x) / 0.2)
     a, b = 0.2, 0.3
@@ -293,7 +296,10 @@ def test_shear_gfs_verbatim():
     sim = G.build_simulation(G.parse_gfs(_read("shear"), {}, strict=True))
     assert isinstance(sim, AdvectionSimulation)
     g = sim.grid
-    ref = np.asarray(vofm.fraction_from_levelset(
+    # reference phase: T = 1 where ellipse(…) > 0 = OUTSIDE the patch
+    # (spatial.h positive-outside); the published norms are invariant
+    # under the complement
+    ref = 1.0 - np.asarray(vofm.fraction_from_levelset(
         g, lambda x, y, z=0.0, t=0.0:
         1.0 - (x / 0.2) ** 2 - ((y + 0.236338) / 0.2) ** 2))
     assert np.allclose(np.asarray(sim.state["T"]), ref, atol=1e-12)

@@ -1,0 +1,139 @@
+"""Round-5 verbatim additions: more reference test dirs run unmodified
+through utils/gfs_config (VERDICT r4 next #2).
+
+* hydrostatic.gfs — exact hydrostatic balance (Source V -1) with an
+  embedded solid circle: |V| must stay at solver tolerance
+  (test/hydrostatic/hydrostatic.gfs gate: max|V| < 1.5e-12).
+* geo/geo.gfs — geostrophic adjustment of a Gaussian bump (GfsOcean +
+  SourceCoriolis, 1580 steps over ~18 days); gate: max surface-height
+  error vs the analytic initial state stays within the reference's
+  recorded curve (test/geo/e.ref final 13.66 m on ETA0 = 599.5 m).
+* sessile/sessile.gfs — contact-angle droplet relaxation (BcAngle):
+  equilibrium curvature matches R(theta) = sqrt(V/(theta -
+  sin(theta)cos(theta))) (test/sessile/sessile.sh analytics).
+* rotate/rotate.gfs — VOF interface in linear shear with
+  time-dependent BcAngle on all four walls; error vs the re-initialised
+  reference fraction bounded by the published error.ref table.
+"""
+import math
+import os
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from gerris_tpu.utils import gfs_config as G
+
+REFDIR = "/root/reference/test"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(REFDIR),
+                                reason="reference not mounted")
+
+
+@pytest.fixture(autouse=True)
+def _run_in_tmp(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+
+
+def _read(case, name=None):
+    with open(f"{REFDIR}/{case}/{name or case}.gfs") as f:
+        return f.read()
+
+
+def test_hydrostatic_gfs_verbatim():
+    """Uniform body force + solid: the projection must balance gravity
+    to solver tolerance (well-balanced cut-cell gradients; the
+    reference's EventScript gates max|V| < 1.5e-12 over 10 steps)."""
+    sim = G.build_simulation(G.parse_gfs(_read("hydrostatic"), {},
+                                         strict=True))
+    assert sim.errors == []
+    sim.run()
+    assert sim.time.i == 10
+    V = np.asarray(sim.state["V"])
+    A = np.asarray(sim.state["A"]) if "A" in sim.state else None
+    if A is not None:
+        V = V * (A > 0.0)
+    assert np.abs(V).max() < 1.5e-12, np.abs(V).max()
+
+
+@pytest.mark.slow
+def test_geo_gfs_verbatim():
+    """Geostrophic equilibrium hold over 1580 coriolis-period steps
+    (test/geo/geo.gfs verbatim; e.ref curve ends at 13.66 m absolute
+    error on a 599.5 m bump = 2.3%)."""
+    sim = G.build_simulation(G.parse_gfs(_read("geo"), {}, strict=True))
+    assert sim.errors == []
+    assert sim.cfg.scheme_none
+    G0 = sim.cfg.G
+    x, y = [np.asarray(c) for c in sim.cfg.grid.centers]
+    eta_exact = 599.5 * np.exp(-(x * x + y * y) / (100e3 ** 2))
+    sim.run()
+    assert sim.time.i == 1580
+    eta = np.asarray(sim.state["P"]) / G0
+    err = eta - eta_exact
+    err = err - err.mean()          # unbiased = 1 in the reference gate
+    # reference curve peaks ~14.5 m mid-run and ends at 13.66 m
+    assert np.abs(err).max() < 1.3 * 13.70, np.abs(err).max()
+
+
+SESSILE_ANGLES = {60.0: None, 120.0: None}
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("angle", [60.0, 120.0])
+def test_sessile_gfs_verbatim(angle):
+    """Drop relaxes to the contact angle; the equilibrium curvature must
+    match the analytic 1/R(theta) (the reference's convergence gate is
+    |K - Kexact|/Kexact at level 6 between 8e-4 and 3.5e-2,
+    test/sessile/error-6.ref; at the L4 run here we gate at 8%)."""
+    from gerris_tpu.physics import vof
+
+    sim = G.build_simulation(G.parse_gfs(
+        _read("sessile"), {"ANGLE": str(int(angle)), "LEVEL": "4"},
+        strict=True))
+    assert sim.errors == []
+    # the degenerate cmax=0/min==max AdaptFunction runs the uniform
+    # engine (see build_simulation) — same physics, mass-exact contact
+    assert type(sim).__name__ == "Simulation"
+    sim.run(max_steps=3000)
+    T = np.asarray(sim.state["T"])
+    g = sim.cfg.grid
+    tbc = dict(sim.cfg.vof_tracers)["T"]
+    kap = np.asarray(vof.curvature(jnp.asarray(T), g, tbc))
+    band = (T > 0.05) & (T < 0.95) & np.isfinite(kap)
+    assert band.sum() > 4
+    # left boundary is the symmetry axis: the computed quarter-disk is
+    # HALF the physical drop, V_phys = 2 V_c (sessile.sh uses
+    # vol = pi 0.3^2 / 2 for the same reason)
+    vol = 2.0 * T.sum() * g.cell_volume
+    th = math.radians(angle)
+    kex = math.sqrt((th - math.cos(th) * math.sin(th)) / vol)
+    kavg = kap[band].mean()
+    assert abs(kavg - kex) / kex < 0.08, (kavg, kex)
+    # equilibrium: curvature nearly constant along the interface
+    assert kap[band].std() / kex < 0.25, kap[band].std() / kex
+
+
+@pytest.mark.slow
+def test_rotate_gfs_verbatim():
+    """test/rotate: vertical VOF interface sheared by U = y with
+    time-dependent contact angles keeping the (exactly representable)
+    line reconstructed through the walls.  Gate: volume conserved and
+    Linf error vs the re-initialised fraction within the published
+    table's final row (error.ref t=5: Linf 8.976e-03) x margin."""
+    from gerris_tpu.physics import vof as vofm
+
+    sim = G.build_simulation(G.parse_gfs(_read("rotate"), {},
+                                         strict=True))
+    assert sim.errors == []
+    g = sim.grid
+    sim.run()
+    assert sim.t == pytest.approx(5.0)
+    T = np.asarray(sim.state["T"])
+    # exact fraction for the rotated interface x = t*y at t=5
+    ref = np.asarray(vofm.fraction_from_levelset(
+        g, lambda x, y, z=0.0, t=0.0: x - 5.0 * y, refine=4))
+    vol = T.sum() * g.cell_volume
+    assert abs(vol - 2.0) < 1e-6 * 2.0, vol   # OutputScalarSum gate ($5 == 2)
+    einf = np.abs(T - ref).max()
+    assert einf < 3.0 * 8.976e-03, einf
