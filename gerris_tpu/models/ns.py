@@ -397,10 +397,17 @@ def velocity_advection_diffusion(U: list, uf: list, gmac: list, g_prev,
             # moving_order=2: time-centred face fractions for the
             # advection fluxes (face_fraction_half, moving2.c:563-570)
             s_adv = solid[4] if len(solid) > 4 else s_s
-            fv = adv.flux_divergence(
+            fv_acc = adv.flux_divergence(
                 [s_adv[ax] * v_faces[ax] for ax in range(dim)],
                 [s_adv[ax] * uf[ax] for ax in range(dim)], grid, dt)
-            fv = jnp.where(a_s > 0.0, fv / a_cl, 0.0)
+            # true merged-cell update: small cells (a/s < 0.5) average
+            # with their merge group instead of dividing by a clamped
+            # volume (gfs_advection_update, src/advection.c:784-851);
+            # expressed as an increment so the source/diffusion terms
+            # below compose unchanged
+            from ..physics.solid import merged_cell_update
+            v_merged = merged_cell_update(U[c], fv_acc, a_s, s_s)
+            fv = jnp.where(a_s > 0.0, v_merged - U[c], 0.0)
         if g_prev is not None:
             fv = fv - dt * g_prev[c]
         if sources is not None and sources[c] is not None:

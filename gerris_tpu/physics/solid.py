@@ -18,6 +18,7 @@ the reference's default, test/circle).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -280,3 +281,78 @@ def poisson_solid_solve(rhs_pointwise, grid: Grid, phi, fbc, params,
     u = jnp.zeros(grid.shape, rhs.dtype) if u0 is None else u0
     u, stats = poisson.solve(u, rhs, grid, fbc, params, alpha=s)
     return u, stats, a, s
+
+
+def merged_cell_update(v, fv, a, s):
+    """True merged-cell advection update for small cut cells.
+
+    The reference merges each small cut cell (a/s_d < GFS_SMALL = 0.5
+    through some open face, src/advection.c:595-611) with its best
+    neighbour — a full neighbour through an open face if one exists,
+    else the mixed neighbour with the largest fluid fraction
+    (set_merged, src/advection.c:613-667) — and sets every member of
+    the merged group to the volume-weighted average
+    w = sum(vol (a v + fv)) / sum(vol a)
+    (gfs_advection_update, src/advection.c:784-851).
+
+    Dense-array equivalent: each cell picks a root (itself when not
+    small; pointer-jumped twice so chains of small cells terminate),
+    the group sums are one segment-sum scatter over flat root indices,
+    and the average is gathered back.  For cells in singleton groups
+    the formula reduces to the plain v + fv/a update, so one pass
+    covers everything.
+
+    ``fv`` is the ACCUMULATED increment (flux sum, not yet divided by
+    the fluid fraction); ``a`` cell fluid fractions; ``s`` tuple of
+    face-fraction arrays (staggered layouts, s[c].shape[c] == n_c+1).
+    """
+    dim = v.ndim
+    shape = v.shape
+    ntot = int(np.prod(shape))
+    flat = jnp.arange(ntot).reshape(shape)
+
+    # neighbour fluid fractions + open-face fractions per direction
+    # (order: for each axis, (low side, high side))
+    BIG = 1e6
+    pad_a = jnp.pad(a, 1)          # zero outside => never chosen
+    score = []
+    targets = []
+    small = jnp.zeros(shape, bool)
+    for ax in range(dim):
+        s_lo = jax.lax.slice_in_dim(s[ax], 0, shape[ax], axis=ax)
+        s_hi = jax.lax.slice_in_dim(s[ax], 1, shape[ax] + 1, axis=ax)
+        ctr = [slice(1, -1)] * dim
+        lo = list(ctr)
+        hi = list(ctr)
+        lo[ax] = slice(0, -2)
+        hi[ax] = slice(2, None)
+        a_lo = pad_a[tuple(lo)]
+        a_hi = pad_a[tuple(hi)]
+        small = small | ((s_lo > 0.0) & (a / jnp.maximum(s_lo, 1e-30) < 0.5))
+        small = small | ((s_hi > 0.0) & (a / jnp.maximum(s_hi, 1e-30) < 0.5))
+        for s_d, a_nb, shift in ((s_lo, a_lo, -1), (s_hi, a_hi, 1)):
+            ok = (s_d > 0.0) & (a_nb > 0.0)
+            # full neighbours dominate any mixed one (the C returns
+            # immediately on the first full neighbour; argmax over
+            # a + BIG*(a==1) picks one deterministically)
+            score.append(jnp.where(ok, a_nb + BIG * (a_nb >= 1.0), -1.0))
+            tgt = jnp.roll(flat, -shift, axis=ax)
+            targets.append(tgt)
+    small = small & (a > 0.0) & (a < 1.0)
+    sc = jnp.stack(score)
+    tg = jnp.stack(targets)
+    best = jnp.argmax(sc, axis=0)
+    tgt = jnp.take_along_axis(tg, best[None], axis=0)[0]
+    root = jnp.where(small, tgt, flat).reshape(-1)
+    # pointer-jump: a small cell may merge into another small cell;
+    # two hops terminate all practical chains (the C builds the full
+    # transitive closure; beyond two hops the geometry is degenerate)
+    root = root[root]
+    root = root[root]
+
+    num = (a * v + fv).reshape(-1)
+    den = a.reshape(-1)
+    seg_num = jnp.zeros(ntot, v.dtype).at[root].add(num)
+    seg_den = jnp.zeros(ntot, v.dtype).at[root].add(den)
+    w = (seg_num / jnp.maximum(seg_den, 1e-30))[root].reshape(shape)
+    return jnp.where(a > 0.0, w, v)
