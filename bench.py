@@ -279,8 +279,14 @@ def main():
             ub3 = bcs.FieldBC.make(3, default=bcs.Dirichlet(0.0),
                                    top=bcs.Dirichlet(1.0))
             vb3 = bcs.FieldBC.uniform(bcs.Dirichlet(0.0), 3)
+            # production-style fixed schedule (round-5 A/B at 128^3,
+            # contended box: adaptive 134M -> fixed-1-cycle +
+            # 1-sweep diffusion 181M; nu=0 variants 219/254M give the
+            # phase split: diffusion ~3.3 ms of the 11.6 ms step)
             cfg3 = ns.NSConfig(grid=g3, u_bcs=(ub3, vb3, vb3), nu=1e-3,
-                               beta=1.0)
+                               beta=1.0, projection=mp1,
+                               approx_projection=mp1,
+                               diffusion_params=mpd)
             z3 = jnp.zeros(g3.shape, jnp.float32)
             s3 = {n: z3 for n in (list(ns.velocity_names(3))
                                   + ["P", "Pmac"]

@@ -283,22 +283,18 @@ def amr_step(state: dict, leaf: dict, dt, t, cfg: ns.NSConfig, topo: Topo,
             rho[l] = poisson.restrict(rho[l + 1], dim)
     fs = None
     if cfg.tension:
-        # evaluate the well-balanced face sources at the FINEST level
-        # (the only level whose curvature is the leaf estimator) and
-        # face-average them down the stack — the same hierarchy the
-        # coefficients use.  Recomputing from the restricted tracer per
-        # level gives coarse sources inconsistent with the fine
-        # residual (a mirror-vs-contact curvature mismatch at walls
-        # made the fixed-cycle composite correction DIVERGE on
-        # test/sessile — the coarse correction injected energy every
-        # step); restriction keeps every level's rhs Galerkin-
-        # consistent with the leaf physics.
-        lvf = {name: st[name][topo.lmax] for name, _ in cfg.vof_tracers}
-        fs = {topo.lmax: ns.tension_sources(
-            lvf, cfg, t, alpha=None if alpha is None else alpha[topo.lmax],
-            grid=topo.grid(topo.lmax), off_max=0)}
-        for l in range(topo.lmax - 1, topo.lmin - 1, -1):
-            fs[l] = list(poisson.coarsen_face_coeff(fs[l + 1], dim))
+        # NOTE (round 5): face-restricting the finest level's sources
+        # down the stack (Galerkin-consistent) was tried for the
+        # contact-angle wall case and REVERTED — it destroys the
+        # spurious-currents equilibrium the per-level evaluation keeps
+        # (verbatim spurious L2 9e-5 -> 0.57).  Contact-angle cases
+        # run the uniform engine instead (build_simulation).
+        fs = {}
+        for l in topo.levels:
+            lv = {name: st[name][l] for name, _ in cfg.vof_tracers}
+            fs[l] = ns.tension_sources(
+                lv, cfg, t, alpha=None if alpha is None else alpha[l],
+                grid=topo.grid(l), off_max=0)
     # variable viscosity: per-level face-averaged mu + the explicit
     # transpose-stress accelerations (src/source.c:1412-1438)
     mu_l = None

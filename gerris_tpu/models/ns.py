@@ -843,6 +843,45 @@ def ns_step(state: dict, dt, t, cfg: NSConfig, cstart: int = 0,
                 alpha_cell=None if rho_c is None else 1.0 / rho_c, t=t)
             sources = css if sources is None else \
                 [css[c] + sources[c] for c in range(dim)]
+    if cfg.body_force is not None:
+        # body forces ride the SAME well-balanced face-source path as
+        # surface tension: dp enters both projections (u_face += dt dp,
+        # g_cell = alpha grad p - dp) so a conservative force is
+        # absorbed into the pressure EXACTLY — cell-side application
+        # left O(0.2) spurious velocities where the reference's
+        # test/hydrostatic demands < 1.5e-12 (gfs_velocity_face_sources
+        # src/timestep.c:245-290)
+        fs_g = []
+        for c in range(dim):
+            bf = cfg.body_force[c]
+            shp = grid.face_shape(c)
+            if bf is None:
+                fs_g.append(jnp.zeros(shp, U[0].dtype))
+            elif callable(bf):
+                coords = []
+                for a in range(dim):
+                    ax = (grid.axis_faces(a) if a == c
+                          else grid.axis_centers(a))
+                    sh = [1] * dim
+                    sh[a] = len(ax)
+                    coords.append(jnp.asarray(ax).reshape(sh))
+                fs_g.append(jnp.broadcast_to(
+                    jnp.asarray(bf(*coords, t=t), U[0].dtype), shp))
+            else:
+                fs_g.append(jnp.full(shp, bf, U[0].dtype))
+            if not cfg.u_bcs[c].is_periodic(c):
+                # boundary faces carry a prescribed normal velocity —
+                # the force must not act there, and its absence is what
+                # feeds the wall-cell divergence that makes p exactly
+                # hydrostatic (p = g.x solves the discrete system
+                # exactly when interior faces see dp = g and wall
+                # faces see 0)
+                idx = jax.lax.broadcasted_iota(jnp.int32, shp, c)
+                interior = (idx > 0) & (idx < shp[c] - 1)
+                fs_g[c] = jnp.where(interior, fs_g[c], 0.0)
+        fs = fs_g if fs is None else \
+            [fs[c] + fs_g[c] for c in range(dim)]
+        cfg = dataclasses.replace(cfg, body_force=None)
     mu = viscosity_field(state, cfg, t)
     if mu is not None:
         assert cfg.solid_phi is None and not cfg.moving_solid, \

@@ -646,7 +646,15 @@ def curvature(f: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC, t=0.0,
         """(n0, n1) block of f_pad offset by (di, dj) cells."""
         return f_pad[P + di:P + di + n0, P + dj:P + dj + n1]
 
-    mx, my = mycs_normals(f_pad[P - 1:P + n0 + 1, P - 1:P + n1 + 1])
+    # NOTE: the 1-ring corner ghosts of a width-P pad are NOT identical
+    # to a width-1 pad's (mirror-of-mirror distances differ), and the
+    # spurious-currents equilibrium is sensitive to the normals' corner
+    # stencil — keep the original 1-pad for the mirror path and use the
+    # contact-filled slice only when contact ghosts are required
+    if has_contact(fbc):
+        mx, my = mycs_normals(f_pad[P - 1:P + n0 + 1, P - 1:P + n1 + 1])
+    else:
+        mx, my = mycs_normals(bcs.apply_bc(f, grid, fbc, 1, t=t))
     interface = (f > FULL_TOL) & (f < 1.0 - FULL_TOL)
 
     kappas = []
@@ -978,12 +986,14 @@ def parabola_curvature(f: jnp.ndarray, grid: Grid, fbc: bcs.FieldBC,
     of the cell normal using interface fragments of the 5x5 stencil).
     """
     W = 2  # 5x5 window
-    f_big = bcs.apply_bc(f, grid, fbc, W + 1, t=t)
     if grid.dim == 2 and has_contact(fbc):
-        f_big = contact_fill(f_big, W + 1, grid, fbc, t=t)
-    f_all = f_big[1:-1, 1:-1] if grid.dim == 2 else \
-        bcs.apply_bc(f, grid, fbc, W, t=t)          # (n+2W) layout
-    mcx, mcy = mycs_normals(f_big)
+        f_big = contact_fill(bcs.apply_bc(f, grid, fbc, W + 1, t=t),
+                             W + 1, grid, fbc, t=t)
+        f_all = f_big[1:-1, 1:-1]
+        mcx, mcy = mycs_normals(f_big)
+    else:
+        f_all = bcs.apply_bc(f, grid, fbc, W, t=t)  # (n+2W) layout
+        mcx, mcy = mycs_normals(bcs.apply_bc(f, grid, fbc, W + 1, t=t))
     n0, n1 = grid.shape
 
     def sub(a, di, dj, P=W):

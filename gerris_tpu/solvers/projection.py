@@ -253,7 +253,27 @@ def mac_projection(u_face: list, p: jnp.ndarray, grid: Grid,
     u_face = [u_face[c] - dt * gf[c] for c in range(grid.dim)]
     if face_sources is not None:
         gf = [gf[c] - face_sources[c] for c in range(grid.dim)]
-    g_cell = cell_gradient_from_faces(gf, grid)
+    if face_frac is not None and face_sources is not None:
+        # mixed cells: average the NET gradient over OPEN faces only —
+        # a closed face has no pressure dof behind it, so its (0 - dp)
+        # residue would leak the body force into cut cells (the
+        # reference's mixed-cell centred gradients come from the solid
+        # machinery, gfs_correct_centered_velocities); s-weighting
+        # restores the exact hydrostatic balance (test/hydrostatic)
+        g_cell = []
+        for axis in range(grid.dim):
+            f = gf[axis]
+            w = face_frac[axis]
+            n = f.shape[axis]
+            lo = [slice(None)] * f.ndim
+            lo[axis] = slice(0, n - 1)
+            hi = [slice(None)] * f.ndim
+            hi[axis] = slice(1, n)
+            num = (w * f)[tuple(lo)] + (w * f)[tuple(hi)]
+            den = w[tuple(lo)] + w[tuple(hi)]
+            g_cell.append(num / jnp.maximum(den, 1e-30))
+    else:
+        g_cell = cell_gradient_from_faces(gf, grid)
     if cells is not None:
         cells = [cells[c] - dt * g_cell[c] for c in range(grid.dim)]
         return u_face, p, g_cell, stats, cells

@@ -271,7 +271,7 @@ def test_height_gfs_verbatim(case):
         H8 = vofm.height_fields(T8, g, fbc)
         for ax in H1:
             assert float(jnp_abs_max(H1[ax], H8[ax])) < 1e-10
-        K8 = np.asarray(vofm.curvature(T8, g, fbc))
+        K8 = -np.asarray(vofm.curvature(T8, g, fbc))   # same sign as K
         d = np.abs(np.where(m, K, 0.0) - np.where(np.isfinite(K8), K8, 0.0))
         assert d.max() < 1e-8, d.max()
 

@@ -59,7 +59,8 @@ def test_sigma_vanishes_2d():
     property the reference implements, modules/turbulence.c:983-1054)."""
     sim = _mk(extra="sigma")
     sim.do_events()
-    assert float(np.abs(np.asarray(sim.state["NUT"])).max()) < 1e-12
+    # zero up to cubic-root roundoff on the f64 invariants
+    assert float(np.abs(np.asarray(sim.state["NUT"])).max()) < 1e-10
 
 
 def test_les_runs_into_diffusion():
